@@ -1,0 +1,63 @@
+"""Per-round benchmark: run every registered t2 query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Each query executes through the ``noop`` writer — the full physical plan
+runs (scans, shuffles, aggregations) but nothing is collected to the
+driver, so the number measures the engine, not Arrow transfer. Queries
+ending in a bounded result (top-k / small agg) cost the same either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from incubator_flink_old_spark import get_spark
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    spark = get_spark("engine-bench")
+
+    # Warm the JVM + file listing once so per-query numbers measure steady
+    # state (the driver compares against a steady-state baseline).
+    QUERIES["q_tpch_q3"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        start = time.perf_counter()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # keep the bench line parseable on failure
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+
+    ok = [v for v in timings.values() if v >= 0]
+    print(
+        json.dumps(
+            {
+                "metric": "t2_query_wall_clock_total",
+                "value": round(sum(ok), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": len(timings) - len(ok),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Aggregations, grouped programs, sort/limit/top-k (SURVEY.md §2.4/§2.5).
+
+Reference sites (public Stratosphere tree):
+- ReduceOperator.java -> ReduceDriver + ReduceCombineDriver (map-side
+  combine)
+- GroupReduceOperator.java -> GroupReduceDriver (sort-based grouping via
+  UnilateralSortMerger; @Combinable optional combine phase)
+- AggregateOperator.java + api/java/aggregation/ (SUM/MIN/MAX — the whole
+  built-in agg library; COUNT/AVG were user-composed)
+- AllReduceDriver / AllGroupReduceDriver (global aggregation)
+- SortedGrouping.java / ReduceOperator.secondaryOrder (secondary sort)
+- GenericDataSinkBase global ordering (range partition + local sort)
+
+Spark upgrades for free: hash aggregation (reference was sort-only),
+partial aggregation, codegen. The engine adds the idiomatic agg superset
+(count/avg/count_distinct/approx_count_distinct, cube/rollup) as
+extensions, per SURVEY §2.4 A3/A7.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: A3 — the reference's built-in aggregation enum (Aggregations.SUM/MIN/MAX)
+#: plus the engine's extension set.
+AGGREGATIONS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    # engine extensions (user-composed in the reference):
+    "count": F.count,
+    "avg": F.avg,
+    "count_distinct": F.count_distinct,
+    "approx_count_distinct": F.approx_count_distinct,
+}
+
+
+def exact_sum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent sum of a double expression, returned as double.
+
+    Summing IEEE doubles is order-dependent; at cluster scale partition
+    order is nondeterministic, so two runs (or engine-vs-oracle) can
+    differ in the last ulps. Routing the per-row value through a decimal
+    cast makes the aggregate exact and therefore bit-stable regardless of
+    partitioning — the engine's default for money-typed sums.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def exact_avg(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent mean (decimal sum / count), as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double") / F.count(c)
+
+
+def aggregate(
+    df: DataFrame,
+    keys: list[str],
+    *aggs: tuple[str, str, str] | Column,
+) -> DataFrame:
+    """A1/A3/A4: groupBy(keys).aggregate(SUM, f).and(MIN, g)…
+
+    ``aggs`` entries are either (op_name, column, alias) triples using the
+    AGGREGATIONS registry, or raw Column aggregate expressions. Empty
+    ``keys`` = global aggregation (AllReduce — reference runs it at
+    parallelism 1; Spark still computes partials distributed, only the
+    final combine is single-task).
+    """
+    cols = [
+        a if isinstance(a, Column) else AGGREGATIONS[a[0]](a[1]).alias(a[2])
+        for a in aggs
+    ]
+    return df.groupBy(*keys).agg(*cols) if keys else df.agg(*cols)
+
+
+def group_reduce(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema,
+) -> DataFrame:
+    """A2: groupBy(keys).reduceGroup(GroupReduceFunction) — arbitrary group
+    program: whole group in, N rows out, via Arrow-batched applyInPandas.
+
+    Use only when the group body is genuinely non-relational; otherwise
+    ``aggregate``/window functions keep the work JVM-side with partial
+    aggregation (the reference's @Combinable). Spark hash-partitions by
+    key; a group never spans partitions, matching reference semantics.
+    """
+    return df.groupBy(*keys).applyInPandas(lambda pdf: fn(pdf), schema=schema)
+
+
+#: Back-compat alias — the SURVEY build plan refers to the pandas route.
+reduce_group_pandas = group_reduce
+
+
+def secondary_sort_apply(
+    df: DataFrame,
+    keys: list[str],
+    order: list[tuple[str, bool]],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema,
+) -> DataFrame:
+    """O1: groupBy(k).sortGroup(f, Order).reduceGroup(fn).
+
+    Reference semantics: the group's records arrive at the UDF sorted by
+    the secondary key (SortedGrouping / Record-API secondaryOrder). Spark's
+    applyInPandas does NOT promise intra-group order, so the engine sorts
+    inside the (already whole) group batch — same contract, vectorized.
+    ``order`` is [(column_name, ascending), ...]; the sort is stable.
+    """
+    names = [n for n, _ in order]
+    ascending = [a for _, a in order]
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf.sort_values(names, ascending=ascending, kind="mergesort"))
+
+    return df.groupBy(*keys).applyInPandas(_run, schema=schema)
+
+
+def first_n(df: DataFrame, n: int) -> DataFrame:
+    """O4: first(n) — any n records (reference takes first-arriving)."""
+    return df.limit(n)
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """O4 idiom: global top-k = orderBy + limit.
+
+    Spark plans this as TakeOrderedAndProject — per-partition heaps of size
+    k then a k-way driver merge; no global sort materializes, which is the
+    correct 100TB shape. Callers must include a unique tie-breaker in
+    ``order`` for deterministic results.
+    """
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: list[str], order: list[Column], k: int, rank_alias: str = "rn"
+) -> DataFrame:
+    """A2/O4 idiom: per-group top-k via row_number window + filter.
+
+    The reference wrote this as a reduceGroup keeping n records; the window
+    form aggregates map-side-combinable and never materializes whole
+    groups. Include a tie-breaker in ``order``.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w))
+        .filter(F.col(rank_alias) <= k)
+        .drop(rank_alias)
+    )
+
+
+def global_sort(df: DataFrame, *order: Column) -> DataFrame:
+    """O2/S12: totally ordered output (range partition + local sort)."""
+    return df.orderBy(*order)

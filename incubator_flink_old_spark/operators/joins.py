@@ -1,0 +1,114 @@
+"""Joins, coGroup, cross (SURVEY.md §2.3 J1–J8).
+
+Reference sites (public Stratosphere tree; SURVEY §2.3):
+- JoinOperator.java -> MatchDriver; hybrid hash (MutableHashTable.java,
+  Build{First,Second}HashMatchIterator) and sort-merge
+  (MergeMatchIterator.java) physical strategies
+- CoGroupOperator.java -> CoGroupDriver + SortMergeCoGroupIterator
+- CrossOperator.java -> CrossDriver (block-nested-loop w/ resettable
+  iterators)
+- JoinHint enum (BROADCAST_HASH_*, REPARTITION_*) on JoinOperatorBase
+
+The reference supports ONLY inner equi-joins ("Match"); outer/semi/anti
+are idioms over coGroup. This engine exposes them first-class (Spark has
+them natively) and leaves physical strategy to Catalyst + AQE, with the
+broadcast hint surfaced for the reference's joinWithTiny.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: J1/J7/J8 modes. Reference-native: "inner" only. Engine extensions map to
+#: Spark's first-class modes (the reference's coGroup idioms).
+JOIN_MODES = ("inner", "left", "right", "full", "left_semi", "left_anti", "cross")
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    hint: str | None = None,
+) -> DataFrame:
+    """J1/J4: join(other).where(k).equalTo(k) with optional strategy hint.
+
+    ``hint`` mirrors the reference JoinHints: "broadcast" (joinWithTiny →
+    BROADCAST_HASH_*), "shuffle_hash" (REPARTITION_HASH_*), "merge"
+    (REPARTITION_SORT_MERGE). Unhinted, Catalyst/AQE choose — which is the
+    right default at 100TB (AQE can swap to broadcast at runtime when the
+    built side turns out small).
+    """
+    if hint == "broadcast":
+        right = F.broadcast(right)
+    elif hint in ("shuffle_hash", "merge"):
+        right = right.hint(hint)
+    elif hint is not None:
+        raise ValueError(f"unknown join hint: {hint!r}")
+    return left.join(right, on=on, how=how)
+
+
+def cross(left: DataFrame, right: DataFrame, predicate: Column | None = None) -> DataFrame:
+    """J6: cross(other) — Cartesian product; theta-join when a predicate is
+    given (reference idiom: cross + filter in the UDF).
+
+    Catalyst pushes the predicate into BroadcastNestedLoopJoin when one
+    side is small. At 100TB an unpruned cross is never acceptable — callers
+    in the engine's library always pass a predicate or pre-bucket
+    (see similarity.py for the LSH-bucketed pattern).
+    """
+    out = left.crossJoin(right)
+    return out.filter(predicate) if predicate is not None else out
+
+
+def co_group(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    fn: Callable[[object, pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    schema,
+) -> DataFrame:
+    """J5: coGroup(other).where(k1).equalTo(k2) — exact semantics.
+
+    Both groups sharing a key are handed to ``fn`` together; keys present
+    on only ONE side still fire with an empty counterpart (full-outer
+    behavior — SURVEY §7.3 hard part 2; this is how the reference expressed
+    outer/anti joins). Spark's cogrouped-pandas applyInPandas matches this
+    exactly: one Arrow batch pair per key, empty DataFrame for the absent
+    side.
+    """
+
+    def _run(key: tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(key, lpdf, rpdf)
+
+    return (
+        left.groupBy(*left_keys)
+        .cogroup(right.groupBy(*right_keys))
+        .applyInPandas(_run, schema=schema)
+    )
+
+
+def co_group_relational(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    left_aggs: list[Column],
+    right_aggs: list[Column],
+) -> DataFrame:
+    """J5 relational form: per-side pre-aggregation + full-outer join.
+
+    When the coGroup body is expressible as aggregates over each side's
+    iterator, this shape keeps everything JVM-side: groupBy partial-aggs on
+    both sides then a full_outer equi-join on the key. Far cheaper at scale
+    than shipping groups to Python.
+    """
+    lagg = left.groupBy(*left_keys).agg(*left_aggs)
+    ragg = right.groupBy(*right_keys).agg(*right_aggs)
+    cond = [lagg[lk] == ragg[rk] for lk, rk in zip(left_keys, right_keys)]
+    return lagg.join(ragg, on=cond, how="full_outer")

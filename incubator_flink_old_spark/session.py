@@ -1,0 +1,74 @@
+"""SparkSession bootstrap with 100TB-scale-minded defaults.
+
+The reference ships its own execution stack (Nephele JobManager/TaskManager,
+managed memory, pipelined channels — SURVEY.md §3/§4.2). In this engine all
+of that is Spark's job; the engine's responsibility is to configure Spark
+well and keep every operator expressible to Catalyst.
+
+Scale posture (tested on local[N], designed for a 1000-executor cluster):
+- AQE on: runtime coalescing, skew-join splitting, dynamic join strategy.
+- Broadcast threshold generous enough that TPC-H-style dimension tables
+  (region/nation/supplier/part/customer) broadcast instead of shuffling.
+- Arrow enabled so the unavoidable pandas-UDF paths batch efficiently.
+- Session timezone pinned to UTC so timestamp semantics are engine-stable
+  (and comparable against external oracles reading the same parquet).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to ANY session the engine is handed
+#: (the test/bench harness builds its own session; so does the driver).
+#: Only runtime-mutable keys belong here.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables up to ~64MB broadcast; avoids shuffling the fact side.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ANSI off: engine keeps permissive null-on-overflow semantics like the
+    # reference's Java arithmetic (no query-killing on bad rows at 100TB).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def prep_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply the engine's runtime configuration to an existing session.
+
+    Idempotent and cheap; every public query entry point calls this so the
+    engine behaves identically under the driver's session, pytest's session
+    and bench's session.
+    """
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - non-mutable key on some builds
+            pass
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
+
+
+def get_spark(app_name: str = "incubator_flink_old_spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    local[$SPARK_GRAFT_CPUS] by default; on a real cluster the same code
+    runs under spark-submit with master/memory provided externally.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return prep_session(spark, shuffle_partitions=int(cpus))

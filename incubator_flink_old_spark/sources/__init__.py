@@ -1,0 +1,191 @@
+"""Sources & sinks (SURVEY.md §2.1, S1–S12).
+
+The reference's source surface is InputFormats (Text/Csv/Binary/Collection/
+Generic, plus addons) driven by ``DataSourceTask``; sinks are OutputFormats
+driven by ``DataSinkTask`` with optional global ordering. Spark's reader/
+writer framework subsumes the split handling, parallel enumeration and
+format parsing, so the engine's source layer is: explicit schemas for the
+fixture tables (never infer at scale — schema inference is a full extra
+pass over 100TB), typed loaders, and thin text/csv/collection readers
+mirroring the reference API names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Explicit schemas for the driver-generated tables (FIXTURES.md §1).
+#: Reading with an explicit schema keeps the parquet footer read cheap and
+#: makes column pruning / predicate pushdown decisions stable.
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLES = tuple(TABLE_SCHEMAS)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S4-equivalent: the engine's binary batch source is parquet.
+
+    Reference: BinaryInputFormat / SerializedInputFormat block sources
+    (``api/common/io/BinaryInputFormat.java``, SURVEY §2.1 S4). Parquet is
+    the engine's replacement: columnar, splittable, predicate-pushdown.
+    """
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL entry point."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """S1: TextInputFormat — lines of a file as single-string records.
+
+    Reference: ``api/common/io/DelimitedInputFormat`` + ``TextInputFormat``
+    driven by ``DataSourceTask`` (SURVEY §2.1 S1). Spark's text source
+    handles splits, directory enumeration and compression natively.
+    """
+    return spark.read.text(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    sep: str = ",",
+    included_fields: list[str] | None = None,
+    header: bool = False,
+) -> DataFrame:
+    """S2: CsvInputFormat — delimited parse with projection mask.
+
+    Reference: ``api/common/io/GenericCsvInputFormat`` + ``CsvReader``
+    ``includedFields`` mask (SURVEY §2.1 S2); the mask maps to a
+    ``select`` which Catalyst pushes into the scan as column pruning.
+    """
+    df = spark.read.csv(path, schema=schema, sep=sep, header=header)
+    if included_fields is not None:
+        df = df.select(*included_fields)
+    return df
+
+
+def from_elements(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """S5: CollectionInputFormat / fromElements — local collection source."""
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def generate_sequence(spark: SparkSession, start: int, end: int) -> DataFrame:
+    """S5: ExecutionEnvironment.generateSequence(from, to) — inclusive ends.
+
+    ``spark.range`` is the distributed equivalent (end-exclusive, hence +1);
+    column named ``id`` like Spark convention.
+    """
+    return spark.range(start, end + 1)
+
+
+def write_sorted(df: DataFrame, path: str, order_cols: list[str], fmt: str = "parquet") -> None:
+    """S12: sink with global order (FileDataSink.setGlobalOrder).
+
+    Reference range-partitions by a ``DataDistribution`` then sorts locally
+    so concatenated output files form a total order (SURVEY §2.1 S12).
+    Spark: ``orderBy`` produces exactly that physical shape
+    (range-partition exchange + per-partition sort); file N's rows all
+    precede file N+1's.
+    """
+    df.orderBy(*order_cols).write.format(fmt).mode("overwrite").save(path)

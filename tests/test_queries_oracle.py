@@ -1,0 +1,44 @@
+"""Golden gate: every registered t2 query hash-matches its DuckDB oracle.
+
+Mirrors the driver's CORRECTNESS check (and the reference's
+compareResultsByLinesInMemory order-insensitive philosophy, SURVEY §5) so
+regressions surface in-repo before the driver runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from incubator_flink_old_spark.queries import ORACLES, QUERIES, load_all_queries
+from tests.conftest import assert_matches_oracle
+
+load_all_queries()
+
+
+def test_registry_nonempty():
+    assert "q_tpch_q3" in QUERIES
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    assert_matches_oracle(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "revenue" in df.columns
