@@ -107,8 +107,21 @@ def co_group_relational(
     iterator, this shape keeps everything JVM-side: groupBy partial-aggs on
     both sides then a full_outer equi-join on the key. Far cheaper at scale
     than shipping groups to Python.
+
+    Output: one coalesced key column per left key name (keys existing on
+    either side appear exactly once, like the reference CoGroupFunction's
+    single key argument), then the left aggs, then the right aggs.
     """
+    rk_names = [f"__rk_{i}" for i in range(len(right_keys))]
     lagg = left.groupBy(*left_keys).agg(*left_aggs)
     ragg = right.groupBy(*right_keys).agg(*right_aggs)
-    cond = [lagg[lk] == ragg[rk] for lk, rk in zip(left_keys, right_keys)]
-    return lagg.join(ragg, on=cond, how="full_outer")
+    for rk, tmp in zip(right_keys, rk_names):
+        ragg = ragg.withColumnRenamed(rk, tmp)
+    cond = [lagg[lk] == ragg[tmp] for lk, tmp in zip(left_keys, rk_names)]
+    joined = lagg.join(ragg, on=cond, how="full_outer")
+    key_cols = [
+        F.coalesce(F.col(lk), F.col(tmp)).alias(lk)
+        for lk, tmp in zip(left_keys, rk_names)
+    ]
+    val_cols = [c for c in joined.columns if c not in set(left_keys) | set(rk_names)]
+    return joined.select(*key_cols, *val_cols)

@@ -300,16 +300,24 @@ def q_intersect(spark, sf_dir):
 @register(
     "q_except",
     oracle="""
-    SELECT c_custkey AS custkey FROM customer
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
     EXCEPT
-    SELECT o_custkey FROM orders
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
     """,
 )
 def q_except(spark, sf_dir):
-    """U2 except (engine extension): customers with no orders."""
-    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return except_all(c, o, keep_duplicates=False)
+    """U2 except (engine extension): big-order customers minus rich ones."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return except_all(o, c, keep_duplicates=False)
 
 
 # ---------------------------------------------------------------------------

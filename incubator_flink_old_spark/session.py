@@ -34,6 +34,9 @@ RUNTIME_CONF: dict[str, str] = {
     # ANSI off: engine keeps permissive null-on-overflow semantics like the
     # reference's Java arithmetic (no query-killing on bad rows at 100TB).
     "spark.sql.ansi.enabled": "false",
+    # The events fixture stores TIMESTAMP(NANOS); Spark rejects it natively.
+    # Read as long nanos, normalized to µs timestamps in sources.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -13,6 +13,7 @@ mirroring the reference API names.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Explicit schemas for the driver-generated tables (FIXTURES.md §1).
@@ -121,8 +122,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Reference: BinaryInputFormat / SerializedInputFormat block sources
     (``api/common/io/BinaryInputFormat.java``, SURVEY §2.1 S4). Parquet is
     the engine's replacement: columnar, splittable, predicate-pushdown.
+
+    NANOS-precision timestamp columns (which Spark's vectorized reader
+    rejects) are read as raw long nanos and floor-truncated to microsecond
+    timestamps — the same truncation DuckDB applies reading the file, so
+    downstream semantics agree across engines.
     """
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.LongType) and field.name in _NANOS_TS_COLUMNS:
+            df = df.withColumn(
+                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+            )
+    return df
+
+
+#: Columns stored as TIMESTAMP(NANOS) in the fixture parquet; read via
+#: spark.sql.legacy.parquet.nanosAsLong (set in session.RUNTIME_CONF) and
+#: normalized to microsecond timestamps here.
+_NANOS_TS_COLUMNS = frozenset({"ts"})
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
