@@ -1,0 +1,299 @@
+"""Graph & ML library on the iteration core (SURVEY §2.9 G1–G5).
+
+Reference: Spargel (stratosphere-spargel VertexCentricIteration — the
+Pregel clone built on delta iterations) and the canonical example programs
+(ConnectedComponents, PageRankBasic/DanglingPageRank, KMeans,
+EnumTriangles, TransitiveClosure). This engine rebuilds them as DataFrame
+programs over bulk_iterate/delta_iterate — PySpark-native, no GraphX.
+
+Scale notes common to all: edges/vertices shuffle on their join keys each
+round; the delta-iterate forms shrink the active set so late rounds touch
+a fraction of the graph (the PVLDB'12 result); lineage is truncated per
+round by the iteration core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.operators.iterations import bulk_iterate, delta_iterate
+
+DEFAULT_GRAPH_MAX_ITER = 30
+
+
+def pregel_min_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iterations: int = DEFAULT_GRAPH_MAX_ITER,
+) -> DataFrame:
+    """G1: Spargel-style vertex-centric min-propagation (the
+    VertexUpdateFunction/MessagingFunction pair specialized to the
+    min-combiner — covers ConnectedComponents, SSSP, reachability).
+
+    vertices: (id: long, value: double/long) — initial vertex state.
+    edges: (src: long, dst: long, delta) — message to dst = value(src) +
+    delta (0 for label propagation, weight for shortest paths).
+
+    Delta-iteration semantics: only vertices whose value improved last
+    superstep send messages (the shrinking workset); terminates when no
+    vertex improves or at max_iterations.
+    """
+
+    def step(solution: DataFrame, workset: DataFrame, _i: int):
+        msgs = (
+            workset.alias("w")
+            .join(edges.alias("e"), F.col("w.id") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("id"),
+                (F.col("w.value") + F.col("e.delta")).alias("cand"),
+            )
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            msgs.join(solution, on="id")
+            .filter(F.col("cand") < F.col("value"))
+            .select("id", F.col("cand").alias("value"))
+        )
+        return improved, improved
+
+    return delta_iterate(
+        vertices, vertices, step, keys=["id"], max_iterations=max_iterations
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = DEFAULT_GRAPH_MAX_ITER
+) -> DataFrame:
+    """G2: min-label propagation CC (reference example
+    graph/ConnectedComponents.java — delta-iteration flagship).
+
+    edges: (src, dst) directed pairs; treated as undirected. Returns
+    (id, component) where component = min vertex id reachable.
+    """
+    undirected = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = undirected.filter(F.col("src") != F.col("dst")).distinct()
+    vertices = (
+        sym.select(F.col("src").alias("id"))
+        .union(sym.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").cast("long").alias("value"))
+    )
+    withdelta = sym.withColumn("delta", F.lit(0).cast("long"))
+    out = pregel_min_propagation(vertices, withdelta, max_iterations)
+    return out.select("id", F.col("value").alias("component"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source_id: int,
+    max_iterations: int = DEFAULT_GRAPH_MAX_ITER,
+) -> DataFrame:
+    """G1 workload: single-source shortest hop-count (Spargel SSSP).
+
+    edges: (src, dst) directed. Returns (id, dist) for reachable vertices.
+    """
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .select(
+            "id",
+            F.when(F.col("id") == source_id, F.lit(0))
+            .otherwise(F.lit(None))
+            .cast("long")
+            .alias("value"),
+        )
+    )
+    # Unreached = +inf; model as null-filtered workset seed instead.
+    seed = vertices.filter(F.col("value").isNotNull())
+    known = vertices.withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(2**62))
+    )
+    withdelta = edges.select("src", "dst").withColumn("delta", F.lit(1).cast("long"))
+
+    def step(solution: DataFrame, workset: DataFrame, _i: int):
+        msgs = (
+            workset.alias("w")
+            .join(withdelta.alias("e"), F.col("w.id") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("id"),
+                (F.col("w.value") + F.col("e.delta")).alias("cand"),
+            )
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            msgs.join(solution, on="id")
+            .filter(F.col("cand") < F.col("value"))
+            .select("id", F.col("cand").alias("value"))
+        )
+        return improved, improved
+
+    out = delta_iterate(known, seed, step, keys=["id"], max_iterations=max_iterations)
+    return out.filter(F.col("value") < 2**62).select("id", F.col("value").alias("dist"))
+
+
+def page_rank(
+    edges: DataFrame,
+    num_iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """G3: PageRank power iteration with dangling-vertex handling
+    (reference example graph/PageRankBasic + DanglingPageRank test job).
+
+    edges: (src, dst) directed. Returns (id, rank); ranks sum to 1.
+    Dangling mass (vertices with no out-edges) is redistributed uniformly
+    each round — the reference's DanglingPageRank semantics.
+    """
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = vertices.count()  # scalar loop constant (driver-side, once)
+    out_degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Loop-invariant: cache the adjacency with degree (the reference pins
+    # loop-invariant inputs at the iteration head — same idea).
+    adj = (
+        edges.join(out_degree, on="src")
+        .select("src", "dst", "deg")
+        .persist()
+    )
+    adj.count()
+    init = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            adj.join(ranks, adj["src"] == ranks["id"])
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("gathered"))
+        )
+        dangling = (
+            ranks.join(out_degree, ranks["id"] == out_degree["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .first()["m"]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        return (
+            vertices.join(contribs, on="id", how="left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("gathered"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+
+    result = bulk_iterate(init, step, max_iterations=num_iterations)
+    adj.unpersist()
+    return result
+
+
+def kmeans(
+    points: DataFrame,
+    initial_centers: DataFrame,
+    num_iterations: int = 10,
+) -> DataFrame:
+    """G4: Lloyd iterations with broadcast centers (reference example
+    clustering/KMeans.java: cross points×centers → nearest → recompute).
+
+    points: (id, x, y); initial_centers: (cid, x, y).
+    Returns final (cid, x, y, n_points). The centers side is always tiny →
+    broadcast join, never a shuffle of the points (the reference used
+    withBroadcastSet for exactly this).
+    """
+
+    def assign(centers: DataFrame) -> DataFrame:
+        dist2 = (
+            (F.col("p.x") - F.col("c.x")) ** 2 + (F.col("p.y") - F.col("c.y")) ** 2
+        )
+        scored = (
+            points.alias("p")
+            .join(F.broadcast(centers.alias("c")))
+            .select(
+                F.col("p.id").alias("id"),
+                F.col("p.x").alias("x"),
+                F.col("p.y").alias("y"),
+                F.col("c.cid").alias("cid"),
+                dist2.alias("d2"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(F.col("d2"), F.col("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "x", "y", "cid")
+        )
+
+    def step(centers: DataFrame, _i: int) -> DataFrame:
+        assigned = assign(centers)
+        return assigned.groupBy("cid").agg(
+            F.avg("x").alias("x"), F.avg("y").alias("y")
+        )
+
+    final_centers = bulk_iterate(initial_centers, step, max_iterations=num_iterations)
+    counts = (
+        assign(final_centers)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    return final_centers.join(counts, on="cid", how="left").select(
+        "cid", "x", "y", F.coalesce("n_points", F.lit(0)).alias("n_points")
+    )
+
+
+def enum_triangles(edges: DataFrame) -> DataFrame:
+    """G5: EnumTriangles (reference example graph/EnumTriangles*) — closed
+    triads in an undirected graph.
+
+    Canonicalizes to a<b edges, then joins edges-on-lower-vertex and
+    closes with an edge-existence semi join: (a<b<c, ab ∧ bc ∧ ac).
+    Pure relational — no iteration; Catalyst picks the join order.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ab = canon.select(F.col("a"), F.col("b"))
+    bc = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = canon.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    return (
+        ab.join(bc, on="b")
+        .join(
+            ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+
+
+def transitive_closure(
+    edges: DataFrame, max_iterations: int = DEFAULT_GRAPH_MAX_ITER
+) -> DataFrame:
+    """G5: TransitiveClosure (reference example misc/TransitiveClosureNaive)
+    — all reachable (src, dst) pairs, fixpoint of path extension."""
+    base = edges.select("src", "dst").distinct()
+
+    def step(paths: DataFrame, _i: int) -> DataFrame:
+        extended = (
+            paths.alias("p")
+            .join(base.alias("e"), F.col("p.dst") == F.col("e.src"))
+            .select(F.col("p.src").alias("src"), F.col("e.dst").alias("dst"))
+        )
+        return paths.union(extended).distinct()
+
+    def converged(prev: DataFrame, cur: DataFrame, _i: int) -> bool:
+        return cur.count() == prev.count()
+
+    return bulk_iterate(base, step, max_iterations=max_iterations, converged=converged)
