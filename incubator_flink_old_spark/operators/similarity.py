@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (north-star W7).
+
+Brute-force cosine top-k as the correctness baseline; sign-bit LSH
+bucketing as the scale path (candidates only within matching buckets —
+the crossJoin never runs unpruned). Both are pure Column expressions:
+dot products via zip_with + aggregate fold over double-cast elements,
+deterministic and engine-portable.
+
+Scale notes: brute force is O(Q·N) — fine when the query side is small
+and broadcast; for N×N near-dup search use the LSH variant (or IVF with
+k-means coarse quantizer — future work). At 100TB the embedding table is
+bucketed by LSH key on write so candidate joins are shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — deterministic per element order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_key: str = "q_id",
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side against the
+    corpus, rank per query with deterministic tie-break on corpus key.
+
+    Output: (q_id, vec_id, cos) — k rows per query.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_key).alias("__q"), as_double_array(vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_key).alias("__c"), as_double_array(vec).alias("__cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        F.col("__q").alias(query_key),
+        F.col("__c").alias(corpus_key),
+        cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+    )
+    w = Window.partitionBy(query_key).orderBy(F.col("cos").desc(), F.col(corpus_key))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def lsh_bucket(vec: Column | str, num_bits: int = 4) -> Column:
+    """Sign-bit LSH bucket: bit i = (element_i > 0). Deterministic and
+    SQL-portable; a production engine would use seeded random hyperplanes
+    materialized as a broadcast constant — same plan shape."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bucket = F.lit(0)
+    for i in range(num_bits):
+        bucket = bucket + F.when(
+            F.element_at(v, i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    num_bits: int = 4,
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate near-neighbor pairs: candidates share the sign-bit
+    bucket (equi-join, shuffle on bucket), then exact cosine ≥ threshold.
+    Recall trades off with num_bits; the *algorithm* is deterministic, so
+    oracles replay it exactly.
+
+    Output: (vec_a, vec_b, cos) with vec_a < vec_b.
+    """
+    c = corpus.select(
+        F.col(corpus_key).alias("__id"),
+        as_double_array(vec).alias("__v"),
+        lsh_bucket(as_double_array(vec), num_bits).alias("__bkt"),
+    )
+    a = c.select(F.col("__id").alias("vec_a"), F.col("__v").alias("va"), "__bkt")
+    b = c.select(F.col("__id").alias("vec_b"), F.col("__v").alias("vb"), "__bkt")
+    return (
+        a.join(b, on="__bkt")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,301 @@
+"""Text-analysis & deduplication operators (north-star W7; absent in the
+reference — engine extensions for large-scale training-data pipelines).
+
+All operators are pure Column-expression compositions (JVM-side, codegen)
+— no Python UDFs in any hot path. Determinism contract: every hash is
+md5-based (identical across engines/runs), every score a closed-form
+expression, so the driver's DuckDB oracles can replay them exactly.
+
+Scale notes: token/shingle explosion multiplies rows by ~tokens-per-doc —
+partition counts must scale with input bytes, not doc counts; MinHash+LSH
+banding keeps near-dup search at O(candidate pairs), never O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Deterministic "stopword" marker sets for the heuristic language scorer.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "fr": ("le", "la", "les", "et", "un"),
+    "es": ("el", "la", "los", "y", "una"),
+}
+
+
+def tokens(text_col: Column | str, distinct: bool = False) -> Column:
+    """Whitespace tokenization to a (optionally distinct) token array."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    arr = F.split(F.lower(c), r"\s+")
+    arr = F.filter(arr, lambda x: x != "")
+    return F.array_distinct(arr) if distinct else arr
+
+
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """BPE-ish subword proxy: count alternating alpha / digit / symbol
+    runs (the usual pre-tokenizer regex shape)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(F.lower(c), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+
+def text_stats(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Per-document structural stats: chars, tokens, distinct tokens,
+    mean token length, type-token ratio."""
+    toks = tokens(text)
+    dtoks = F.array_distinct(toks)
+    n_toks = F.size(toks)
+    return df.select(
+        key,
+        F.length(text).cast("long").alias("n_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.size(dtoks).cast("long").alias("n_distinct_tokens"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            .cast("double")
+            / n_toks
+        ).alias("mean_token_len"),
+        (F.size(dtoks).cast("double") / n_toks).alias("type_token_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, length band, repetition
+    (1 - type/token) — the standard cheap pre-filters before expensive
+    model-based scoring in a training-data pipeline."""
+    toks = tokens(text)
+    n_toks = F.size(toks)
+    stop = F.size(F.filter(toks, _isin_filter(LANG_MARKERS["en"])))
+    dtoks = F.size(F.array_distinct(toks))
+    stop_ratio = stop.cast("double") / n_toks
+    repetition = F.lit(1.0) - dtoks.cast("double") / n_toks
+    len_ok = (F.length(text) >= 100) & (F.length(text) <= 20000)
+    score = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - repetition)
+        + F.lit(0.2) * len_ok.cast("double")
+    )
+    return df.select(
+        key,
+        stop_ratio.alias("stopword_ratio"),
+        repetition.alias("repetition"),
+        len_ok.alias("len_ok"),
+        score.alias("quality"),
+        (score >= 0.4).alias("keep"),
+    )
+
+
+def language_id(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Marker-token language scorer: count language-specific stopwords,
+    argmax with deterministic tie-break (score desc, language name asc),
+    'und' (undetermined) when nothing matches."""
+    toks = tokens(text)
+    scores = [
+        F.size(F.filter(toks, _isin_filter(markers))).alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = df.select(key, *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(key, *[f"s_{lang}" for lang in langs], pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 over the normalized text (lower, squeezed
+    whitespace) — the exact-dedup key; plus a 16-hex prefix bucket."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    fp = F.md5(F.encode(norm, "UTF-8"))
+    return df.select(
+        key,
+        fp.alias("fp"),
+        F.substring(fp, 1, 16).alias("fp_prefix"),
+    )
+
+
+def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact dedup via fingerprint hash-groupBy: one canonical (min-key)
+    representative per distinct normalized text + the duplicate count.
+    Pure shuffle-on-hash — the 100TB-safe exact pass that always runs
+    before any fuzzy matching."""
+    fp = fingerprint(df, text, key)
+    return fp.groupBy("fp").agg(
+        F.min(key).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def minhash_signature(df: DataFrame, num_hashes: int = 8, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """MinHash signatures over distinct unigram token sets.
+
+    hash_j(token) = md5('<j>|' + token); signature_j = min over tokens.
+    md5 is engine-portable and deterministic — at scale one would swap in
+    xxhash64 for speed, at the cost of oracle portability.
+    """
+    dtoks = tokens(text, distinct=True)
+    sig_cols = [
+        F.array_min(F.transform(dtoks, _salted_md5(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return df.select(key, *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.7,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact verify.
+
+    1. signatures (num_hashes minhashes) per doc;
+    2. band buckets: hash of each band_size-run of signature values —
+       docs sharing ANY band bucket become candidate pairs (equi-join on
+       the bucket — O(candidates), never a crossJoin);
+    3. exact token-set jaccard verification ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    sigs = minhash_signature(df, num_hashes, text, key)
+    toksets = df.select(F.col(key).alias("__k"), tokens(text, distinct=True).alias("__toks"))
+
+    bands = sigs.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    "|",
+                                    *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
+                                ),
+                                "UTF-8",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = bands.select(F.col(key).alias("doc_a"), "band", "bucket")
+    right = bands.select(F.col(key).alias("doc_b"), "band", "bucket")
+    cands = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = (
+        cands.join(toksets.withColumnRenamed("__k", "doc_a").withColumnRenamed("__toks", "ta"), on="doc_a")
+        .join(toksets.withColumnRenamed("__k", "doc_b").withColumnRenamed("__toks", "tb"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("ta", "tb")).cast("double")
+                / F.size(F.array_union("ta", "tb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified
+
+
+def simhash16(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over distinct tokens (portable bit recipe).
+
+    bit k of md5(token) = bit (3 - k%4) of hex digit k//4; the signature
+    sets bit k iff ≥half the tokens have it set. Near-dup candidates =
+    equal (or low-hamming) signatures.
+    """
+    dtoks = tokens(text, distinct=True)
+    hexdigits = "0123456789abcdef"
+
+    def bit(tok: Column, k: int) -> Column:
+        digit = F.substring(F.md5(F.encode(tok, "UTF-8")), 1 + k // 4, 1)
+        val = F.instr(F.lit(hexdigits), digit) - 1
+        return F.shiftright(val, 3 - k % 4) % 2
+
+    n = F.size(dtoks)
+    sig = F.lit(0).cast("long")
+    for k in range(16):
+        ones = F.aggregate(dtoks, F.lit(0), _bit_adder(bit, k))
+        sig = sig + F.when(ones * 2 >= n, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.select(key, sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text: str = "text",
+    key: str = "doc_id",
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Word n-gram jaccard near-dup pairs within a blocking bucket.
+
+    Blocking (default: exact token count) bounds the pair space; exact
+    n-gram-set jaccard ≥ threshold verifies. For unigram sets this is the
+    same verify as MinHash-LSH but with cheap blocking instead of
+    signature banding.
+    """
+    toks = tokens(text)
+    grams = (
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+            )
+        )
+        if n > 1
+        else tokens(text, distinct=True)
+    )
+    bucket = bucket_expr if bucket_expr is not None else F.size(toks)
+    g = df.select(F.col(key).alias("k"), grams.alias("g"), bucket.alias("bkt"))
+    a = g.select(F.col("k").alias("doc_a"), F.col("g").alias("ga"), "bkt")
+    b = g.select(F.col("k").alias("doc_b"), F.col("g").alias("gb"), "bkt")
+    return (
+        a.join(b, on="bkt")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("ga", "gb")).cast("double")
+                / F.size(F.array_union("ga", "gb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+def _isin_filter(markers):
+    """Single-arg lambda factory: PySpark higher-order functions treat a
+    2-arg callable as (element, index), so extra default-bound params must
+    never leak into the signature."""
+    return lambda x: x.isin(*markers)
+
+
+def _salted_md5(j: int):
+    return lambda x: F.md5(F.encode(F.concat(F.lit(f"{j}|"), x), "UTF-8"))
+
+
+def _bit_adder(bit_fn, k: int):
+    return lambda acc, x: acc + bit_fn(x, k)

@@ -1,0 +1,117 @@
+"""Tests for training-data pipeline operators beyond the SQL oracle gate:
+multimodal plumbing (stubbed decode), similarity recall behavior, minhash
+self-consistency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    extract_features,
+    sample_frames,
+)
+from incubator_flink_old_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_near_pairs,
+)
+from incubator_flink_old_spark.operators.text import minhash_lsh_pairs
+from incubator_flink_old_spark.sources import from_elements, load_table
+
+
+def _media(spark):
+    docs = from_elements(
+        spark,
+        [(1, "hello world"), (2, "hello world"), (3, "something else")],
+        "doc_id long, text string",
+    )
+    return attach_media(docs, F.encode("text", "UTF-8"), "image", "image/fake", "doc_id")
+
+
+def test_decode_without_codec_raises():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image", fake=False)
+
+
+def test_extract_features_shape_and_determinism(spark):
+    feats = extract_features(_media(spark), fake=True)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(len(r["features"]) == 16 for r in rows.values())
+    assert all(0.0 <= v < 1.0 for r in rows.values() for v in r["features"])
+    # identical payloads → identical features; different → different
+    assert rows[1]["features"] == rows[2]["features"]
+    assert rows[1]["features"] != rows[3]["features"]
+    assert rows[1]["n_bytes"] == len(b"hello world")
+    # determinism across independent runs (different partitionings)
+    again = {
+        r["media_id"]: r["features"]
+        for r in extract_features(_media(spark).repartition(3), fake=True).collect()
+    }
+    assert again == {k: r["features"] for k, r in rows.items()}
+
+
+def test_sample_frames_explodes(spark):
+    frames = sample_frames(_media(spark), every_ms=1000, fake=True)
+    rows = frames.collect()
+    assert len(rows) == 9  # 3 docs × 3 frames of the 3000ms default
+    per_doc = [r for r in rows if r["media_id"] == 1]
+    assert [r["frame_ms"] for r in sorted(per_doc, key=lambda r: r["frame_idx"])] == [
+        0,
+        1000,
+        2000,
+    ]
+    # frame features differ per frame index
+    assert per_doc[0]["features"] != per_doc[1]["features"]
+
+
+def test_brute_force_topk_self_is_nearest(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = brute_force_topk(queries, emb, k=1).collect()
+    # cosine(v, v) = 1 → each query's top-1 is itself
+    assert {r["q_id"]: r["vec_id"] for r in out} == {0: 0, 1: 1, 2: 2}
+    assert all(abs(r["cos"] - 1.0) < 1e-12 for r in out)
+
+
+def test_lsh_pairs_subset_of_brute_force(spark, sf_dir):
+    """LSH is approximate: it may miss pairs, never invent them."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in lsh_near_pairs(emb, threshold=0.2, num_bits=4).collect()
+    }
+    assert lsh, "expected some near pairs at threshold 0.2"
+    # brute-force check each reported pair really crosses the threshold
+    from incubator_flink_old_spark.operators.similarity import as_double_array, cosine
+
+    a = emb.select(F.col("vec_id").alias("ia"), as_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), as_double_array("embedding").alias("vb"))
+    full = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= 0.2)
+    )
+    brute = {(r["ia"], r["ib"]): r["cos"] for r in full.collect()}
+    assert set(lsh).issubset(set(brute))
+    for k, v in lsh.items():
+        assert abs(v - brute[k]) < 1e-9
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    docs = from_elements(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "epsilon delta gamma beta alpha"),  # same token set
+            (3, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
