@@ -173,23 +173,30 @@ def page_rank(
             .groupBy("id")
             .agg(F.sum("c").alias("gathered"))
         )
-        dangling = (
-            ranks.join(out_degree, ranks["id"] == out_degree["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .first()["m"]
+        # Dangling mass folded into the SAME plan as a broadcast 1-row
+        # aggregate (no extra driver action per round — at scale each
+        # .first() costs a full job launch).
+        dangling = F.broadcast(
+            ranks.join(out_degree, ranks["id"] == out_degree["src"], "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
+            )
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         return (
             vertices.join(contribs, on="id", how="left")
+            .crossJoin(dangling)
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("gathered"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("__dangling") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("gathered"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
 
-    result = bulk_iterate(init, step, max_iterations=num_iterations)
+    # interval=1: each round references `ranks` twice (contribs + dangling)
+    # — materializing every round avoids double-computing a lazy round.
+    result = bulk_iterate(init, step, max_iterations=num_iterations, checkpoint_interval=1)
     adj.unpersist()
     return result
 

