@@ -57,6 +57,7 @@ def load_all_queries() -> None:
         windows,
         iterations,
         llm_ops,
+        extensions,
     )
 
 

@@ -110,6 +110,92 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def stateful_session_stats(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    session accumulator with explicit user-managed state — the engine's
+    surface for operators Spark's built-ins can't express (the reference
+    had NO user state API at all; this is the Structured Streaming
+    extension point for it).
+
+    State per key: (session_start_epoch, last_epoch, n_events, total).
+    A batch whose first event is > gap past the stored last_epoch closes
+    the previous session (emits it) and starts a new one. Timeouts emit
+    the final open session when the watermark passes. Output rows:
+    (user_id, session_start, session_end, n_events, total_value).
+
+    Scale: state lives in the state store partitioned by key; watermark
+    bounds retention.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} long, session_start double, session_end double, "
+        "n_events long, total_value double"
+    )
+    state_schema = "start double, last double, n long, total double"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd  # re-import: runs on workers
+
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, "event_id"])
+        epochs = rows[ts_col].astype("int64") / 1e9
+        closed = []
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = float(epochs.iloc[0])
+            n, total = 0, 0.0
+        for ep, val in zip(epochs, rows[value_col]):
+            ep = float(ep)
+            if ep - last > gap_seconds:
+                closed.append((start, last, n, total))
+                start, n, total = ep, 0, 0.0
+            last = ep
+            n += 1
+            total += float(val)
+        state.update((start, last, n, total))
+        state.setTimeoutTimestamp(int(last * 1000) + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str):
     """Drive a bounded streaming query to completion synchronously
     (memory sink; for tests/smoke — production sinks are files/kafka via
