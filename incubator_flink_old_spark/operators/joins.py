@@ -65,6 +65,36 @@ def cross(left: DataFrame, right: DataFrame, predicate: Column | None = None) ->
     return out.filter(predicate) if predicate is not None else out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster equi-join: salt the (skewed) left side's key into
+    ``salt`` sub-keys and explode the right side across all salts, so one
+    hot key spreads over ``salt`` reducers instead of melting one.
+
+    AQE's skew-join splitting (on by default in this engine) handles most
+    cases at runtime; explicit salting remains the tool when a single key
+    exceeds what one task can hold even after AQE splits — the classic
+    power-law key at 100TB. Cost: right side replicated ×salt — use only
+    with a moderate right side, or pre-filter to the hot keys.
+    """
+    lsalted = left.withColumn(
+        "__salt", (F.crc32(F.col(left_key).cast("string")) % salt).cast("int")
+    )
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    cond = (lsalted[left_key] == rsalted[right_key]) & (
+        lsalted["__salt"] == rsalted["__salt"]
+    )
+    return lsalted.join(rsalted, on=cond, how=how).drop("__salt")
+
+
 def co_group(
     left: DataFrame,
     right: DataFrame,

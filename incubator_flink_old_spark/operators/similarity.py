@@ -72,6 +72,106 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 5,
+    query_key: str = "q_id",
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the ANN scale path.
+
+    Train: a coarse quantizer (k-means over the corpus, deterministic
+    lowest-key seeds) assigns every corpus vector to its nearest of
+    ``n_cells`` centroids — at 100TB the corpus is *written* partitioned
+    by cell, so the probe join below is a partition-pruned scan, not a
+    shuffle. Search: each query scores only the vectors in its ``n_probe``
+    nearest cells (≈ n_probe/n_cells of the corpus), exact cosine within.
+
+    Approximate by design (recall < 1 when true neighbors live outside
+    probed cells); deterministic given the seeds. Output like
+    brute_force_topk: (q_id, vec_id, cos).
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(corpus_key).alias("__c"), as_double_array(vec).alias("__cv"))
+    c = c.persist()
+
+    # --- train coarse quantizer (Lloyd on the corpus itself) -------------
+    centers = (
+        c.orderBy("__c").limit(n_cells)
+        .select(F.row_number().over(Window.orderBy("__c")).alias("cell"), F.col("__cv").alias("cv"))
+    )
+    for _ in range(kmeans_iters):
+        assigned = (
+            c.crossJoin(F.broadcast(centers))
+            .select("__c", "__cv", "cell", cosine(F.col("__cv"), F.col("cv")).alias("sim"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("__c").orderBy(F.col("sim").desc(), F.col("cell"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        # element-wise centroid mean via posexplode (dimension-agnostic)
+        centers = (
+            assigned.select("cell", F.posexplode("__cv").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select("cell", F.transform("pv", lambda s: s["v"]).alias("cv"))
+        )
+        centers = centers.localCheckpoint(eager=True)
+
+    # --- assign corpus to cells (the "write bucketed by cell" step) ------
+    cells = (
+        c.crossJoin(F.broadcast(centers))
+        .select("__c", "__cv", "cell", cosine(F.col("__cv"), F.col("cv")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("__c").orderBy(F.col("sim").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("__c", "__cv", "cell")
+    )
+
+    # --- probe: each query searches its n_probe nearest cells ------------
+    q = queries.select(F.col(query_key).alias("__q"), as_double_array(vec).alias("__qv"))
+    probes = (
+        F.broadcast(q).crossJoin(F.broadcast(centers))
+        .select("__q", "__qv", "cell", cosine(F.col("__qv"), F.col("cv")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("__q").orderBy(F.col("sim").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("__q", "__qv", "cell")
+    )
+    scored = probes.join(cells, on="cell").select(
+        F.col("__q").alias(query_key),
+        F.col("__c").alias(corpus_key),
+        cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+    )
+    w = Window.partitionBy(query_key).orderBy(F.col("cos").desc(), F.col(corpus_key))
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    c.unpersist()
+    return out
+
+
 def lsh_bucket(vec: Column | str, num_bits: int = 4) -> Column:
     """Sign-bit LSH bucket: bit i = (element_i > 0). Deterministic and
     SQL-portable; a production engine would use seeded random hyperplanes

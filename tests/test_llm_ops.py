@@ -115,3 +115,32 @@ def test_minhash_identical_docs_always_pair(spark):
     )
     pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.9).collect()
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF must return each query itself as top-1 (it lives in the probed
+    cell by construction) and achieve decent recall vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    from incubator_flink_old_spark.operators.similarity import ivf_topk
+
+    ivf = ivf_topk(queries, emb, k=5, n_cells=8, n_probe=4, kmeans_iters=3)
+    rows = ivf.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append((r["cos"], r["vec_id"]))
+    assert set(by_q) == set(range(10))
+    for q, hits in by_q.items():
+        top = max(hits)
+        assert top[1] == q and abs(top[0] - 1.0) < 1e-12  # self is top-1
+
+    brute = brute_force_topk(queries, emb, k=5)
+    brute_sets = {}
+    for r in brute.collect():
+        brute_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    overlap = sum(
+        len(brute_sets[q] & {v for _, v in by_q[q]}) for q in brute_sets
+    ) / sum(len(s) for s in brute_sets.values())
+    assert overlap >= 0.5, f"IVF recall@5 too low: {overlap}"

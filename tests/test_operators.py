@@ -167,3 +167,22 @@ def test_approx_count_distinct_close(spark, sf_dir):
     exact = li.select(F.count_distinct("l_partkey")).first()[0]
     approx = li.select(F.approx_count_distinct("l_partkey", 0.02)).first()[0]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join must be result-identical to the plain join on skewed
+    data (one key holding most rows)."""
+    from incubator_flink_old_spark.operators.joins import salted_join
+
+    left = from_elements(
+        spark,
+        [(1, i) for i in range(500)] + [(2, 1), (3, 2)],
+        "k int, payload int",
+    )
+    right = from_elements(spark, [(1, "hot"), (2, "a"), (4, "d")], "rk int, name string")
+    salted = salted_join(left, right, "k", "rk", salt=4)
+    plain = left.join(right, left["k"] == right["rk"])
+    assert salted.count() == plain.count() == 501
+    s = sorted((r["k"], r["payload"], r["name"]) for r in salted.collect())
+    p = sorted((r["k"], r["payload"], r["name"]) for r in plain.collect())
+    assert s == p
