@@ -58,6 +58,7 @@ def load_all_queries() -> None:
         iterations,
         llm_ops,
         extensions,
+        extensions2,
     )
 
 
