@@ -227,3 +227,74 @@ def q_weblog_antijoin(spark, sf_dir):
     return join(
         joined, recent, on=F.col("o_orderkey") == F.col("l_orderkey"), how="left_anti"
     ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_cogroup_pandas",
+    oracle=f"""
+    SELECT k.custkey,
+           COALESCE(l.n_small, 0) AS n_small,
+           COALESCE(r.n_big, 0) AS n_big,
+           COALESCE(l.small_total, 0.0) + COALESCE(r.big_total, 0.0) AS total
+    FROM (
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+    ) k
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_small,
+               {sql_dsum('o_totalprice')} AS small_total
+        FROM orders WHERE o_totalprice <= 100000.0 GROUP BY o_custkey
+    ) l ON k.custkey = l.o_custkey
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_big,
+               {sql_dsum('o_totalprice')} AS big_total
+        FROM orders WHERE o_totalprice > 100000.0 GROUP BY o_custkey
+    ) r ON k.custkey = r.o_custkey
+    """,
+)
+def q_cogroup_pandas(spark, sf_dir):
+    """J5 exact form: cogrouped applyInPandas — both key-groups delivered
+    to Python together (empty side included), counts/sums computed in
+    pandas with the same decimal(…,6) quantization as the engine's dsum,
+    so the result hash-matches the relational oracle bit-exactly. Proves
+    the Arrow cogroup path end-to-end; for aggregable group programs at
+    scale prefer co_group_relational (stays JVM-side)."""
+    import decimal
+
+    from incubator_flink_old_spark.operators.joins import co_group
+
+    orders = t(spark, sf_dir, "orders")
+    small = orders.filter(F.col("o_totalprice") <= 100000.0).select(
+        "o_custkey", "o_totalprice"
+    )
+    big = orders.filter(F.col("o_totalprice") > 100000.0).select(
+        "o_custkey", "o_totalprice"
+    )
+
+    def fn(key, lpdf, rpdf):
+        import pandas as pd
+
+        def dec_sum(series):
+            total = sum(
+                (decimal.Decimal(repr(v)).quantize(decimal.Decimal("0.000001"))
+                 for v in series),
+                decimal.Decimal(0),
+            )
+            return float(total)
+
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_small": [len(lpdf)],
+                "n_big": [len(rpdf)],
+                "total": [dec_sum(lpdf["o_totalprice"]) + dec_sum(rpdf["o_totalprice"])],
+            }
+        )
+
+    return co_group(
+        small,
+        big,
+        ["o_custkey"],
+        ["o_custkey"],
+        fn,
+        "custkey long, n_small long, n_big long, total double",
+    )

@@ -358,3 +358,35 @@ def q_topk_global(spark, sf_dir):
         [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
         15,
     )
+
+
+@register(
+    "q_map_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem WHERE l_quantity > 40.0
+    """,
+)
+def q_map_pandas(spark, sf_dir):
+    """P1 opaque-code form: the same row transform as a rich pandas map
+    (open/close lifecycle over Arrow batches). Per-row float64 arithmetic
+    is order-independent, so even the Python path hash-matches the SQL
+    oracle — proving the Arrow map path, not just the Column path."""
+    from incubator_flink_old_spark.functions import RichMapFunction, apply_rich
+
+    class Net(RichMapFunction):
+        def open(self, config):
+            self.rate = config["rate"]
+
+        def map(self, batch):
+            out = batch[["l_orderkey", "l_linenumber"]].copy()
+            out["net"] = batch["l_extendedprice"] * (self.rate - batch["l_discount"])
+            return out
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40.0).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return apply_rich(
+        li, Net(), "l_orderkey long, l_linenumber int, net double", config={"rate": 1.0}
+    )
