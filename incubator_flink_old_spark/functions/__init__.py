@@ -13,7 +13,7 @@ API parity with the reference's lifecycle contract.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterator
+from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd

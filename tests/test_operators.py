@@ -8,7 +8,6 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-import pytest
 from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
