@@ -8,9 +8,9 @@ sides at sf0.01 and hash-compares; bench runs a headline subset at sf0.1.
 Registration protocol: modules call ``register(name, oracle=...)`` as a
 decorator. Column names are aliased identically in the Spark code and the
 oracle SQL — the driver's comparator sorts columns by name before hashing.
-Double-typed aggregates route through ``exact_sum``/matching
-``CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)`` SQL so both engines
-produce bit-identical, partition-order-independent values.
+Double-typed aggregates route through ``dsum``/``sql_dsum`` (decimal-cast
+sums with a VARCHAR hop on the DuckDB side — see _util.dsum for why) so
+both engines produce bit-identical, partition-order-independent values.
 """
 
 from __future__ import annotations
@@ -47,19 +47,43 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
     return deco
 
 
+#: Query modules, imported by name so one broken module can't take down
+#: the whole registry (the driver should always see every healthy query).
+_QUERY_MODULES = (
+    "relational",
+    "joins",
+    "aggregates",
+    "functions_scalar",
+    "windows",
+    "iterations",
+    "llm_ops",
+    "extensions",
+    "extensions2",
+)
+
+LOAD_ERRORS: dict[str, str] = {}
+
+
 def load_all_queries() -> None:
-    """Import every query module (side effect: fills QUERIES/ORACLES)."""
-    from incubator_flink_old_spark.queries import (  # noqa: F401
-        relational,
-        joins,
-        aggregates,
-        functions_scalar,
-        windows,
-        iterations,
-        llm_ops,
-        extensions,
-        extensions2,
-    )
+    """Import every query module (side effect: fills QUERIES/ORACLES).
+
+    Import failures are recorded in LOAD_ERRORS instead of raised — a
+    regression in one module must not hide the rest from the driver.
+    """
+    import importlib
+    import sys
+    import traceback
+
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(f"incubator_flink_old_spark.queries.{mod}")
+        except Exception:
+            LOAD_ERRORS[mod] = traceback.format_exc()
+            print(
+                f"incubator_flink_old_spark: query module {mod!r} failed to load:\n"
+                + LOAD_ERRORS[mod],
+                file=sys.stderr,
+            )
 
 
 __all__ = ["QUERIES", "ORACLES", "register", "load_all_queries"]

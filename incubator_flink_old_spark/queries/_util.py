@@ -14,7 +14,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def dsum(col, alias: str, scale: int = 6) -> Column:
     """Bit-stable double sum (see aggregates.exact_sum); SQL twin is
-    CAST(SUM(CAST(x AS DECIMAL(27,scale))) AS DOUBLE)."""
+    CAST(SUM(CAST(x AS DECIMAL(27,scale))) AS DOUBLE).
+
+    Cross-engine contract (hypothesis-audited): Spark's double→decimal
+    cast rounds the shortest decimal repr (Java Double.toString) while
+    DuckDB rounds the exact binary value. For full-mantissa doubles these
+    can disagree in the last decimal (found at 5.37e8), but for any value
+    with ≤``scale``-decimal structure AND magnitude below ~4e9 (above
+    that, ulp > 1e-6 and the decimal structure itself is unrepresentable)
+    — every fixture money/value column, and any product/sum of such
+    values — both roundings land on the same grid point, exactly. The engine therefore only decimal-routes columns
+    with decimal-structured data and never casts transcendental outputs
+    (sqrt/cos scores are rounded instead). (A VARCHAR hop on the DuckDB
+    side was tried and reverted: DuckDB's scientific-notation→decimal
+    parse misrounds tiny values like 5.9e-08 → 0.000001.)"""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(27,{scale})")).cast("double").alias(alias)
 

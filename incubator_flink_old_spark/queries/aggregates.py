@@ -217,3 +217,24 @@ def q_secondary_sort(spark, sf_dir):
             "price_delta"
         ),
     )
+
+
+@register(
+    "q_accumulator_histogram",
+    oracle="""
+    SELECT o_orderpriority AS value, COUNT(*) AS count
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_accumulator_histogram(spark, sf_dir):
+    """A8: the reference's Histogram accumulator (value→count map merged
+    at the JobManager) as its scale-correct distributed form. Scalar
+    counters (IntCounter/LongCounter/DoubleCounter) run via df.observe —
+    exercised in tests/test_operators.py since observe metrics ride the
+    action, not the result set."""
+    from incubator_flink_old_spark.functions import histogram
+
+    return histogram(
+        t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("value")),
+        "value",
+    )

@@ -278,9 +278,16 @@ def q_cogroup_pandas(spark, sf_dir):
         import pandas as pd
 
         def dec_sum(series):
+            # repr(float) = shortest round-trip decimal — the SAME string
+            # Spark's double→decimal cast (Double.toString) and the
+            # oracle's VARCHAR-routed cast round; HALF_UP on that string.
             total = sum(
-                (decimal.Decimal(repr(v)).quantize(decimal.Decimal("0.000001"))
-                 for v in series),
+                (
+                    decimal.Decimal(repr(float(v))).quantize(
+                        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+                    )
+                    for v in series
+                ),
                 decimal.Decimal(0),
             )
             return float(total)

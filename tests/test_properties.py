@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) — an upgrade over the reference's
+example-based JUnit layer (SURVEY §5): algebraic laws of the engine's
+operators checked on generated data. Example counts are kept low since
+every example executes Spark jobs."""
+
+from __future__ import annotations
+
+import decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.operators import except_all, intersect, top_k, union_all
+from incubator_flink_old_spark.operators.aggregates import exact_sum
+from incubator_flink_old_spark.sources import from_elements
+
+SETTINGS = dict(max_examples=12, deadline=None)
+
+# doubles that survive a decimal(27,6) cast without overflow
+sane_doubles = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+# money-structured doubles (≤2 decimal digits, |v| < 4e7): the class of
+# data the engine's decimal routing contracts over (see _util.dsum —
+# full-mantissa doubles round differently between Spark and DuckDB, and
+# above ~4.5e9 a 2dp value isn't representable to 6dp at all: ulp > 1e-6)
+money_doubles = st.integers(min_value=-(4 * 10**9), max_value=4 * 10**9).map(
+    lambda c: c / 100.0
+)
+
+
+@given(vals=st.lists(sane_doubles, min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_exact_sum_is_partition_order_independent(spark, vals):
+    """exact_sum == python Decimal sum of the 6dp-quantized values,
+    regardless of partitioning."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = from_elements(spark, rows, "i int, v double")
+    got1 = df.agg(exact_sum("v").alias("s")).first()["s"]
+    got2 = df.repartition(7).agg(exact_sum("v").alias("s")).first()["s"]
+    # Spark's double→decimal cast rounds the SHORTEST DECIMAL REPR
+    # (Java Double.toString == Python repr), NOT the exact binary value —
+    # hypothesis found this on 536870912.5867745.
+    want = float(
+        sum(
+            decimal.Decimal(repr(v)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+            for v in vals
+        )
+    )
+    assert got1 == got2 == want
+
+
+@given(vals=st.lists(money_doubles, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_dsum_matches_duckdb_oracle_on_money_doubles(spark, vals):
+    """Cross-engine: the engine's dsum must equal the oracle-side decimal
+    sum in DuckDB on decimal-structured (money-like) doubles — the data
+    class the contract covers (full-mantissa doubles are excluded by
+    design; see _util.dsum). This is the exact property the driver's
+    hash compare relies on."""
+    import duckdb
+
+    from incubator_flink_old_spark.queries._util import dsum, sql_dsum
+
+    df = from_elements(spark, [(v,) for v in vals], "v double")
+    got = df.agg(dsum("v", "s")).first()["s"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = con.execute(f"SELECT {sql_dsum('v')} FROM t").fetchone()[0]
+    con.close()
+    assert got == want
+
+
+@given(
+    a=st.lists(st.integers(0, 20), max_size=25),
+    b=st.lists(st.integers(0, 20), max_size=25),
+)
+@settings(**SETTINGS)
+def test_set_op_algebra_matches_python(spark, a, b):
+    da = from_elements(spark, [(x,) for x in a], "v int") if a else None
+    db = from_elements(spark, [(x,) for x in b], "v int") if b else None
+    if da is None or db is None:
+        return
+    got_union = sorted(r["v"] for r in union_all(da, db).collect())
+    assert got_union == sorted(a + b)  # bag semantics
+    got_inter = sorted(r["v"] for r in intersect(da, db).collect())
+    assert got_inter == sorted(set(a) & set(b))
+    got_except = sorted(r["v"] for r in except_all(da, db, keep_duplicates=False).collect())
+    assert got_except == sorted(set(a) - set(b))
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 1000), sane_doubles), min_size=1, max_size=30
+    ),
+    k=st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_top_k_matches_python_sort(spark, vals, k):
+    rows = [(i, key, v) for i, (key, v) in enumerate(vals)]
+    df = from_elements(spark, rows, "i int, key int, v double")
+    got = [
+        (r["key"], r["i"])
+        for r in top_k(df, [F.col("v").desc(), F.col("i")], k).collect()
+    ]
+    want = [
+        (key, i) for v, i, key in sorted(((v, i, key) for i, (key, v) in enumerate(vals)), key=lambda t: (-t[0], t[1]))
+    ][:k]
+    assert got == want
