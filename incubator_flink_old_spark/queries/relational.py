@@ -390,3 +390,74 @@ def q_map_pandas(spark, sf_dir):
     return apply_rich(
         li, Net(), "l_orderkey long, l_linenumber int, net double", config={"rate": 1.0}
     )
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT 100.00 * {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' "
+                              "THEN l_extendedprice * (1 - l_discount) END")}
+             / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional aggregation over a
+    fact-dim join — part broadcasts, one scan of the date-pruned fact."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), net)
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo.cast("decimal(27,6)")).cast("double")
+            / F.sum(net.cast("decimal(27,6)")).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 250.0
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): semi join against a grouped
+    HAVING subquery, then re-aggregate — both aggregations share the
+    l_orderkey shuffle (exchange reuse)."""
+    li = t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250.0)
+        .select("l_orderkey")
+    )
+    joined = (
+        li.join(big_orders, on="l_orderkey", how="left_semi")
+        .join(t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = joined.groupBy(
+        "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(dsum("l_quantity", "total_qty"))
+    return top_k(agg, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 100)

@@ -179,3 +179,58 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     from incubator_flink_old_spark.sources import load_table
 
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_sliding_and_session_parity(spark, sf_dir):
+    """Sliding and session windows: streaming results must agree with
+    their batch twins on every window the watermark closed."""
+    from datetime import timedelta
+
+    from incubator_flink_old_spark.streaming import session_window, sliding_window
+
+    ev_s = read_events_stream(spark, sf_dir)
+    ev_b = load_table(spark, sf_dir, "events")
+    max_ts = ev_b.agg(F.max("ts")).first()[0]
+    final_wm = max_ts - timedelta(minutes=10)
+
+    slid = sliding_window(
+        with_watermark(ev_s, "ts", "10 minutes"),
+        "ts", "1 hour", "30 minutes", [],
+        F.count(F.lit(1)).alias("n"),
+    )
+    run_stream_to_memory(slid, "stream_sliding", "append")
+    got = {
+        (r["win_start"], r["win_end"]): r["n"]
+        for r in spark.sql("SELECT * FROM stream_sliding").collect()
+    }
+    want = {
+        (r["win_start"], r["win_end"]): r["n"]
+        for r in sliding_window(
+            ev_b, "ts", "1 hour", "30 minutes", [], F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    for k, v in want.items():
+        if k[1] <= final_wm:  # closed windows must match exactly
+            assert got.get(k) == v
+    for k in got:
+        assert got[k] == want[k]  # nothing extra/misCounted
+
+    sess = session_window(
+        with_watermark(ev_s, "ts", "10 minutes"),
+        "ts", "5 minutes", ["user_id"],
+        F.count(F.lit(1)).alias("n"),
+    )
+    run_stream_to_memory(sess, "stream_session", "append")
+    got_s = {
+        (r["user_id"], r["win_start"]): (r["win_end"], r["n"])
+        for r in spark.sql("SELECT * FROM stream_session").collect()
+    }
+    want_s = {
+        (r["user_id"], r["win_start"]): (r["win_end"], r["n"])
+        for r in session_window(
+            ev_b, "ts", "5 minutes", ["user_id"], F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got_s, "expected closed sessions"
+    for k in got_s:
+        assert got_s[k] == want_s[k]
