@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> int:
     p_info.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_info.add_argument("--mode", default="formatted")
 
+    p_oracle = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
+    p_oracle.add_argument("name")
+
     args = parser.parse_args(argv)
 
     from incubator_flink_old_spark.queries import ORACLES, QUERIES, load_all_queries
@@ -45,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.name not in QUERIES:
         print(f"unknown query: {args.name!r} (see `list`)", file=sys.stderr)
         return 2
+
+    if args.cmd == "oracle":
+        if args.name not in ORACLES:
+            print(f"{args.name} is rows-only (no oracle)", file=sys.stderr)
+            return 1
+        print(ORACLES[args.name])
+        return 0
 
     from incubator_flink_old_spark import get_spark
 

@@ -230,13 +230,11 @@ def kmeans(
                 dist2.alias("d2"),
             )
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("id").orderBy(F.col("d2"), F.col("cid"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", "x", "y", "cid")
+        # nearest center via min_by over (d2, cid) — a combinable
+        # aggregation (map-side partials), unlike a row_number window
+        # which sorts every (point × center) row inside one partition
+        return scored.groupBy("id", "x", "y").agg(
+            F.min_by("cid", F.struct("d2", "cid")).alias("cid")
         )
 
     def step(centers: DataFrame, _i: int) -> DataFrame:

@@ -156,3 +156,45 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Dat
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ms", "features"])
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Image resize: payload → payload', metadata width/height updated.
+
+    Real implementation decodes + resamples via PIL (stubbed per
+    environment); the fake path re-hashes the payload with the target
+    dims so output bytes are deterministic and dimension-dependent. The
+    Spark-side contract — binary in/binary out per Arrow batch, metadata
+    struct rewritten — is the real, tested part.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                for _, m in zip(pdf["payload"], pdf["meta"]):
+                    decode_media(None, m["modality"] if m is not None else "image", fake=False)
+            out = pdf.copy()
+            out["payload"] = [
+                hashlib.md5(
+                    (p or b"") + f"|{width}x{height}".encode()
+                ).digest()
+                for p in pdf["payload"]
+            ]
+            out["meta"] = [
+                None
+                if m is None
+                else {**dict(m.asDict() if hasattr(m, "asDict") else m), "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_TYPE),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

@@ -144,3 +144,20 @@ def test_ivf_topk_recall(spark, sf_dir):
         len(brute_sets[q] & {v for _, v in by_q[q]}) for q in brute_sets
     ) / sum(len(s) for s in brute_sets.values())
     assert overlap >= 0.5, f"IVF recall@5 too low: {overlap}"
+
+
+def test_resize_media_updates_meta_and_payload(spark):
+    from incubator_flink_old_spark.operators.multimodal import resize_media
+
+    out = resize_media(_media(spark), 64, 48, fake=True)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert r["meta"]["width"] == 64 and r["meta"]["height"] == 48
+        assert r["meta"]["modality"] == "image"
+        assert isinstance(r["payload"], (bytes, bytearray)) and len(r["payload"]) == 16
+    # deterministic and dimension-dependent
+    out2 = {r["media_id"]: r["payload"] for r in resize_media(_media(spark), 64, 48).collect()}
+    assert out2 == {k: r["payload"] for k, r in rows.items()}
+    out3 = {r["media_id"]: r["payload"] for r in resize_media(_media(spark), 32, 32).collect()}
+    assert out3 != out2
