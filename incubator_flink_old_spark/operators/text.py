@@ -329,3 +329,52 @@ def _isin_filter(markers):
 def _salted_md5(j: int):
     return lambda x: F.md5(F.encode(F.concat(F.lit(f"{j}|"), x), "UTF-8"))
 
+
+
+#: PII patterns (portable regex subset — identical semantics in Spark's
+#: Java regex and DuckDB's RE2): emails and phone-ish digit runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(text_col: Column | str) -> Column:
+    """Training-data hygiene: replace emails/phone numbers with typed
+    placeholder tokens. Pure regexp_replace chain — JVM-side, and exactly
+    replayable in SQL oracles."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 100,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary coverage: fraction of each document's tokens found in
+    the corpus-wide top-``vocab_size`` vocabulary (the cheap OOV-rate
+    proxy used to filter noisy documents before tokenizer training).
+
+    Two aggregations sharing one explode; the vocabulary is tiny and
+    broadcast into the coverage join.
+    """
+    toks = df.select(F.col(key).alias(key), F.explode(tokens(text)).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(vocab_size)
+        .select("w")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), on="w", how="left"
+    )
+    return flagged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("__in").alias("n_in_vocab"),
+        (F.count("__in").cast("double") / F.count(F.lit(1))).alias("coverage"),
+    )

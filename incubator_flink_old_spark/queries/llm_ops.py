@@ -312,3 +312,62 @@ def q_multimodal_pipeline(spark, sf_dir):
     return feats.select(
         "media_id", "modality", "n_bytes", F.round(F.element_at("features", 1), 9).alias("f1")
     )
+
+
+@register(
+    "q_text_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-01' || CAST(doc_id AS VARCHAR),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean
+    FROM documents
+    """,
+)
+def q_text_scrub(spark, sf_dir):
+    """PII scrubbing (training-data hygiene): email/phone patterns →
+    typed placeholders. The fixture has no PII, so the query plants a
+    synthetic contact line per doc and verifies both patterns fire."""
+    from incubator_flink_old_spark.operators.text import scrub_pii
+
+    docs = t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select("doc_id", scrub_pii(dirty).alias("clean"))
+
+
+@register(
+    "q_text_vocab",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM toks GROUP BY w
+        ORDER BY COUNT(*) DESC, w LIMIT 100
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(v.w) AS n_in_vocab,
+           CAST(COUNT(v.w) AS DOUBLE) / COUNT(*) AS coverage
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_vocab(spark, sf_dir):
+    """Vocabulary coverage / OOV-rate proxy over the corpus top-100
+    vocabulary (tie-broken deterministically)."""
+    from incubator_flink_old_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(t(spark, sf_dir, "documents"))

@@ -207,3 +207,11 @@ def write_sorted(df: DataFrame, path: str, order_cols: list[str], fmt: str = "pa
     precede file N+1's.
     """
     df.orderBy(*order_cols).write.format(fmt).mode("overwrite").save(path)
+
+
+def write_shards(df: DataFrame, num_shards: int, path: str, fmt: str = "parquet") -> None:
+    """Training-shard writer: exactly ``num_shards`` evenly-sized output
+    files via round-robin repartition (the layout data loaders expect —
+    shard count decoupled from upstream partitioning, no skew from the
+    last shuffle's key distribution)."""
+    df.repartition(num_shards).write.format(fmt).mode("overwrite").save(path)

@@ -53,3 +53,20 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(year" in txt.replace("#", "").replace(
         "year)", "year"
     ) or "PartitionFilters" in txt
+
+
+def test_write_shards_even(spark, sf_dir, tmp_path):
+    from incubator_flink_old_spark.sources import write_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_shards(docs, 8, out)
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 8
+    counts = [spark.read.parquet(f"{out}/{f}").count() for f in files]
+    total = docs.count()
+    assert sum(counts) == total
+    # round-robin => shard sizes within ±1
+    assert max(counts) - min(counts) <= 1
