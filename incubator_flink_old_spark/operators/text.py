@@ -179,8 +179,12 @@ def minhash_lsh_pairs(
         F.transform(tokens(text, distinct=True), _hash60).alias("__toks"),
     )
 
-    bands = sigs.select(
+    bands = sigs.join(
+        toksets.select(F.col("__k"), F.size("__toks").alias("__n")),
+        sigs[key] == F.col("__k"),
+    ).select(
         key,
+        "__n",
         F.explode(
             F.array(
                 *[
@@ -200,13 +204,23 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(key, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(key, "__n", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = bands.select(F.col(key).alias("doc_a"), "band", "bucket")
-    right = bands.select(F.col(key).alias("doc_b"), "band", "bucket")
+    left = bands.select(F.col(key).alias("doc_a"), F.col("__n").alias("na"), "band", "bucket")
+    right = bands.select(F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket")
+    # Size-ratio prefilter: jac(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B|, and since
+    # |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), min/max ≥ t — pairs
+    # failing it CANNOT pass verify, so dropping them before the distinct
+    # shuffle + array intersect is result-identical and cheap (int math).
     cands = (
         left.join(right, on=["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("na", "nb").cast("double") / F.greatest("na", "nb")
+                >= jaccard_threshold
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -300,9 +314,14 @@ def ngram_jaccard_pairs(
     a = g.select(F.col("k").alias("doc_a"), F.col("g").alias("ga"), "bkt")
     b = g.select(F.col("k").alias("doc_b"), F.col("g").alias("gb"), "bkt")
     inter = F.size(F.array_intersect("ga", "gb"))
+    size_ok = (
+        F.least(F.size("ga"), F.size("gb")).cast("double")
+        / F.greatest(F.size("ga"), F.size("gb"))
+        >= threshold
+    )
     return (
         a.join(b, on="bkt")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
         .select(
             "doc_a",
             "doc_b",
