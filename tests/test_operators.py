@@ -185,3 +185,43 @@ def test_salted_join_matches_plain_join(spark):
     s = sorted((r["k"], r["payload"], r["name"]) for r in salted.collect())
     p = sorted((r["k"], r["payload"], r["name"]) for r in plain.collect())
     assert s == p
+
+
+def test_oracle_results_partition_independent(spark, sf_dir):
+    """End-to-end determinism: the flagship aggregation query returns
+    bit-identical rows regardless of shuffle parallelism (the property
+    the decimal routing buys — retries/speculation at scale reorder
+    partials)."""
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, QUERIES["q_tpch_q1"](spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, QUERIES["q_tpch_q1"](spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+def test_distributed_cache_file(spark, tmp_path):
+    """F3: DistributedCache — a shipped file readable inside a UDF on the
+    executor side via SparkFiles."""
+    from incubator_flink_old_spark.functions import distributed_cache_file
+
+    p = tmp_path / "lookup.txt"
+    p.write_text("42")
+    distributed_cache_file(spark, str(p))
+
+    def read_side_file(batch: pd.DataFrame) -> pd.DataFrame:
+        from pyspark import SparkFiles
+
+        with open(SparkFiles.get("lookup.txt")) as f:
+            bias = int(f.read())
+        return batch.assign(v=batch["v"] + bias)
+
+    df = from_elements(spark, [(1, 1), (2, 2)], "k int, v int")
+    out = map_pandas(df, read_side_file, "k int, v int")
+    assert sorted(r["v"] for r in out.collect()) == [43, 44]
