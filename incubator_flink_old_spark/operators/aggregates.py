@@ -159,3 +159,72 @@ def top_k_per_group(
 def global_sort(df: DataFrame, *order: Column) -> DataFrame:
     """O2/S12: totally ordered output (range partition + local sort)."""
     return df.orderBy(*order)
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    alias: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row numbering — the scale path for rank/ntile/
+    percent_rank over a total order (an empty-partitionBy window funnels
+    ALL data through one task; this does not).
+
+    Shape: range-partition on the order keys, sort within partitions,
+    assign local indexes per Arrow batch stream, then add per-partition
+    offsets (a tiny collect of partition sizes — the only driver data).
+    The result is deterministic for a fully tie-broken ``order``
+    regardless of where the range sampler draws partition boundaries.
+    """
+    from pyspark.sql import types as T
+
+    ranged = (
+        df.repartitionByRange(*order)
+        if num_partitions is None
+        else df.repartitionByRange(num_partitions, *order)
+    ).sortWithinPartitions(*order)
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("__pid", T.IntegerType()),
+            T.StructField("__local", T.LongType()),
+        ]
+    )
+
+    def index_partition(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = 0
+        for pdf in batches:
+            out = pdf.copy()
+            out["__pid"] = pid
+            out["__local"] = range(base, base + len(pdf))
+            base += len(pdf)
+            yield out
+
+    # Materialize before the sizes collect: the final pass must see the
+    # SAME partitioning the sizes were measured on (range-boundary
+    # sampling would otherwise re-run and could land differently).
+    indexed = ranged.mapInPandas(index_partition, schema=schema).localCheckpoint(
+        eager=True
+    )
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in indexed.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_expr = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        offset_expr = F.when(F.col("__pid") == pid, F.lit(off).cast("long")).otherwise(
+            offset_expr
+        )
+    return indexed.withColumn(alias, offset_expr + F.col("__local") + 1).drop(
+        "__pid", "__local"
+    )

@@ -22,6 +22,56 @@ from incubator_flink_old_spark.operators.iterations import bulk_iterate, delta_i
 DEFAULT_GRAPH_MAX_ITER = 30
 
 
+def pregel(
+    vertices: DataFrame,
+    edges: DataFrame,
+    message,
+    combine,
+    update,
+    max_iterations: int = DEFAULT_GRAPH_MAX_ITER,
+) -> DataFrame:
+    """G1: general Spargel vertex-centric iteration (VertexUpdateFunction
+    + MessagingFunction + combiner), bulk-synchronous.
+
+    vertices: (id, value); edges: (src, dst, …edge attrs).
+    ``message``: Column expr over the joined row (columns: ``value`` of
+    the source vertex + edge attrs) producing the message sent to dst.
+    ``combine``: aggregate Column over column ``msg`` (per dst vertex).
+    ``update``: Column expr over ``value`` (old) and ``agg_msg``
+    (combined messages; NULL when the vertex received none) producing the
+    new value.
+
+    Terminates when no vertex value changes (one scalar count per round)
+    or at max_iterations. For monotone min/max propagation prefer
+    :func:`pregel_min_propagation` — its shrinking delta workset does
+    asymptotically less work per round.
+    """
+
+    def step(vs: DataFrame, _i: int) -> DataFrame:
+        msgs = (
+            edges.join(vs, edges["src"] == vs["id"])
+            .select(F.col("dst").alias("id"), message.alias("msg"))
+            .groupBy("id")
+            .agg(combine.alias("agg_msg"))
+        )
+        return vs.join(msgs, on="id", how="left").select(
+            "id", update.alias("value")
+        )
+
+    def converged(prev: DataFrame, cur: DataFrame, _i: int) -> bool:
+        changed = (
+            prev.alias("p")
+            .join(cur.alias("c"), on="id")
+            .filter(~F.col("p.value").eqNullSafe(F.col("c.value")))
+            .count()
+        )
+        return changed == 0
+
+    return bulk_iterate(
+        vertices, step, max_iterations=max_iterations, converged=converged
+    )
+
+
 def pregel_min_propagation(
     vertices: DataFrame,
     edges: DataFrame,

@@ -107,3 +107,34 @@ def test_delta_iterate_empty_workset_terminates(spark):
     out = delta_iterate(sol, empty, step, keys=["id"], max_iterations=5)
     assert calls == []  # never stepped
     assert out.count() == 1
+
+
+def test_generic_pregel_max_propagation(spark, tiny_graph):
+    """General pregel with a MAX combiner (direction the min-propagation
+    specialization can't do): every vertex learns the max id reachable
+    via incoming paths."""
+    from pyspark.sql import functions as F
+
+    from incubator_flink_old_spark.operators.graph import pregel
+
+    sym = tiny_graph.union(
+        tiny_graph.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    vertices = (
+        sym.select(F.col("src").alias("id"))
+        .union(sym.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").cast("long").alias("value"))
+    )
+    out = pregel(
+        vertices,
+        sym,
+        message=F.col("value"),
+        combine=F.max("msg"),
+        update=F.greatest(F.col("value"), F.col("agg_msg")),
+        max_iterations=20,
+    )
+    got = {r["id"]: r["value"] for r in out.collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 10: 11, 11: 11}

@@ -225,3 +225,25 @@ def test_distributed_cache_file(spark, tmp_path):
     df = from_elements(spark, [(1, 1), (2, 2)], "k int, v int")
     out = map_pandas(df, read_side_file, "k int, v int")
     assert sorted(r["v"] for r in out.collect()) == [43, 44]
+
+
+def test_global_row_number_matches_window(spark, sf_dir):
+    """Distributed rank must equal the single-partition window's
+    row_number over the same tie-broken total order."""
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.operators.aggregates import global_row_number
+    from incubator_flink_old_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    got = {
+        r["o_orderkey"]: r["rn"]
+        for r in global_row_number(orders, order, num_partitions=7).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["o_orderkey"]: r["rn"]
+        for r in orders.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
