@@ -195,14 +195,31 @@ def q_window_frames(spark, sf_dir):
 )
 def q_window_ntile(spark, sf_dir):
     """W6 distribution analytics: ntile / percent_rank / cume_dist over a
-    fully tie-broken global order (single-partition window — at scale
-    bucket first or use approx quantiles; kept for surface parity)."""
-    o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return o.select(
+    fully tie-broken global order — computed on the DISTRIBUTED rank
+    primitive (range-partition + offsets, aggregates.global_row_number)
+    rather than an empty-partitionBy window that funnels every row
+    through one task. With a unique total order the closed forms are
+    exact: ntile's first (total mod n) buckets take ceil(total/n) rows;
+    percent_rank = (rn-1)/(total-1); cume_dist = rn/total.
+    """
+    from incubator_flink_old_spark.operators.aggregates import global_row_number
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], alias="rn"
+    )
+    total = ranked.count()  # scalar; the rank pass already materialized
+    n = 4
+    q, r = divmod(total, n)
+    big = (q + 1) * r  # rows living in the first r (larger) buckets
+    rn = F.col("rn")
+    quartile = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
+        r + F.ceil((rn - big) / q) if q else F.lit(r)
+    )
+    return ranked.select(
         "o_orderkey",
         "o_totalprice",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        quartile.cast("int").alias("quartile"),
+        F.round((rn - 1) / F.lit(float(total - 1)), 9).alias("pct_rank"),
+        F.round(rn / F.lit(float(total)), 9).alias("cume"),
     )
