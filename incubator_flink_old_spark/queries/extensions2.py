@@ -26,13 +26,14 @@ from incubator_flink_old_spark.sources import load_table
 def q_agg_grouping_sets(spark, sf_dir):
     """A7 extension: explicit grouping sets via the SQL entry point (the
     engine's second query surface; Catalyst plans one Expand + one agg)."""
-    li = t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem")
+    # engine-prefixed view name: never clobber views the host session
+    # (the driver's!) may have registered under the canonical table names
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("__ifos_lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
-        FROM lineitem
+        FROM __ifos_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
@@ -129,16 +130,16 @@ def q_agg_collect(spark, sf_dir):
 def q_subquery_exists(spark, sf_dir):
     """Correlated EXISTS + scalar subquery through the SQL entry point
     (Catalyst rewrites EXISTS to a semi join, the scalar to a broadcast)."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__ifos_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__ifos_orders")
     return spark.sql(
         """
-        SELECT c_custkey, c_name FROM customer c
+        SELECT c_custkey, c_name FROM __ifos_customer c
         WHERE EXISTS (
-            SELECT 1 FROM orders o
+            SELECT 1 FROM __ifos_orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0
         )
-          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM __ifos_customer)
         """
     )
 
