@@ -1,0 +1,66 @@
+"""Empty-input robustness: every custom operator must degrade to an
+empty (or identity) result, never throw — at 100TB a filter that matches
+nothing is routine, not exceptional."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.operators.aggregates import global_row_number, top_k
+from incubator_flink_old_spark.operators.graph import (
+    connected_components,
+    enum_triangles,
+    transitive_closure,
+)
+from incubator_flink_old_spark.operators.iterations import bulk_iterate
+from incubator_flink_old_spark.operators.joins import co_group, salted_join
+from incubator_flink_old_spark.operators.text import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash16,
+)
+from incubator_flink_old_spark.sources import from_elements
+
+
+def _empty(spark, schema):
+    return from_elements(spark, [], schema)
+
+
+def test_empty_graph_ops(spark):
+    e = _empty(spark, "src long, dst long")
+    assert connected_components(e).count() == 0
+    assert enum_triangles(e).count() == 0
+    assert transitive_closure(e).count() == 0
+
+
+def test_empty_text_ops(spark):
+    d = _empty(spark, "doc_id long, text string")
+    assert exact_dedup(d).count() == 0
+    assert minhash_lsh_pairs(d).count() == 0
+    assert simhash16(d).count() == 0
+
+
+def test_empty_rank_and_topk(spark):
+    d = _empty(spark, "k long, v double")
+    assert global_row_number(d, [F.col("v")]).count() == 0
+    assert top_k(d, [F.col("v")], 5).count() == 0
+
+
+def test_empty_joins(spark):
+    left = _empty(spark, "k int, v int")
+    right = from_elements(spark, [(1, "a")], "rk int, tag string")
+    assert salted_join(left, right, "k", "rk").count() == 0
+
+    def fn(key, lp, rp):
+        return pd.DataFrame({"k": [key[0]], "n": [len(lp) + len(rp)]})
+
+    out = co_group(left, right, ["k"], ["rk"], fn, "k int, n long")
+    # right side still fires with an empty left group
+    assert {(r["k"], r["n"]) for r in out.collect()} == {(1, 1)}
+
+
+def test_bulk_iterate_on_empty(spark):
+    d = _empty(spark, "v int")
+    out = bulk_iterate(d, lambda df, i: df, max_iterations=3)
+    assert out.count() == 0
