@@ -171,60 +171,45 @@ def global_row_number(
     percent_rank over a total order (an empty-partitionBy window funnels
     ALL data through one task; this does not).
 
-    Shape: range-partition on the order keys, sort within partitions,
-    assign local indexes per Arrow batch stream, then add per-partition
-    offsets (a tiny collect of partition sizes — the only driver data).
-    The result is deterministic for a fully tie-broken ``order``
-    regardless of where the range sampler draws partition boundaries.
+    Shape (all JVM-side — no Python evaluator anywhere in the plan):
+    range-partition on the order keys, tag each row with its physical
+    partition id (``spark_partition_id()``), number rows per partition
+    with a ``row_number`` window keyed on that id, then add per-partition
+    offsets via a broadcast join against a tiny (one row per partition)
+    offsets table — the only driver-side data is that partition-size
+    collect. The per-pid window does hash-exchange on ``__pid``, but each
+    reducer handles whole partitions, so the work stays balanced and
+    distributed (vs. an empty-partitionBy window funnelling ALL rows
+    through one task). The result is deterministic for a fully tie-broken
+    ``order`` regardless of where the range sampler draws boundaries.
     """
-    from pyspark.sql import types as T
-
     ranged = (
         df.repartitionByRange(*order)
         if num_partitions is None
         else df.repartitionByRange(num_partitions, *order)
-    ).sortWithinPartitions(*order)
-
-    schema = T.StructType(
-        list(df.schema.fields)
-        + [
-            T.StructField("__pid", T.IntegerType()),
-            T.StructField("__local", T.LongType()),
-        ]
     )
 
-    def index_partition(batches):
-        import pandas as pd
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = 0
-        for pdf in batches:
-            out = pdf.copy()
-            out["__pid"] = pid
-            out["__local"] = range(base, base + len(pdf))
-            base += len(pdf)
-            yield out
-
-    # Materialize before the sizes collect: the final pass must see the
-    # SAME partitioning the sizes were measured on (range-boundary
+    local_w = Window.partitionBy("__pid").orderBy(*order)
+    # Materialize before the sizes collect: the offset join must see the
+    # SAME pid assignment the sizes were measured on (range-boundary
     # sampling would otherwise re-run and could land differently).
-    indexed = ranged.mapInPandas(index_partition, schema=schema).localCheckpoint(
-        eager=True
+    indexed = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local", F.row_number().over(local_w).cast("long"))
+        .localCheckpoint(eager=True)
     )
     sizes = {
         r["__pid"]: r["n"]
         for r in indexed.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(sizes):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += sizes[pid]
-    offset_expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("__pid") == pid, F.lit(off).cast("long")).otherwise(
-            offset_expr
-        )
-    return indexed.withColumn(alias, offset_expr + F.col("__local") + 1).drop(
-        "__pid", "__local"
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offset long")
+    return (
+        indexed.join(F.broadcast(offsets_df), "__pid", "left")
+        .withColumn(alias, F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local"))
+        .drop("__pid", "__local", "__offset")
     )

@@ -82,7 +82,20 @@ def salted_join(
     exceeds what one task can hold even after AQE splits — the classic
     power-law key at 100TB. Cost: right side replicated ×salt — use only
     with a moderate right side, or pre-filter to the hot keys.
+
+    ``how`` is restricted to left-preserving joins: because the right side
+    is exploded ×salt, a right/full outer join would emit each unmatched
+    right row once PER SALT COPY instead of once — wrong multiplicity.
+    Flip the inputs (the skewed side must be left anyway) for right-skew.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the exploded right side "
+            "would duplicate unmatched right rows; use a left-preserving join "
+            "and put the skewed side on the left"
+        )
     lsalted = left.withColumn(
         "__salt", (F.crc32(F.col(left_key).cast("string")) % salt).cast("int")
     )

@@ -217,10 +217,17 @@ def q_window_ntile(spark, sf_dir):
     quartile = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
         r + F.ceil((rn - big) / q) if q else F.lit(r)
     )
+    # total==1: (rn-1)/(total-1) is 0/0 → NULL under Spark's non-ANSI
+    # division, but PERCENT_RANK is defined as 0 on a single row.
+    pct = (
+        F.round((rn - 1) / F.lit(float(total - 1)), 9)
+        if total > 1
+        else F.lit(0.0)
+    )
     return ranked.select(
         "o_orderkey",
         "o_totalprice",
         quartile.cast("int").alias("quartile"),
-        F.round((rn - 1) / F.lit(float(total - 1)), 9).alias("pct_rank"),
-        F.round(rn / F.lit(float(total)), 9).alias("cume"),
+        pct.alias("pct_rank"),
+        F.round(rn / F.lit(float(max(total, 1))), 9).alias("cume"),
     )

@@ -161,3 +161,45 @@ def test_resize_media_updates_meta_and_payload(spark):
     assert out2 == {k: r["payload"] for k, r in rows.items()}
     out3 = {r["media_id"]: r["payload"] for r in resize_media(_media(spark), 32, 32).collect()}
     assert out3 != out2
+
+
+def test_simhash_pairs_banding_equals_naive(spark, sf_dir):
+    """Bit-band candidate generation must be EXACT (pigeonhole): banded
+    join + verify == naive all-pairs hamming filter, for several radii."""
+    from incubator_flink_old_spark.operators.text import simhash16, simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    ids = sorted(sigs)
+    for k in (0, 1, 3):
+        naive = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= k
+        }
+        banded = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs(docs, max_hamming=k).collect()
+        }
+        assert banded == naive, f"max_hamming={k}: banded != naive"
+
+
+def test_simhash_pairs_rejects_bad_radius(spark):
+    from incubator_flink_old_spark.operators.text import simhash_pairs
+
+    docs = from_elements(spark, [(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, max_hamming=16)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Right/full outer would duplicate unmatched right rows ×salt — the
+    operator must refuse (operators/joins.salted_join contract)."""
+    from incubator_flink_old_spark.operators.joins import salted_join
+
+    left = from_elements(spark, [(1, "x")], "k long, v string")
+    right = from_elements(spark, [(1, "y")], "rk long, w string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, "k", "rk", how=how)
