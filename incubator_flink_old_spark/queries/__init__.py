@@ -8,9 +8,10 @@ sides at sf0.01 and hash-compares; bench runs a headline subset at sf0.1.
 Registration protocol: modules call ``register(name, oracle=...)`` as a
 decorator. Column names are aliased identically in the Spark code and the
 oracle SQL — the driver's comparator sorts columns by name before hashing.
-Double-typed aggregates route through ``dsum``/``sql_dsum`` (decimal-cast
-sums with a VARCHAR hop on the DuckDB side — see _util.dsum for why) so
-both engines produce bit-identical, partition-order-independent values.
+Double-typed aggregates route through ``dsum``/``sql_dsum`` (plain
+DECIMAL(27,6)-cast sums on both engines — see _util.dsum for the exact
+contract) so both sides produce bit-identical, partition-order-independent
+values.
 """
 
 from __future__ import annotations
@@ -59,9 +60,87 @@ _QUERY_MODULES = (
     "llm_ops",
     "extensions",
     "extensions2",
+    "tpch_full",
 )
 
 LOAD_ERRORS: dict[str, str] = {}
+
+#: Driver-check priority. The round-1 driver verified exactly the FIRST 50
+#: registered queries (CORRECTNESS_r01.json == list(QUERIES)[:50]); the rest
+#: ran only in bench. Queries named here are moved to the front of the
+#: registry so the driver's next CORRECTNESS pass covers the queries that do
+#: not yet have a green driver row (round-1 gap list, VERDICT.md item 1) and
+#: any newly added ones. Already-green queries keep their relative order
+#: after the priority block. Purely an ordering hint — every query stays
+#: registered and runnable regardless.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # new this round (no driver row yet)
+    "q_simhash_pairs",
+    "q_sim_ivf_topk",
+    # round-1 registered but driver-unchecked (VERDICT.md "What's missing" #1)
+    "q_pregel_sssp",
+    "q_transitive_closure",
+    "q_triangles",
+    "q_iterate_pagerank",
+    "q_iterate_kmeans",
+    "q_wordcount",
+    "q_text_stats",
+    "q_text_quality",
+    "q_text_lang_id",
+    "q_text_fingerprint",
+    "q_text_dedup",
+    "q_dedup_minhash",
+    "q_text_simhash",
+    "q_dedup_ngram",
+    "q_sim_topk",
+    "q_sim_lsh_pairs",
+    "q_multimodal_pipeline",
+    "q_text_scrub",
+    "q_text_vocab",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_asof_join",
+    "q_range_join",
+    "q_pivot",
+    "q_agg_percentile",
+    "q_sample_hash",
+    "q_explode_pos",
+    "q_agg_grouping_sets",
+    "q_unpivot",
+    "q_fn_regex",
+    "q_agg_collect",
+    "q_subquery_exists",
+    "q_window_frames",
+    "q_window_ntile",
+    # new round-2 TPC-H completion (slots 37-50 fill with the first of
+    # these; the remainder get their driver row next round via rotation)
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+)
+
+
+def _apply_driver_priority() -> None:
+    """Reorder QUERIES/ORACLES in place: DRIVER_PRIORITY names first (in the
+    listed order), everything else after (preserving registration order)."""
+    front = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(front)]
+    for mapping in (QUERIES, ORACLES):
+        ordered = {n: mapping[n] for n in front + rest if n in mapping}
+        mapping.clear()
+        mapping.update(ordered)
 
 
 def load_all_queries() -> None:
@@ -84,6 +163,7 @@ def load_all_queries() -> None:
                 + LOAD_ERRORS[mod],
                 file=sys.stderr,
             )
+    _apply_driver_priority()
 
 
 __all__ = ["QUERIES", "ORACLES", "register", "load_all_queries"]
