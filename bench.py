@@ -53,19 +53,31 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
     ok = [v for v in timings.values() if v >= 0]
-    print(
-        json.dumps(
-            {
-                "metric": "t2_query_wall_clock_total",
-                "value": round(sum(ok), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_failed": len(timings) - len(ok),
-            }
+    result = {
+        "metric": "t2_query_wall_clock_total",
+        "value": round(sum(ok), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(timings) - len(ok),
+    }
+    print(json.dumps(result))
+    # Machine-readable sidecar for round-over-round regression diffs (the
+    # driver's BENCH_r{N}.json may keep only a truncated stdout tail).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"),
+        "w",
+    ) as f:
+        json.dump(
+            result
+            | {
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "sf_dir": sf_dir,
+            },
+            f,
+            indent=1,
         )
-    )
     spark.stop()
 
 
