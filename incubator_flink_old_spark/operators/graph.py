@@ -41,31 +41,43 @@ def pregel(
     (combined messages; NULL when the vertex received none) producing the
     new value.
 
-    Terminates when no vertex value changes (one scalar count per round)
-    or at max_iterations. For monotone min/max propagation prefer
-    :func:`pregel_min_propagation` — its shrinking delta workset does
-    asymptotically less work per round.
+    Terminates when no vertex value changes or at max_iterations. The
+    change counter rides the round itself as an ``observe()`` metric
+    (old and new value coexist in the update row, so the flag is a free
+    Column expression) and is collected by the round's own
+    materialization action — NO extra per-round job, where a prev⋈cur
+    join-and-count would add a shuffle + job every superstep. For
+    monotone min/max propagation prefer :func:`pregel_min_propagation` —
+    its shrinking delta workset does asymptotically less work per round.
     """
+    from pyspark.sql import Observation
 
-    def step(vs: DataFrame, _i: int) -> DataFrame:
+    observations: dict[int, Observation] = {}
+
+    def step(vs: DataFrame, i: int) -> DataFrame:
         msgs = (
             edges.join(vs, edges["src"] == vs["id"])
             .select(F.col("dst").alias("id"), message.alias("msg"))
             .groupBy("id")
             .agg(combine.alias("agg_msg"))
         )
-        return vs.join(msgs, on="id", how="left").select(
-            "id", update.alias("value")
+        new = vs.join(msgs, on="id", how="left").select(
+            "id", F.col("value").alias("__old"), update.alias("value")
+        )
+        obs = Observation(f"pregel_converged_{i}")
+        observations[i] = obs
+        return (
+            new.withColumn(
+                "__changed",
+                (~F.col("__old").eqNullSafe(F.col("value"))).cast("long"),
+            )
+            .observe(obs, F.coalesce(F.sum("__changed"), F.lit(0)).alias("n_changed"))
+            .drop("__old", "__changed")
         )
 
-    def converged(prev: DataFrame, cur: DataFrame, _i: int) -> bool:
-        changed = (
-            prev.alias("p")
-            .join(cur.alias("c"), on="id")
-            .filter(~F.col("p.value").eqNullSafe(F.col("c.value")))
-            .count()
-        )
-        return changed == 0
+    def converged(prev: DataFrame, cur: DataFrame, i: int) -> bool:
+        # bulk_iterate materialized `cur` already — the metric is in hand.
+        return observations.pop(i).get["n_changed"] == 0
 
     return bulk_iterate(
         vertices, step, max_iterations=max_iterations, converged=converged

@@ -279,6 +279,159 @@ def simhash16(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
     return agg.select(key, sig.alias("simhash"))
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text: str = "text",
+    key: str = "doc_id",
+    band_size: int = 2,
+    jaccard_threshold: float = 0.7,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING — the actual dedup decision a training
+    pipeline executes: pair list → connected components → keep one
+    canonical (min-id) document per cluster.
+
+    Composition of the engine's own primitives: :func:`minhash_lsh_pairs`
+    (or any caller-supplied (doc_a, doc_b) pair frame) feeds the G2
+    delta-iteration connected-components operator; docs absent from every
+    pair are singleton clusters of themselves. Scale shape: the pair list
+    is O(true near-dups) (banded equi-join), CC converges in a few rounds
+    on clique-like dup clusters, and the final assignment is one
+    broadcast-or-shuffle left join.
+
+    Returns (doc_id, cluster_id, keep) for EVERY input document, where
+    keep ⇔ doc_id == cluster_id (the canonical member).
+    """
+    from incubator_flink_old_spark.operators.graph import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df, band_size=band_size, jaccard_threshold=jaccard_threshold,
+            text=text, key=key,
+        )
+    # The pair pipeline (signatures + banded join + verify) is the
+    # expensive stage and is consumed by three downstream plans (label
+    # agg, contracted edges, and CC) — materialize it ONCE; lineage
+    # truncation also keeps the CC rounds' plans flat.
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
+
+    # Star-contraction pre-pass: map every endpoint to min(itself, its
+    # neighbors) — ONE aggregation — and contract edges through that
+    # label. Correct (each label lies in its node's component; every
+    # original edge induces a label edge), and on dup corpora it
+    # collapses each near-clique to ~one node, so the iterative CC runs
+    # on orders of magnitude fewer edges (measured 42 s → seconds at
+    # sf0.1: the fixture's verified-pair graph has millions of edges but
+    # only clique-shaped components).
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("__mn"))
+        .select("id", F.least("id", "__mn").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    la = labels.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
+    cedges = (
+        edges.join(la, on="src")
+        .join(lb, on="dst")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+        .distinct()
+    )
+    comp_small = connected_components(cedges, max_iterations=max_iterations)
+    comp = labels.join(
+        comp_small, labels["lbl"] == comp_small["id"], "left"
+    ).select(
+        labels["id"].alias("__cid"),
+        F.coalesce(F.col("component"), F.col("lbl")).alias("component"),
+    )
+    return (
+        df.select(F.col(key).cast("long").alias(key))
+        .join(comp, F.col(key) == F.col("__cid"), "left")
+        .select(
+            key,
+            F.coalesce(F.col("component"), F.col(key)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(key) == F.col("cluster_id"))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard context-window preprocessing step for LLM training.
+
+    Pure Column expressions (sequence → transform → posexplode): chunk i
+    starts at token 1 + i*(chunk_tokens - overlap); the last window may
+    be shorter; start positions run to max(n - overlap, 1) so the tail is
+    covered without emitting a fully-contained trailing chunk. Row
+    explosion is ~n_tokens/stride per doc — partition by input bytes.
+
+    Returns (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    if chunk_tokens <= overlap:
+        raise ValueError("chunk_tokens must exceed overlap")
+    stride = chunk_tokens - overlap
+    toks = tokens(text)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    return (
+        df.select(key, F.posexplode(chunks).alias("chunk_idx", "__chunk"))
+        .select(
+            key,
+            "chunk_idx",
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+            F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata: str,
+    fractions: dict[str, float],
+    key: str = "doc_id",
+    default_fraction: float = 0.0,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum Bernoulli keyed on a
+    portable md5 hash of the row key — reproducible across engines, runs
+    and partitionings (rand()-based sampleBy is none of those).
+
+    Keep a row iff md5(key) mod denom < fraction[stratum] * denom. The
+    fractions map rides a broadcast join (tiny dim), the hash predicate
+    is a pure Column expression — shuffle-free sampling at any scale.
+    """
+    spark = df.sparkSession
+    frac = spark.createDataFrame(
+        [(k, float(v)) for k, v in fractions.items()],
+        f"{strata} string, __frac double",
+    )
+    bucket = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % denom
+    return (
+        df.join(F.broadcast(frac), on=strata, how="left")
+        .withColumn("__frac", F.coalesce("__frac", F.lit(float(default_fraction))))
+        .filter(bucket < (F.col("__frac") * denom).cast("long"))
+        # the USING join moved the strata column first; restore input order
+        .select(*df.columns)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,

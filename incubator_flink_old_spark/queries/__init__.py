@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "extensions",
     "extensions2",
     "tpch_full",
+    "llm_ops2",
 )
 
 LOAD_ERRORS: dict[str, str] = {}
@@ -77,6 +78,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new this round (no driver row yet)
     "q_simhash_pairs",
     "q_sim_ivf_topk",
+    "q_dedup_cluster",
+    "q_text_chunks",
+    "q_sample_stratified",
     # round-1 registered but driver-unchecked (VERDICT.md "What's missing" #1)
     "q_pregel_sssp",
     "q_transitive_closure",

@@ -215,3 +215,28 @@ def write_shards(df: DataFrame, num_shards: int, path: str, fmt: str = "parquet"
     shard count decoupled from upstream partitioning, no skew from the
     last shuffle's key distribution)."""
     df.repartition(num_shards).write.format(fmt).mode("overwrite").save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    max_files_per_partition: int | None = 1,
+) -> None:
+    """Hive-style partitioned sink (`path/col=value/...`) — the 100 TB
+    layout that turns downstream predicate filters on ``partition_cols``
+    into directory pruning (zero I/O for excluded partitions).
+
+    By default rows are repartitioned on the partition columns first so
+    each output partition is written by few tasks (without it, every task
+    holding any value of the column opens a file in every directory —
+    the classic small-files explosion at scale). Pass
+    ``max_files_per_partition=None`` to keep upstream partitioning.
+    Partition columns should be low-cardinality; high-cardinality keys
+    belong in bucketed layouts (see tests/test_bucketing.py).
+    """
+    out = df
+    if max_files_per_partition is not None:
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+    out.write.partitionBy(*partition_cols).format(fmt).mode("overwrite").save(path)

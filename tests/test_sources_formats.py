@@ -70,3 +70,24 @@ def test_write_shards_even(spark, sf_dir, tmp_path):
     assert sum(counts) == total
     # round-robin => shard sizes within ±1
     assert max(counts) - min(counts) <= 1
+
+
+def test_write_partitioned_helper_single_file_per_dir(spark, sf_dir, tmp_path):
+    """write_partitioned repartitions on the partition columns first, so
+    each hive directory holds few files (no small-files explosion)."""
+    import os
+
+    from incubator_flink_old_spark.sources import write_partitioned
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_part")
+    write_partitioned(orders, out, ["year"])
+    year_dirs = [d for d in os.listdir(out) if d.startswith("year=")]
+    assert len(year_dirs) >= 5
+    for d in year_dirs:
+        files = [f for f in os.listdir(f"{out}/{d}") if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: expected 1 file, got {len(files)}"
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
