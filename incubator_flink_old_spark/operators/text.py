@@ -279,6 +279,35 @@ def simhash16(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
     return agg.select(key, sig.alias("simhash"))
 
 
+def training_corpus(
+    df: DataFrame,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """End-to-end training-set materialization — the composed pipeline a
+    data-curation job actually runs, built entirely from this module's
+    primitives: exact dedup (keep the min-id doc per fingerprint) ∩
+    quality filter (heuristic keep score) ∩ language allowlist.
+
+    All three stages are hash-shuffle / broadcast-free Column work; the
+    only shuffles are the fingerprint groupBy and the final joins on the
+    doc key (co-partitioned). Returns (doc_id, lang, n_chars, quality)
+    for kept documents.
+    """
+    fp = fingerprint(df, text, key)
+    canon = fp.groupBy("fp").agg(F.min(key).alias("__canon"))
+    keep_exact = fp.join(canon, on="fp").filter(F.col(key) == F.col("__canon"))
+    q = quality_score(df, text, key).filter(F.col("keep"))
+    return (
+        df.select(key, "lang", "n_chars")
+        .filter(F.col("lang").isin(*langs))
+        .join(keep_exact.select(key), on=key)
+        .join(q.select(key, "quality"), on=key)
+        .select(key, "lang", "n_chars", F.round("quality", 6).alias("quality"))
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame | None = None,

@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_cluster",
     "q_text_chunks",
     "q_sample_stratified",
+    "q_training_corpus",
     # round-1 registered but driver-unchecked (VERDICT.md "What's missing" #1)
     "q_pregel_sssp",
     "q_transitive_closure",

@@ -10,6 +10,7 @@ from incubator_flink_old_spark.operators.text import (
     chunk_documents,
     dedup_clusters,
     sample_stratified,
+    training_corpus,
 )
 from incubator_flink_old_spark.queries import register
 from incubator_flink_old_spark.queries._util import t
@@ -77,6 +78,46 @@ def q_text_chunks(spark, sf_dir):
     return chunk_documents(
         t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
     )
+
+
+@register(
+    "q_training_corpus",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS tka,
+               list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS tk
+        FROM documents),
+    fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+    canon AS (SELECT fp, MIN(doc_id) AS canon_id FROM fp GROUP BY fp),
+    q AS (
+        SELECT t.doc_id,
+               0.5 * (CAST(len(list_filter(t.tka,
+                         x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                      / len(t.tka))
+                 + 0.3 * (1.0 - (1.0 - CAST(len(t.tk) AS DOUBLE) / len(t.tka)))
+                 + 0.2 * CAST(LENGTH(d.text) BETWEEN 100 AND 20000 AS DOUBLE)
+                   AS quality
+        FROM toks t JOIN documents d USING (doc_id))
+    SELECT d.doc_id, d.lang, d.n_chars, ROUND(q.quality, 6) AS quality
+    FROM documents d
+    JOIN fp USING (doc_id)
+    JOIN canon ON fp.fp = canon.fp AND d.doc_id = canon.canon_id
+    JOIN q USING (doc_id)
+    WHERE q.quality >= 0.4 AND d.lang IN ('en', 'de', 'fr')
+    """,
+)
+def q_training_corpus(spark, sf_dir):
+    """End-to-end training-set materialization: exact dedup (min-id doc
+    per md5 fingerprint) ∩ heuristic quality keep ∩ language allowlist —
+    the composed curation pipeline over the engine's own primitives
+    (operators/text.training_corpus)."""
+    return training_corpus(t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -111,3 +111,60 @@ def test_top_k_matches_python_sort(spark, vals, k):
         (key, i) for v, i, key in sorted(((v, i, key) for i, (key, v) in enumerate(vals)), key=lambda t: (-t[0], t[1]))
     ][:k]
     assert got == want
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=120),
+    chunk=st.integers(min_value=2, max_value=40),
+    overlap=st.integers(min_value=0, max_value=20),
+)
+@settings(**SETTINGS)
+def test_chunking_covers_every_token_exactly(spark, n_tokens, chunk, overlap):
+    """Chunk windows must cover every token position; consecutive chunks
+    overlap by exactly `overlap` (except a possibly-shorter tail); and
+    re-joining stride-prefixes reconstructs the document."""
+    from incubator_flink_old_spark.operators.text import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    words = [f"w{i}" for i in range(n_tokens)]
+    df = from_elements(
+        spark, [(1, " ".join(words))], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    )
+    stride = chunk - overlap
+    covered = set()
+    for idx, text, n in rows:
+        toks = text.split(" ")
+        assert len(toks) == n <= chunk
+        start = idx * stride
+        assert toks == words[start : start + n]
+        covered.update(range(start, start + n))
+    assert covered == set(range(n_tokens))
+
+
+@given(frac=st.floats(min_value=0.0, max_value=1.0))
+@settings(**SETTINGS)
+def test_stratified_sample_is_deterministic_subset(spark, frac):
+    """Same fraction → identical sample on re-run; and a smaller fraction
+    samples a SUBSET of a larger one (nested hash thresholds)."""
+    from incubator_flink_old_spark.operators.text import sample_stratified
+
+    df = from_elements(
+        spark,
+        [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    take = lambda f: {
+        r["doc_id"]
+        for r in sample_stratified(
+            df, "lang", {"en": f, "de": f / 2}, key="doc_id"
+        ).collect()
+    }
+    s1, s2 = take(frac), take(frac)
+    assert s1 == s2
+    smaller = take(frac / 2)
+    assert smaller.issubset(s1)
