@@ -228,6 +228,39 @@ class DataSet:
     def print_(self, n: int = 20) -> None:
         self.env.register_sink("print", lambda: self.df.show(n, truncate=False))
 
+    # -- LLM-pipeline convenience surface (north-star W7 operators; the
+    # -- full knobs live in operators/text.py and operators/similarity.py)
+    def dedup_exact(self, text: str = "text", key: str = "doc_id") -> "DataSet":
+        from incubator_flink_old_spark.operators.text import exact_dedup
+
+        return DataSet(self.env, exact_dedup(self.df, text, key))
+
+    def dedup_pairs(self, threshold: float = 0.7, **kw) -> "DataSet":
+        from incubator_flink_old_spark.operators.text import minhash_lsh_pairs
+
+        return DataSet(
+            self.env, minhash_lsh_pairs(self.df, jaccard_threshold=threshold, **kw)
+        )
+
+    def dedup_clusters(self, **kw) -> "DataSet":
+        from incubator_flink_old_spark.operators.text import dedup_clusters
+
+        return DataSet(self.env, dedup_clusters(self.df, **kw))
+
+    def chunk(self, chunk_tokens: int = 64, overlap: int = 8, **kw) -> "DataSet":
+        from incubator_flink_old_spark.operators.text import chunk_documents
+
+        return DataSet(
+            self.env, chunk_documents(self.df, chunk_tokens, overlap, **kw)
+        )
+
+    def sample_stratified(
+        self, strata: str, fractions: dict[str, float], **kw
+    ) -> "DataSet":
+        from incubator_flink_old_spark.operators.text import sample_stratified
+
+        return DataSet(self.env, sample_stratified(self.df, strata, fractions, **kw))
+
     # -- actions (testing convenience; the reference's collect()) ---------
     def collect(self):
         return self.df.collect()

@@ -183,6 +183,52 @@ def read_csv(
     return df
 
 
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    sep: str = ",",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """S2 at 100 TB: permissive CSV parse that QUARANTINES bad rows
+    instead of failing the job (reference: GenericCsvInputFormat's
+    lenient/skip-invalid-lines flags).
+
+    Malformed lines land whole in ``corrupt_col`` with the typed columns
+    NULL; callers split the frame (`WHERE corrupt_col IS NULL` vs NOT)
+    into clean data + a quarantine sink. At scale a single bad record
+    must never kill a million-task job — this is the default posture the
+    engine recommends for ingest.
+    """
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt_col, T.StringType())])
+    df = spark.read.csv(
+        path,
+        schema=full,
+        sep=sep,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
+    )
+    # Spark refuses queries that reference ONLY the internal corrupt
+    # column on a raw scan (the parser would have nothing to parse);
+    # caching materializes the parsed form and lifts the restriction so
+    # callers can split clean/quarantine freely.
+    return df.cache()
+
+
+def load_table_evolved(
+    spark: SparkSession, paths: list[str], merge_schema: bool = True
+) -> DataFrame:
+    """Schema-evolution read: one logical table from parquet files written
+    at different schema versions (columns added over time). With
+    ``mergeSchema`` Spark unions the field sets; missing columns read as
+    NULL — the standard posture for years of accumulated 100 TB data
+    where rewriting old files is off the table.
+    """
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(*paths)
+
+
 def from_elements(spark: SparkSession, rows: list, schema) -> DataFrame:
     """S5: CollectionInputFormat / fromElements — local collection source."""
     return spark.createDataFrame(rows, schema=schema)

@@ -131,3 +131,33 @@ def test_multi_sink_execute(spark, sf_dir, tmp_path):
     assert spark.read.text(str(tmp_path / "names")).count() == 25
     assert spark.read.parquet(str(tmp_path / "by_region")).count() == 5
     assert env.execute("again") == 0  # sinks drained
+
+def test_llm_pipeline_fluent_surface(spark):
+    """The fluent DataSet API exposes the curation operators end-to-end:
+    chunk -> stratified sample -> exact dedup stats."""
+    from incubator_flink_old_spark.api import ExecutionEnvironment
+
+    env = ExecutionEnvironment.get_execution_environment(spark)
+    docs = env.from_elements(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again", "en"),
+            (2, "the quick brown fox jumps over the lazy dog again", "en"),
+            (3, "der schnelle braune fuchs und der faule hund", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    chunks = docs.chunk(chunk_tokens=4, overlap=1)
+    rows = chunks.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
+    assert all(r["n_chunk_tokens"] <= 4 for r in rows)
+
+    sampled = docs.sample_stratified("lang", {"en": 1.0, "de": 0.0})
+    assert {r["doc_id"] for r in sampled.collect()} == {1, 2}
+
+    dd = docs.dedup_exact().collect()
+    by_canon = {r["canonical_id"]: r["n_copies"] for r in dd}
+    assert by_canon[1] == 2 and by_canon[3] == 1
+
+    clusters = docs.dedup_clusters()
+    kept = {r["doc_id"] for r in clusters.collect() if r["keep"]}
+    assert kept == {1, 3}

@@ -91,3 +91,36 @@ def test_write_partitioned_helper_single_file_per_dir(spark, sf_dir, tmp_path):
         assert len(files) == 1, f"{d}: expected 1 file, got {len(files)}"
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
+
+
+def test_read_csv_robust_quarantines_bad_rows(spark, tmp_path):
+    """PERMISSIVE parse: malformed lines land in _corrupt_record instead
+    of failing the job; clean rows parse normally."""
+    from incubator_flink_old_spark.sources import read_csv_robust
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("1,alice,10.5\n2,bob,not_a_number\n3,carol,7.25\ngarbage line\n")
+    df = read_csv_robust(spark, str(p), "id int, name string, score double")
+    rows = {r["id"]: r for r in df.collect() if r["id"] is not None}
+    bad = [r for r in df.collect() if r["_corrupt_record"] is not None]
+    assert rows[1]["score"] == 10.5 and rows[3]["name"] == "carol"
+    assert len(bad) == 2  # bad number + garbage line
+    clean = df.filter("_corrupt_record IS NULL")
+    assert clean.count() == 2
+
+
+def test_load_table_evolved_merges_schemas(spark, tmp_path):
+    """Parquet files written at different schema versions read as one
+    table; missing columns are NULL."""
+    from incubator_flink_old_spark.sources import load_table_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(v1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(v2)
+    df = load_table_evolved(spark, [v1, v2])
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
