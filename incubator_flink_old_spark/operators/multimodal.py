@@ -7,11 +7,14 @@ pandas functions over ``mapInPandas`` — one batch of payloads in, one
 batch of features out, so the Python boundary is crossed per-batch, never
 per-row, and the operator parallelizes like any other scan.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this environment, so the
-decode step is STUBBED: ``decode_media`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic hash-derived feature vector
-stands in for real decoding. Everything around the stub — schema,
-partitioning, UDF signature, batch shape — is real and tested.
+Codec status: PPM (P6) images decode and resize FOR REAL — the format is
+a trivial header + raw RGB bytes, so a pure-numpy codec needs no external
+library (`_parse_ppm` / `_encode_ppm`). Compressed formats (JPEG/PNG,
+audio, video) need codec libraries (PIL/librosa/ffmpeg) that are NOT in
+this environment, so for those ``decode_media`` raises NotImplementedError
+unless ``fake=True`` (deterministic hash-derived features stand in).
+Everything around the codecs — schema, partitioning, UDF signature, batch
+shape — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -69,25 +72,88 @@ def attach_media(
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for a real decoder+featurizer: md5-seeded
-    pseudo-features in [0, 1). Stable across runs/engines/partitionings."""
-    digest = hashlib.md5(payload or b"").digest()
-    out = []
+    pseudo-features in [0, 1). Stable across runs/engines/partitionings.
+
+    The chain hashes HEX STRINGS (not raw digests) deliberately: every
+    step is then expressible in any SQL engine (md5(md5(x))...), which is
+    what lets q_multimodal_pipeline carry a DuckDB oracle instead of a
+    rows-only check."""
+    hexd = hashlib.md5(payload or b"").hexdigest()
+    out: list[float] = []
     while len(out) < dim:
-        digest = hashlib.md5(digest).digest()
-        out.extend(b / 255.0 for b in digest)
+        hexd = hashlib.md5(hexd.encode()).hexdigest()
+        out.extend(int(hexd[i : i + 2], 16) / 255.0 for i in range(0, 32, 2))
+    return out[:dim]
+
+
+def _parse_ppm(payload: bytes):
+    """Parse a binary PPM (P6) image to an (h, w, 3) uint8 array, or None
+    when the payload is not P6. Pure numpy — no codec library needed."""
+    import re
+
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    m = re.match(rb"P6\s+(?:#[^\n]*\s+)?(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", payload)
+    if m is None:
+        return None
+    import numpy as np
+
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        return None  # 16-bit PPM out of scope
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    if data.size < w * h * 3:
+        return None
+    return data.reshape(h, w, 3)
+
+
+def _encode_ppm(img) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM (P6) bytes."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _ppm_features(img, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic real features from decoded pixels: dims + per-channel
+    mean/std + global min/max/median + luma mean + quadrant means."""
+    import numpy as np
+
+    f = img.astype("float64")
+    h, w = img.shape[0], img.shape[1]
+    luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    half_h, half_w = max(h // 2, 1), max(w // 2, 1)
+    out = [
+        float(w),
+        float(h),
+        *(float(f[:, :, c].mean()) for c in range(3)),
+        *(float(f[:, :, c].std()) for c in range(3)),
+        float(f.min()),
+        float(f.max()),
+        float(np.median(f)),
+        float(luma.mean()),
+        float(f[:half_h, :half_w].mean()),
+        float(f[:half_h, half_w:].mean()) if w > 1 else float(f.mean()),
+        float(f[half_h:, :half_w].mean()) if h > 1 else float(f.mean()),
+        float(f[half_h:, half_w:].mean()) if h > 1 and w > 1 else float(f.mean()),
+    ]
     return out[:dim]
 
 
 def decode_media(payload: bytes, modality: str, fake: bool = False) -> list[float]:
     """Decode one payload to a feature vector.
 
-    Real decoding requires codec libraries not present in this container —
-    the production implementation plugs in here (PIL for image, soundfile/
+    PPM (P6) payloads decode for real (pure numpy). Compressed formats
+    require codec libraries not present in this container — the
+    production implementation plugs in here (PIL for image, soundfile/
     librosa for audio, pyav frame sampling for video).
     """
+    img = _parse_ppm(payload)
+    if img is not None:
+        return _ppm_features(img)
     if not fake:
         raise NotImplementedError(
-            f"no {modality} codec available in this environment; "
+            f"no {modality} codec available in this environment "
+            "(only uncompressed PPM decodes natively); "
             "use fake=True for the deterministic test featurizer"
         )
     return _fake_features(payload)
@@ -163,25 +229,34 @@ def resize_media(
 ) -> DataFrame:
     """Image resize: payload → payload', metadata width/height updated.
 
-    Real implementation decodes + resamples via PIL (stubbed per
-    environment); the fake path re-hashes the payload with the target
-    dims so output bytes are deterministic and dimension-dependent. The
-    Spark-side contract — binary in/binary out per Arrow batch, metadata
-    struct rewritten — is the real, tested part.
+    PPM (P6) payloads resize for real (numpy nearest-neighbor index
+    resample, re-encoded as P6). Compressed formats would decode+resample
+    via PIL (absent in this environment) — for those the fake path
+    re-hashes the payload with the target dims so output bytes are
+    deterministic and dimension-dependent. The Spark-side contract —
+    binary in/binary out per Arrow batch, metadata struct rewritten — is
+    the real, tested part either way.
     """
+
+    def _resize_one(p: bytes) -> bytes:
+        img = _parse_ppm(p)
+        if img is not None:
+            import numpy as np
+
+            h, w = img.shape[0], img.shape[1]
+            ys = (np.arange(height) * h) // height
+            xs = (np.arange(width) * w) // width
+            return _encode_ppm(np.ascontiguousarray(img[ys][:, xs]))
+        if not fake:
+            raise NotImplementedError(
+                "no image codec available (only PPM resizes natively)"
+            )
+        return hashlib.md5((p or b"") + f"|{width}x{height}".encode()).digest()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                for _, m in zip(pdf["payload"], pdf["meta"]):
-                    decode_media(None, m["modality"] if m is not None else "image", fake=False)
             out = pdf.copy()
-            out["payload"] = [
-                hashlib.md5(
-                    (p or b"") + f"|{width}x{height}".encode()
-                ).digest()
-                for p in pdf["payload"]
-            ]
+            out["payload"] = [_resize_one(p) for p in pdf["payload"]]
             out["meta"] = [
                 None
                 if m is None

@@ -370,11 +370,23 @@ def q_sim_lsh_pairs(spark, sf_dir):
     return out.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
 
 
-@register("q_multimodal_pipeline")  # python-hash stub → rows-only check
+@register(
+    "q_multimodal_pipeline",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           ROUND(('0x' || substr(md5(md5(text)), 1, 2))::INT / 255.0, 9) AS f1
+    FROM documents
+    """,
+)
 def q_multimodal_pipeline(spark, sf_dir):
     """Multimodal plumbing end-to-end: text payloads as binary media rows
-    → Arrow-batched feature extraction (deterministic fake decoder; real
-    codecs are stubbed per environment constraints)."""
+    → Arrow-batched feature extraction. The deterministic featurizer is
+    an md5 hex chain, so the whole pipeline (including the Python/Arrow
+    boundary) is value-checked against a DuckDB twin — real pixel codecs
+    (PPM decodes natively; compressed formats stubbed) plug into the
+    same path."""
     docs = t(spark, sf_dir, "documents")
     media = attach_media(docs, F.encode("text", "UTF-8"), "image", "image/fake", "doc_id")
     feats = extract_features(media, fake=True)

@@ -203,3 +203,75 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError):
             salted_join(left, right, "k", "rk", how=how)
+
+
+def _make_ppm(w, h):
+    """Gradient P6 image: pixel (x, y) = (x*16 % 256, y*16 % 256, 7)."""
+    import numpy as np
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = (np.arange(w)[None, :] * 16) % 256
+    img[:, :, 1] = (np.arange(h)[:, None] * 16) % 256
+    img[:, :, 2] = 7
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes(), img
+
+
+def test_ppm_decodes_for_real():
+    """P6 payloads produce pixel-derived (not hash-derived) features."""
+    import numpy as np
+
+    from incubator_flink_old_spark.operators.multimodal import decode_media
+
+    payload, img = _make_ppm(8, 4)
+    feats = decode_media(payload, "image", fake=False)  # no codec needed
+    assert feats[0] == 8.0 and feats[1] == 4.0  # width, height
+    assert feats[2] == float(img[:, :, 0].mean())
+    assert feats[4] == 7.0  # constant blue channel mean
+    # malformed P6 still raises without fake
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG...", "image", fake=False)
+
+
+def test_ppm_resize_real_pixels(spark):
+    """resize_media downsamples real PPM pixels (nearest neighbor) and
+    rewrites the metadata dims."""
+    import numpy as np
+
+    from incubator_flink_old_spark.operators.multimodal import (
+        _parse_ppm,
+        attach_media,
+        resize_media,
+    )
+
+    payload, img = _make_ppm(8, 8)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, p binary")
+    media = attach_media(df, F.col("p"), "image", "image/x-portable-pixmap", "media_id")
+    out = resize_media(media, width=4, height=4, fake=False).collect()[0]
+    assert out["meta"]["width"] == 4 and out["meta"]["height"] == 4
+    small = _parse_ppm(bytes(out["payload"]))
+    assert small.shape == (4, 4, 3)
+    ys = (np.arange(4) * 8) // 4
+    xs = (np.arange(4) * 8) // 4
+    assert (small == img[ys][:, xs]).all()
+
+
+def test_ppm_feature_extraction_through_spark(spark):
+    """extract_features with fake=False works end-to-end when payloads
+    are PPM — the real-codec path through mapInPandas/Arrow."""
+    from incubator_flink_old_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+    )
+
+    rows = []
+    for i, (w, h) in enumerate([(4, 4), (6, 2), (3, 5)]):
+        payload, _ = _make_ppm(w, h)
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(rows, "media_id long, p binary")
+    media = attach_media(df, F.col("p"), "image", "image/x-portable-pixmap", "media_id")
+    feats = {r["media_id"]: r["features"] for r in extract_features(media, fake=False).collect()}
+    assert feats[0][:2] == [4.0, 4.0]
+    assert feats[1][:2] == [6.0, 2.0]
+    assert feats[2][:2] == [3.0, 5.0]

@@ -234,3 +234,36 @@ def test_stream_sliding_and_session_parity(spark, sf_dir):
     assert got_s, "expected closed sessions"
     for k in got_s:
         assert got_s[k] == want_s[k]
+
+
+def test_streaming_curation_pipeline_parity(spark, sf_dir):
+    """The LLM curation transforms (quality score, lang-id, chunking) are
+    stateless Column expressions, so the SAME operator functions run
+    unchanged over a documents file-replay stream and must equal batch."""
+    from incubator_flink_old_spark.operators.text import chunk_documents, quality_score
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    stream_q = chunk_documents(quality_score(docs_stream).filter("keep").join(
+        docs_stream.select("doc_id", "text"), on="doc_id"
+    ))
+    run_stream_to_memory(stream_q, "curation_stream", "append")
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in spark.table("curation_stream").collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_q = chunk_documents(quality_score(docs).filter("keep").join(
+        docs.select("doc_id", "text"), on="doc_id"
+    ))
+    want = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in batch_q.collect()
+    }
+    assert got == want and len(want) > 0
