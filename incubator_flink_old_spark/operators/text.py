@@ -316,18 +316,36 @@ def dedup_clusters(
     band_size: int = 2,
     jaccard_threshold: float = 0.7,
     max_iterations: int = 20,
+    residual_local_max: int = 500_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERING — the actual dedup decision a training
     pipeline executes: pair list → connected components → keep one
     canonical (min-id) document per cluster.
 
-    Composition of the engine's own primitives: :func:`minhash_lsh_pairs`
-    (or any caller-supplied (doc_a, doc_b) pair frame) feeds the G2
-    delta-iteration connected-components operator; docs absent from every
-    pair are singleton clusters of themselves. Scale shape: the pair list
-    is O(true near-dups) (banded equi-join), CC converges in a few rounds
-    on clique-like dup clusters, and the final assignment is one
-    broadcast-or-shuffle left join.
+    Dataflow (the pair pipeline — signatures + banded join + verify — is
+    the expensive stage, and it is shuffled exactly ONCE):
+
+    1. symmetrized pairs → ``groupBy(id).collect_set(nbrs)`` adjacency.
+       This single aggregation is the only shuffle of the pair list; its
+       output has one row per NON-SINGLETON node (a tiny fraction of the
+       corpus — dup-graph nodes only), which is cached cheaply.
+       Per-node array size = degree ≈ dup-cluster size; a cluster big
+       enough to hurt here already blew up the O(cluster²) candidate
+       pair join upstream, so adjacency rows are never the bottleneck.
+    2. star-contraction labels lbl(x) = min(x, neighbors(x)) — derived
+       from the cached adjacency, no extra shuffle. Each label lies in
+       its node's component and every edge induces a label edge, so
+       contracting through lbl preserves components while collapsing
+       each near-clique (the shape dup clusters take) to ~one node.
+    3. residual label graph = exploded adjacency relabeled at both ends
+       (labels is per-dup-node tiny → AQE broadcasts those joins). If it
+       has ≤ ``residual_local_max`` edges it is solved with a local
+       union-find — the contracted graph is orders of magnitude smaller
+       than the input, the same finish-small move AQE makes for joins —
+       else the G2 delta-iteration connected-components operator runs
+       distributed (``max_iterations`` bounds it).
+    4. one join assigns components back; docs absent from every pair are
+       singleton clusters of themselves.
 
     Returns (doc_id, cluster_id, keep) for EVERY input document, where
     keep ⇔ doc_id == cluster_id (the canonical member).
@@ -339,47 +357,62 @@ def dedup_clusters(
             df, band_size=band_size, jaccard_threshold=jaccard_threshold,
             text=text, key=key,
         )
-    # The pair pipeline (signatures + banded join + verify) is the
-    # expensive stage and is consumed by three downstream plans (label
-    # agg, contracted edges, and CC) — materialize it ONCE; lineage
-    # truncation also keeps the CC rounds' plans flat.
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).localCheckpoint(eager=True)
-
-    # Star-contraction pre-pass: map every endpoint to min(itself, its
-    # neighbors) — ONE aggregation — and contract edges through that
-    # label. Correct (each label lies in its node's component; every
-    # original edge induces a label edge), and on dup corpora it
-    # collapses each near-clique to ~one node, so the iterative CC runs
-    # on orders of magnitude fewer edges (measured 42 s → seconds at
-    # sf0.1: the fixture's verified-pair graph has millions of edges but
-    # only clique-shaped components).
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = (
-        sym.groupBy(F.col("src").alias("id"))
-        .agg(F.min("dst").alias("__mn"))
-        .select("id", F.least("id", "__mn").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
+    adj = sym.groupBy(F.col("src").alias("id")).agg(
+        F.collect_set("dst").alias("nbrs")
+    ).persist()
+    adj.count()  # materialize: every consumer below reads the small cache
+    labels = adj.select("id", F.least("id", F.array_min("nbrs")).alias("lbl"))
     la = labels.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
     lb = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
     cedges = (
-        edges.join(la, on="src")
+        adj.select(F.col("id").alias("src"), F.explode("nbrs").alias("dst"))
+        .join(la, on="src")
         .join(lb, on="dst")
         .filter(F.col("la") != F.col("lb"))
         .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
         .distinct()
     )
-    comp_small = connected_components(cedges, max_iterations=max_iterations)
-    comp = labels.join(
-        comp_small, labels["lbl"] == comp_small["id"], "left"
-    ).select(
-        labels["id"].alias("__cid"),
-        F.coalesce(F.col("component"), F.col("lbl")).alias("component"),
-    )
+    n_residual = cedges.count()
+    if n_residual == 0:
+        comp = labels.select(
+            F.col("id").alias("__cid"), F.col("lbl").alias("component")
+        )
+    else:
+        if n_residual <= residual_local_max:
+            parent: dict = {}
+
+            def _find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for row in cedges.collect():
+                a, b = _find(row["src"]), _find(row["dst"])
+                if a != b:
+                    if a > b:
+                        a, b = b, a
+                    parent[b] = a
+            comp_small = df.sparkSession.createDataFrame(
+                [(int(k), int(_find(k))) for k in parent],
+                "id long, component long",
+            )
+        else:
+            comp_small = connected_components(
+                cedges, max_iterations=max_iterations
+            )
+        comp = labels.join(
+            comp_small, labels["lbl"] == comp_small["id"], "left"
+        ).select(
+            labels["id"].alias("__cid"),
+            F.coalesce(F.col("component"), F.col("lbl")).alias("component"),
+        )
     return (
         df.select(F.col(key).cast("long").alias(key))
         .join(comp, F.col(key) == F.col("__cid"), "left")

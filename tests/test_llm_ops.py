@@ -275,3 +275,18 @@ def test_ppm_feature_extraction_through_spark(spark):
     assert feats[0][:2] == [4.0, 4.0]
     assert feats[1][:2] == [6.0, 2.0]
     assert feats[2][:2] == [3.0, 5.0]
+
+
+def test_dedup_clusters_local_and_distributed_agree(spark, sf_dir):
+    """The adaptive residual solver (local union-find below the threshold,
+    delta-iteration CC above it) must produce identical clusters."""
+    from incubator_flink_old_spark.operators.text import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    local = dedup_clusters(docs, band_size=4)
+    dist = dedup_clusters(docs, band_size=4, residual_local_max=0)
+    a = {(r["doc_id"], r["cluster_id"], r["keep"]) for r in local.collect()}
+    b = {(r["doc_id"], r["cluster_id"], r["keep"]) for r in dist.collect()}
+    assert a == b and len(a) > 0
+    # at least one non-singleton cluster exists in the fixture corpus
+    assert any(not r[2] for r in a)
