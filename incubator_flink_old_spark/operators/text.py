@@ -673,3 +673,184 @@ def vocab_coverage(
         F.count("__in").alias("n_in_vocab"),
         (F.count("__in").cast("double") / F.count(F.lit(1))).alias("coverage"),
     )
+
+
+def ngrams_of(tka: Column, n: int, hashed: bool = False) -> Column:
+    """Token n-gram array from an ALREADY-STAGED token-array column.
+
+    ``tka`` must be a plain column reference, not an expression tree:
+    higher-order-function lambdas re-evaluate captured expressions per
+    element, so passing ``tokens(text)`` directly would re-tokenize the
+    document once per gram (O(tokens²) per row — the same trap
+    quantize_embeddings documents). Empty when the document has fewer
+    than n tokens — the guard matters because Spark's
+    ``sequence(1, stop)`` DESCENDS when stop < 1.
+
+    ``hashed=True`` emits xxhash64 longs instead of the gram strings:
+    8-byte shuffle keys instead of ~10·n-byte strings for counting /
+    membership pipelines where the gram text itself is never output
+    (collision odds ~grams²/2⁶⁴ — irrelevant at any real corpus size).
+    """
+    gram = lambda i: F.concat_ws(" ", F.slice(tka, i, n))  # noqa: E731
+    per = (lambda i: F.xxhash64(gram(i))) if hashed else gram
+    empty = "array<long>" if hashed else "array<string>"
+    return F.when(
+        F.size(tka) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(tka) - (n - 1)), per),
+    ).otherwise(F.array().cast(empty))
+
+
+def ngrams(text_col: Column | str, n: int) -> Column:
+    """Token n-gram array (space-joined windows over whitespace tokens).
+
+    Convenience form over :func:`ngrams_of` — fine for one-shot use, but
+    operators stage the token array first (see ngrams_of on why).
+    """
+    tka = tokens(text_col)
+    return F.when(
+        F.size(tka) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tka) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tka, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    top_2gram_max: float = 0.2,
+    dup_5gram_max: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition quality filters, the standard cheap gate
+    before model scoring in a training pipeline:
+
+    - ``top_2gram_frac``: fraction of tokens covered by the single most
+      frequent 2-gram (2 · max-count / n_tokens);
+    - ``dup_5gram_frac``: fraction of 5-gram occurrences whose gram
+      appears more than once;
+    - ``keep_repetition``: both under their thresholds.
+
+    Scale shape: explode → count per (doc, gram) → per-doc aggregate.
+    Both shuffles are map-side combinable and keyed by (doc, gram) /
+    doc, so the operator scales with corpus size, never gram-vocabulary
+    size; grams shuffle as xxhash64 longs, not strings (the gram text is
+    never output). (A pure higher-order-function form with no shuffle
+    exists but is O(tokens²) per document — wrong for long documents.)
+    """
+    staged = df.select(F.col(key).alias(key), tokens(text).alias("__tka"))
+    base = staged.select(
+        key,
+        F.size("__tka").alias("__nt"),
+        ngrams_of(F.col("__tka"), 2, hashed=True).alias("__g2"),
+        ngrams_of(F.col("__tka"), 5, hashed=True).alias("__g5"),
+    )
+    c2 = (
+        base.select(key, "__nt", F.explode("__g2").alias("g"))
+        .groupBy(key, "g")
+        .agg(F.max("__nt").alias("__nt"), F.count(F.lit(1)).alias("c"))
+        .groupBy(key)
+        .agg(
+            F.max("__nt").alias("__nt"),
+            F.max("c").alias("__m2"),
+        )
+    )
+    c5 = (
+        base.select(key, F.explode("__g5").alias("g"))
+        .groupBy(key, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(key)
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("__d5"),
+            F.sum("c").alias("__t5"),
+        )
+    )
+    top2 = F.coalesce(
+        F.lit(2.0) * F.col("__m2") / F.col("__nt"), F.lit(0.0)
+    )
+    dup5 = F.coalesce(
+        F.col("__d5").cast("double") / F.col("__t5"), F.lit(0.0)
+    )
+    return (
+        df.select(F.col(key).alias(key))
+        .join(c2, on=key, how="left")
+        .join(c5, on=key, how="left")
+        .select(
+            key,
+            F.coalesce("__nt", F.lit(0)).alias("n_tokens"),
+            F.round(top2, 6).alias("top_2gram_frac"),
+            F.round(dup5, 6).alias("dup_5gram_frac"),
+            (
+                (top2 <= top_2gram_max) & (dup5 <= dup_5gram_max)
+            ).alias("keep_repetition"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Eval-set decontamination: flag corpus documents sharing any token
+    n-gram with a benchmark document — the membership test run before a
+    corpus ships so evaluation data cannot leak into training.
+
+    The benchmark n-gram set (small: eval suites are thousands of docs)
+    is distinct-ed and broadcast; corpus grams explode and semi-join it
+    map-side, so the corpus is never shuffled — O(corpus tokens) work,
+    one per-doc count aggregation. Grams travel as xxhash64 longs (8-byte
+    keys, not ~80-byte strings). Returns every corpus row with
+    ``n_hits`` (distinct contaminated grams) and ``contaminated``.
+    """
+    bench_grams = (
+        benchmark.select(tokens(text).alias("__tka"))
+        .select(F.explode(ngrams_of(F.col("__tka"), n, hashed=True)).alias("g"))
+        .distinct()
+    )
+    doc_grams = (
+        df.select(F.col(key).alias(key), tokens(text).alias("__tka"))
+        .select(key, F.explode(ngrams_of(F.col("__tka"), n, hashed=True)).alias("g"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), on="g", how="left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    return (
+        df.select(F.col(key).alias(key))
+        .join(hits, on=key, how="left")
+        .select(
+            key,
+            F.coalesce("__h", F.lit(0)).alias("n_hits"),
+            (F.coalesce("__h", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (keep the first ``cap`` docs per source,
+    deterministic by key order) — the anti-over-representation control a
+    web-scale corpus applies per site/feed.
+
+    One window shuffle keyed by domain; rank order is the document key,
+    so the result is engine-portable. Skewed mega-domains sort within
+    their own partitions only (no global sort).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain).orderBy(F.col(key))
+    return (
+        df.select(F.col(key).alias(key), F.col(domain).alias(domain))
+        .withColumn("rank_in_domain", F.row_number().over(w))
+        .filter(F.col("rank_in_domain") <= cap)
+    )

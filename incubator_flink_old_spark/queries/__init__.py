@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "extensions2",
     "tpch_full",
     "llm_ops2",
+    "llm_ops3",
 )
 
 LOAD_ERRORS: dict[str, str] = {}
@@ -134,6 +135,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
+    # wave-3 curation ops (added after the round-2 rotation was sized;
+    # they overflow the 50-slot driver window and rotate in next round)
+    "q_text_repetition",
+    "q_decontaminate",
+    "q_domain_cap",
+    "q_embed_quantize",
 )
 
 

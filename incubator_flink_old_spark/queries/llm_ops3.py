@@ -1,0 +1,146 @@
+"""Training-data pipeline queries, wave 3: repetition-quality gates,
+eval-set decontamination, per-domain caps, embedding int8 quantization.
+All pure Column expressions with exact DuckDB twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.operators.similarity import quantize_embeddings
+from incubator_flink_old_spark.operators.text import (
+    decontaminate,
+    domain_cap,
+    repetition_metrics,
+)
+from incubator_flink_old_spark.queries import register
+from incubator_flink_old_spark.queries._util import t
+
+#: DuckDB twin of operators.text.tokens() (non-distinct form)
+_SQL_TKA = r"""
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tka
+    FROM documents
+"""
+
+
+@register(
+    "q_text_repetition",
+    oracle=rf"""
+    WITH toks AS ({_SQL_TKA}),
+    g2 AS (
+        SELECT doc_id, len(tka) AS nt, tka[i] || ' ' || tka[i + 1] AS g
+        FROM toks, unnest(generate_series(1, len(tka) - 1)) u(i)
+        WHERE len(tka) >= 2),
+    c2 AS (
+        SELECT doc_id, MAX(nt) AS nt, MAX(c) AS m2
+        FROM (SELECT doc_id, nt, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3)
+        GROUP BY doc_id),
+    g5 AS (
+        SELECT doc_id, array_to_string(list_slice(tka, i, i + 4), ' ') AS g
+        FROM toks, unnest(generate_series(1, len(tka) - 4)) u(i)
+        WHERE len(tka) >= 5),
+    c5 AS (
+        SELECT doc_id,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS d5,
+               SUM(c) AS t5
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2)
+        GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(c2.nt, 0) AS n_tokens,
+           ROUND(COALESCE(2.0 * c2.m2 / c2.nt, 0.0), 6) AS top_2gram_frac,
+           ROUND(COALESCE(CAST(c5.d5 AS DOUBLE) / c5.t5, 0.0), 6) AS dup_5gram_frac,
+           COALESCE(2.0 * c2.m2 / c2.nt, 0.0) <= 0.2
+             AND COALESCE(CAST(c5.d5 AS DOUBLE) / c5.t5, 0.0) <= 0.3
+               AS keep_repetition
+    FROM documents d
+    LEFT JOIN c2 ON d.doc_id = c2.doc_id
+    LEFT JOIN c5 ON d.doc_id = c5.doc_id
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition gates: top-2-gram token coverage and
+    duplicate-5-gram occurrence fraction per document, with the standard
+    keep thresholds (operators/text.repetition_metrics). Explode →
+    map-side-combinable counts — scales with corpus size, never
+    gram-vocabulary size."""
+    return repetition_metrics(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_decontaminate",
+    oracle=rf"""
+    WITH toks AS ({_SQL_TKA}),
+    bg AS (
+        SELECT DISTINCT array_to_string(list_slice(tka, i, i + 7), ' ') AS g
+        FROM toks, unnest(generate_series(1, len(tka) - 7)) u(i)
+        WHERE doc_id % 97 = 0 AND len(tka) >= 8),
+    dg AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(tka, i, i + 7), ' ') AS g
+        FROM toks, unnest(generate_series(1, len(tka) - 7)) u(i)
+        WHERE len(tka) >= 8),
+    h AS (
+        SELECT doc_id, COUNT(*) AS h
+        FROM dg WHERE g IN (SELECT g FROM bg)
+        GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.h, 0) AS n_hits,
+           COALESCE(h.h, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: every corpus doc sharing an 8-token
+    n-gram with the benchmark subset (doc_id % 97 = 0 stands in for the
+    eval suite) is flagged. Benchmark grams broadcast; the corpus is
+    never shuffled (operators/text.decontaminate)."""
+    docs = t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, benchmark, n=8)
+
+
+@register(
+    "q_domain_cap",
+    oracle="""
+    SELECT doc_id, source, rank_in_domain
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rank_in_domain
+        FROM documents)
+    WHERE rank_in_domain <= 20
+    """,
+)
+def q_domain_cap(spark, sf_dir):
+    """Per-domain over-representation cap: keep the first 20 docs per
+    source, deterministic by doc_id (operators/text.domain_cap). One
+    window shuffle keyed by domain."""
+    return domain_cap(t(spark, sf_dir, "documents"), cap=20)
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM base),
+    m AS (
+        SELECT vec_id, nrm,
+               list_transform(v, x -> x / nrm) AS unit,
+               list_max(list_transform(v, x -> abs(x / nrm))) AS mx
+        FROM n)
+    SELECT vec_id,
+           ROUND(nrm, 6) AS l2_norm,
+           ROUND(mx / 127.0, 9) AS scale,
+           list_transform(unit, x -> CAST(ROUND(127.0 * x / mx) AS INT)) AS q8
+    FROM m
+    """,
+)
+def q_embed_quantize(spark, sf_dir):
+    """Embedding int8 quantization for ANN serving: L2-normalize, scale
+    to symmetric int8, emit (l2_norm, scale, q8) per vector — a map-only
+    table rewrite, no shuffle (operators/similarity.quantize_embeddings)."""
+    return quantize_embeddings(t(spark, sf_dir, "embeddings"))
