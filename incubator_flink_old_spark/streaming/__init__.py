@@ -209,3 +209,28 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    upper: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream (or batch-batch — same expression) interval join:
+    rows pair when keys match and right_ts ∈ [left_ts, left_ts + upper].
+
+    In streaming both inputs must carry watermarks; the time-bound
+    condition lets Spark expire join state past
+    watermark + upper instead of buffering the streams forever — the
+    only state-bounded way to join two streams. The identical function
+    applied to batch frames is the parity oracle.
+    """
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(right, cond, "inner")

@@ -267,3 +267,43 @@ def test_streaming_curation_pipeline_parity(spark, sf_dir):
         (r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in batch_q.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_interval_join_helper_stream_batch_parity(spark, sf_dir):
+    """The interval_join operator produces identical pairs over a
+    file-replay stream (watermarked, state-bounded) and over the same
+    frames read as batch."""
+    from incubator_flink_old_spark.sources import load_table
+    from incubator_flink_old_spark.streaming import interval_join, read_events_stream
+
+    def sides(events, wm):
+        views = events.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("l_ts")
+        )
+        clicks = events.filter(F.col("event_type") == "click").select(
+            F.col("user_id"), F.col("event_id").alias("click_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        if wm:
+            views = views.withWatermark("l_ts", "30 minutes")
+            clicks = clicks.withWatermark("r_ts", "30 minutes")
+        return views, clicks
+
+    sv, sc = sides(read_events_stream(spark, sf_dir), wm=True)
+    stream_j = interval_join(sv, sc, "user_id", upper="10 minutes").select(
+        sv["user_id"], "view_id", "click_id"
+    )
+    run_stream_to_memory(stream_j, "ivj_stream", "append")
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in spark.table("ivj_stream").collect()
+    }
+
+    bv, bc = sides(load_table(spark, sf_dir, "events"), wm=False)
+    want = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in interval_join(bv, bc, "user_id", upper="10 minutes")
+        .select(bv["user_id"], "view_id", "click_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
