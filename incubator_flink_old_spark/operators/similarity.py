@@ -251,3 +251,75 @@ def quantize_embeddings(
             "__unit", lambda x: F.round(F.lit(127.0) * x / F.col("__mx")).cast("int")
         ).alias("q8"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.35,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: partition the corpus with a
+    one-shot coarse quantizer (deterministic lowest-key seeds, nearest
+    centroid by cosine), then inside each cell drop every vector that has
+    a lower-key neighbor at cosine ≥ threshold — keeping one
+    representative per semantic near-dup group.
+
+    Scale shape: the O(n²) cosine comparison runs per CELL, never
+    globally — n_cells grows with the corpus so cells stay bounded, and
+    at 100 TB the corpus is written partitioned by cell making the
+    within-cell self-join shuffle-free. Cross-cell near-dups are
+    sacrificed by design (the documented SemDeDup recall trade-off).
+    Vectors are unit-normalized ONCE before the pair join, so each pair
+    costs one dot product. The fixture threshold (0.35) is calibrated to
+    the synthetic embeddings' cosine range; production embeddings use
+    ~0.95.
+
+    Output: (vec_id, cell, keep) for every corpus vector.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        corpus.select(F.col(key).alias("__c"), as_double_array(vec).alias("__v"))
+        .withColumn("__nrm", norm(F.col("__v")))
+        .select(
+            "__c", F.transform("__v", lambda x: x / F.col("__nrm")).alias("__u")
+        )
+    )
+    seeds = (
+        u.orderBy("__c")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy("__c")).alias("cell"),
+            F.col("__u").alias("__cu"),
+        )
+    )
+    # nearest centroid: max_by over (sim, -cell) — a combinable
+    # aggregation (map-side partials), no per-vector window needed
+    assigned = (
+        u.crossJoin(F.broadcast(seeds))
+        .select("__c", "__u", "cell", dot(F.col("__u"), F.col("__cu")).alias("sim"))
+        .groupBy("__c")
+        .agg(
+            F.max_by("cell", F.struct(F.col("sim"), -F.col("cell"))).alias("cell"),
+            F.first("__u").alias("__u"),
+        )
+    )
+    a = assigned.select(F.col("__c").alias("__a"), F.col("cell"), F.col("__u").alias("__ua"))
+    b = assigned.select(F.col("__c").alias("__b"), F.col("cell"), F.col("__u").alias("__ub"))
+    dropped = (
+        a.join(b, on="cell")
+        .filter(F.col("__a") < F.col("__b"))
+        .filter(dot(F.col("__ua"), F.col("__ub")) >= threshold)
+        .select(F.col("__b").alias("__d"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned["__c"] == dropped["__d"], "left")
+        .select(
+            F.col("__c").alias(key),
+            "cell",
+            F.col("__d").isNull().alias("keep"),
+        )
+    )

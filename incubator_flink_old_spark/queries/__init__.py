@@ -141,6 +141,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_decontaminate",
     "q_domain_cap",
     "q_embed_quantize",
+    "q_semantic_dedup",
 )
 
 

@@ -144,3 +144,47 @@ def q_embed_quantize(spark, sf_dir):
     to symmetric int8, emit (l2_norm, scale, q8) per vector — a map-only
     table rewrite, no shuffle (operators/similarity.quantize_embeddings)."""
     return quantize_embeddings(t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_semantic_dedup",
+    oracle="""
+    WITH vv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+    u AS (
+        SELECT vec_id,
+               list_transform(ve, x -> x / sqrt(list_dot_product(ve, ve))) AS uv
+        FROM vv),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, uv AS cu
+        FROM (SELECT * FROM u ORDER BY vec_id LIMIT 8)),
+    sim AS (
+        SELECT u.vec_id, s.cell, list_dot_product(u.uv, s.cu) AS sim
+        FROM u, seeds s),
+    asg AS (
+        SELECT vec_id, cell
+        FROM (SELECT vec_id, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cell) AS rn
+              FROM sim)
+        WHERE rn = 1),
+    au AS (SELECT a.vec_id, a.cell, u.uv FROM asg a JOIN u USING (vec_id)),
+    drp AS (
+        SELECT DISTINCT b.vec_id
+        FROM au a JOIN au b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.uv, b.uv) >= 0.35)
+    SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
+    FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: one-shot coarse quantizer (8 cells,
+    lowest-key seeds) partitions the embedding corpus; within each cell
+    any vector with a lower-key neighbor at cosine >= 0.35 is dropped.
+    The O(n^2) comparison runs per cell only — the documented recall
+    trade-off of the ANN dedup scale path
+    (operators/similarity.semantic_dedup)."""
+    from incubator_flink_old_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(t(spark, sf_dir, "embeddings"))

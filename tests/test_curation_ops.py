@@ -93,3 +93,23 @@ def test_quantize_embeddings_roundtrip_error(spark):
         for q, x in zip(r["q8"], unit):
             # scale ships rounded to 9dp, so allow that quantum on top
             assert abs(q * r["scale"] - x) <= r["scale"] / 2 + 1e-6
+
+
+def test_semantic_dedup_keeps_lowest_key_representative(spark):
+    from incubator_flink_old_spark.operators.similarity import semantic_dedup
+
+    # vecs 1/2 identical direction (cos=1), 3 orthogonal; 2 cells
+    df = from_elements(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(df, n_cells=2, threshold=0.9).collect()}
+    assert out[1]["keep"] is True          # lowest key in its dup group
+    assert out[2]["keep"] is False         # cos(1,2) = 1.0 >= 0.9, same cell
+    assert out[3]["keep"] is True          # orthogonal to everything
+    assert out[1]["cell"] == out[2]["cell"]
