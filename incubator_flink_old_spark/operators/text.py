@@ -700,11 +700,39 @@ def ngrams_of(tka: Column, n: int, hashed: bool = False) -> Column:
     ).otherwise(F.array().cast(empty))
 
 
+def exploded_ngrams(
+    staged: DataFrame,
+    n: int,
+    carry: tuple[str, ...],
+    tka: str = "__tka",
+    hashed: bool = True,
+    out: str = "g",
+) -> DataFrame:
+    """One row per token n-gram of a staged token-array column.
+
+    Explodes gram START POSITIONS and builds the gram AFTER the
+    Generate, where ``tka`` is a plain attribute. Exploding a
+    pre-built gram ARRAY instead is a trap: Catalyst's
+    infer-filters-from-generate pushes a `size(grams) > 0` predicate
+    below the staging projections with the whole gram expression
+    inlined — per-element lambdas then re-tokenize the document inside
+    the filter, O(tokens²) per row (measured 2.7 s vs 0.2 s at sf0.1
+    for the 2-gram explode). ``carry`` lists extra columns to keep.
+    """
+    idx = F.when(
+        F.size(tka) >= n, F.sequence(F.lit(1), F.size(tka) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    e = staged.select(*carry, F.col(tka), F.explode(idx).alias("__i"))
+    gram = F.concat_ws(" ", F.slice(tka, F.col("__i"), n))
+    return e.select(*carry, (F.xxhash64(gram) if hashed else gram).alias(out))
+
+
 def ngrams(text_col: Column | str, n: int) -> Column:
     """Token n-gram array (space-joined windows over whitespace tokens).
 
     Convenience form over :func:`ngrams_of` — fine for one-shot use, but
-    operators stage the token array first (see ngrams_of on why).
+    operators stage the token array first (see ngrams_of on why), and
+    anything that EXPLODES grams must use :func:`exploded_ngrams`.
     """
     tka = tokens(text_col)
     return F.when(
@@ -739,15 +767,12 @@ def repetition_metrics(
     never output). (A pure higher-order-function form with no shuffle
     exists but is O(tokens²) per document — wrong for long documents.)
     """
-    staged = df.select(F.col(key).alias(key), tokens(text).alias("__tka"))
-    base = staged.select(
-        key,
-        F.size("__tka").alias("__nt"),
-        ngrams_of(F.col("__tka"), 2, hashed=True).alias("__g2"),
-        ngrams_of(F.col("__tka"), 5, hashed=True).alias("__g5"),
-    )
+    staged = df.select(
+        F.col(key).alias(key),
+        tokens(text).alias("__tka"),
+    ).withColumn("__nt", F.size("__tka"))
     c2 = (
-        base.select(key, "__nt", F.explode("__g2").alias("g"))
+        exploded_ngrams(staged, 2, carry=(key, "__nt"))
         .groupBy(key, "g")
         .agg(F.max("__nt").alias("__nt"), F.count(F.lit(1)).alias("c"))
         .groupBy(key)
@@ -757,7 +782,7 @@ def repetition_metrics(
         )
     )
     c5 = (
-        base.select(key, F.explode("__g5").alias("g"))
+        exploded_ngrams(staged, 5, carry=(key,))
         .groupBy(key, "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(key)
@@ -806,16 +831,14 @@ def decontaminate(
     keys, not ~80-byte strings). Returns every corpus row with
     ``n_hits`` (distinct contaminated grams) and ``contaminated``.
     """
-    bench_grams = (
-        benchmark.select(tokens(text).alias("__tka"))
-        .select(F.explode(ngrams_of(F.col("__tka"), n, hashed=True)).alias("g"))
-        .distinct()
-    )
-    doc_grams = (
-        df.select(F.col(key).alias(key), tokens(text).alias("__tka"))
-        .select(key, F.explode(ngrams_of(F.col("__tka"), n, hashed=True)).alias("g"))
-        .distinct()
-    )
+    bench_grams = exploded_ngrams(
+        benchmark.select(tokens(text).alias("__tka")), n, carry=()
+    ).distinct()
+    doc_grams = exploded_ngrams(
+        df.select(F.col(key).alias(key), tokens(text).alias("__tka")),
+        n,
+        carry=(key,),
+    ).distinct()
     hits = (
         doc_grams.join(F.broadcast(bench_grams), on="g", how="left_semi")
         .groupBy(key)
