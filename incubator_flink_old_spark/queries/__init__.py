@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "tpch_full",
     "llm_ops2",
     "llm_ops3",
+    "analytics",
 )
 
 LOAD_ERRORS: dict[str, str] = {}
@@ -142,6 +143,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_domain_cap",
     "q_embed_quantize",
     "q_semantic_dedup",
+    "q_time_rollup",
+    "q_funnel",
 )
 
 

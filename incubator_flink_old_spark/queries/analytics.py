@@ -1,0 +1,117 @@
+"""Event-analytics t2 queries beyond the window family: multi-granularity
+time rollups and ordered funnel analysis — the OLAP surface a telemetry
+pipeline runs next to the curation ops. Pure Column expressions with
+exact DuckDB twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.queries import register
+from incubator_flink_old_spark.queries._util import dsum, sql_dsum, t
+
+
+@register(
+    "q_time_rollup",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY ROLLUP (day, hour)
+    """,
+)
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: hour → day → grand
+    total in ONE pass (`rollup` = single shuffle with partial aggs; the
+    hierarchy never rescans the fact table). At 100 TB this replaces N
+    per-granularity jobs over the same events."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, MIN(ts) AS fv FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    fc AS (
+        SELECT e.user_id, MIN(e.ts) AS fc
+        FROM events e JOIN fv USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.ts > fv.fv AND e.ts <= fv.fv + INTERVAL 1 DAY
+        GROUP BY e.user_id),
+    fp AS (
+        SELECT e.user_id, MIN(e.ts) AS fp
+        FROM events e JOIN fc USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts > fc.fc AND e.ts <= fc.fc + INTERVAL 1 DAY
+        GROUP BY e.user_id)
+    SELECT CASE WHEN fp.user_id IS NOT NULL THEN 3
+                WHEN fc.user_id IS NOT NULL THEN 2
+                WHEN fv.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage,
+           COUNT(*) AS n_users
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN fv USING (user_id)
+    LEFT JOIN fc USING (user_id)
+    LEFT JOIN fp USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): each stage's
+    first event must FOLLOW the previous stage's first event within one
+    day, per user. Three chained min-aggregations co-partitioned on
+    user_id (no windows, no self-crossJoin) — each stage's frame
+    shrinks, so at scale the chain costs less than one pass over the
+    raw events per stage."""
+    day = F.expr("INTERVAL 1 DAY")
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__fv"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, on="user_id")
+        .filter((F.col("ts") > F.col("__fv")) & (F.col("ts") <= F.col("__fv") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__fc"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, on="user_id")
+        .filter((F.col("ts") > F.col("__fc")) & (F.col("ts") <= F.col("__fc") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__fp"))
+    )
+    users = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("__fp").isNotNull(), F.lit(3))
+        .when(F.col("__fc").isNotNull(), F.lit(2))
+        .when(F.col("__fv").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        users.join(fv, on="user_id", how="left")
+        .join(fc, on="user_id", how="left")
+        .join(fp, on="user_id", how="left")
+        .select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
