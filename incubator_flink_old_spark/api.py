@@ -261,6 +261,14 @@ class DataSet:
 
         return DataSet(self.env, sample_stratified(self.df, strata, fractions, **kw))
 
+    def curate(self, **kw) -> "DataSet":
+        """The full curation pipeline (exact+fuzzy dedup, quality,
+        repetition, language, decontamination, domain cap, PII-scrubbed
+        materialization) — operators/text.curate."""
+        from incubator_flink_old_spark.operators.text import curate
+
+        return DataSet(self.env, curate(self.df, **kw))
+
     # -- actions (testing convenience; the reference's collect()) ---------
     def collect(self):
         return self.df.collect()

@@ -877,3 +877,83 @@ def domain_cap(
         .withColumn("rank_in_domain", F.row_number().over(w))
         .filter(F.col("rank_in_domain") <= cap)
     )
+
+
+def curate(
+    df: DataFrame,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    domain_cap_n: int = 10,
+    bench_mod: int = 97,
+    band_size: int = 4,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """The COMPLETE curation pipeline — every gate this engine ships,
+    composed the way a production training-data job runs them:
+
+    1. exact dedup        keep the min-key doc per text fingerprint
+    2. near-dup dedup     MinHash-LSH → clusters → min-key canonical
+    3. quality gate       heuristic score ≥ 0.4
+    4. repetition gate    Gopher-style 2-gram / 5-gram thresholds
+    5. language allowlist
+    6. decontamination    no 8-gram overlap with the benchmark subset
+                          (keyed ``key % bench_mod == 0``; benchmark
+                          docs themselves are excluded from training)
+    7. per-domain cap     first ``domain_cap_n`` survivors per source
+    8. materialize        lang/source/quality/n_tokens + the md5 of the
+                          PII-scrubbed text (the payload a writer ships)
+
+    Gates 1-6 are evaluated on the raw text and joined on the doc key
+    (co-partitioned shuffles; every frame is one row per doc). The cap
+    runs LAST, over survivors only — capping before filtering would
+    under-fill domains. Scrubbing transforms the payload, not the gate
+    inputs, so gate oracles stay composable.
+    """
+    base = df.select(F.col(key).cast("long").alias(key), "lang", "source", text)
+    fp = fingerprint(df, text, key)
+    canon = fp.groupBy("fp").agg(F.min(key).alias("__canon"))
+    exact_keep = (
+        fp.join(canon, on="fp")
+        .filter(F.col(key) == F.col("__canon"))
+        .select(key)
+    )
+    fuzzy = dedup_clusters(df, band_size=band_size, text=text, key=key).select(
+        key, F.col("keep").alias("__kf")
+    )
+    qual = quality_score(df, text, key).select(
+        key, "quality", F.col("keep").alias("__kq")
+    )
+    rep = repetition_metrics(df, text, key).select(
+        key, "n_tokens", F.col("keep_repetition").alias("__kr")
+    )
+    dec = decontaminate(
+        df, df.filter(F.col(key) % bench_mod == 0), text=text, key=key
+    ).select(key, F.col("contaminated").alias("__kc"))
+    survivors = (
+        base.filter(F.col("lang").isin(*langs))
+        .filter(F.col(key) % bench_mod != 0)
+        .join(exact_keep, on=key, how="left_semi")
+        .join(fuzzy, on=key)
+        .filter(F.col("__kf"))
+        .join(qual, on=key)
+        .filter(F.col("__kq"))
+        .join(rep, on=key)
+        .filter(F.col("__kr"))
+        .join(dec, on=key)
+        .filter(~F.col("__kc"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col(key))
+    return (
+        survivors.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= domain_cap_n)
+        .select(
+            key,
+            "lang",
+            "source",
+            F.round("quality", 6).alias("quality"),
+            "n_tokens",
+            F.md5(F.encode(scrub_pii(F.col(text)), "UTF-8")).alias("clean_fp"),
+        )
+    )

@@ -145,6 +145,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_semantic_dedup",
     "q_time_rollup",
     "q_funnel",
+    "q_cohort_retention",
+    "q_curate_full",
 )
 
 

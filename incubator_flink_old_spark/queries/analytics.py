@@ -115,3 +115,45 @@ def q_funnel(spark, sf_dir):
         .groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT cohort_day, day_offset,
+           COUNT(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, distinct-active
+    counts at day offsets 0..7. One min-agg for cohorts (co-partitioned
+    join back on user_id) + one distinct + one count agg — no windows,
+    no per-day scans; the offset cap bounds output, not work."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_seen, on="user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

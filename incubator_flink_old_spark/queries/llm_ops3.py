@@ -188,3 +188,110 @@ def q_semantic_dedup(spark, sf_dir):
     from incubator_flink_old_spark.operators.similarity import semantic_dedup
 
     return semantic_dedup(t(spark, sf_dir, "embeddings"))
+
+
+def _curate_oracle() -> str:
+    """Composed twin of operators/text.curate: every gate's verified SQL
+    fragment stitched into one WITH-chain (dedup gates run corpus-wide,
+    exclusions and the cap apply to survivors only)."""
+    from incubator_flink_old_spark.queries.llm_ops import _minhash_oracle
+
+    pairs_sql = _minhash_oracle(band_size=4).strip()
+    return rf"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+    sym AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(id, lbl) AS (
+        SELECT src AS id, src AS lbl FROM sym
+        UNION
+        SELECT s.dst AS id, r.lbl FROM reach r JOIN sym s ON r.id = s.src),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS tka,
+               list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS tk
+        FROM documents),
+    fpx AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+    canon AS (SELECT fp, MIN(doc_id) AS canon_id FROM fpx GROUP BY fp),
+    q AS (
+        SELECT t.doc_id,
+               0.5 * (CAST(len(list_filter(t.tka,
+                         x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                      / len(t.tka))
+                 + 0.3 * (1.0 - (1.0 - CAST(len(t.tk) AS DOUBLE) / len(t.tka)))
+                 + 0.2 * CAST(LENGTH(d.text) BETWEEN 100 AND 20000 AS DOUBLE)
+                   AS quality
+        FROM toks t JOIN documents d USING (doc_id)),
+    g2 AS (
+        SELECT doc_id, len(tka) AS nt, tka[i] || ' ' || tka[i + 1] AS g
+        FROM toks, unnest(generate_series(1, len(tka) - 1)) u(i)
+        WHERE len(tka) >= 2),
+    c2 AS (
+        SELECT doc_id, MAX(nt) AS nt, MAX(c) AS m2
+        FROM (SELECT doc_id, nt, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3)
+        GROUP BY doc_id),
+    g5 AS (
+        SELECT doc_id, array_to_string(list_slice(tka, i, i + 4), ' ') AS g
+        FROM toks, unnest(generate_series(1, len(tka) - 4)) u(i)
+        WHERE len(tka) >= 5),
+    c5 AS (
+        SELECT doc_id,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS d5, SUM(c) AS t5
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2)
+        GROUP BY doc_id),
+    bg AS (
+        SELECT DISTINCT array_to_string(list_slice(tka, i, i + 7), ' ') AS g
+        FROM toks, unnest(generate_series(1, len(tka) - 7)) u(i)
+        WHERE doc_id % 97 = 0 AND len(tka) >= 8),
+    dg AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(tka, i, i + 7), ' ') AS g
+        FROM toks, unnest(generate_series(1, len(tka) - 7)) u(i)
+        WHERE len(tka) >= 8),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM dg WHERE g IN (SELECT g FROM bg)),
+    surv AS (
+        SELECT d.doc_id, d.lang, d.source,
+               ROUND(q.quality, 6) AS quality,
+               COALESCE(c2.nt, 0) AS n_tokens,
+               md5(regexp_replace(regexp_replace(d.text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\+?[0-9][0-9()\- ]{{6,}}[0-9]', '<PHONE>', 'g')) AS clean_fp
+        FROM documents d
+        JOIN fpx USING (doc_id)
+        JOIN canon ON fpx.fp = canon.fp AND d.doc_id = canon.canon_id
+        LEFT JOIN comp ON d.doc_id = comp.id
+        JOIN q USING (doc_id)
+        LEFT JOIN c2 ON d.doc_id = c2.doc_id
+        LEFT JOIN c5 ON d.doc_id = c5.doc_id
+        WHERE d.lang IN ('en', 'de', 'fr')
+          AND d.doc_id % 97 <> 0
+          AND d.doc_id = COALESCE(comp.component, d.doc_id)
+          AND q.quality >= 0.4
+          AND COALESCE(2.0 * c2.m2 / c2.nt, 0.0) <= 0.2
+          AND COALESCE(CAST(c5.d5 AS DOUBLE) / c5.t5, 0.0) <= 0.3
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT doc_id, lang, source, quality, n_tokens, clean_fp
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                        AS rk
+          FROM surv)
+    WHERE rk <= 10
+    """
+
+
+@register("q_curate_full", oracle=_curate_oracle())
+def q_curate_full(spark, sf_dir):
+    """The flagship composed curation pipeline: exact dedup + MinHash
+    cluster dedup + quality gate + repetition gate + language allowlist +
+    eval decontamination + per-domain cap + PII-scrubbed materialization
+    — every engine gate in one DAG (operators/text.curate), with the
+    whole composition value-checked against one stitched DuckDB twin."""
+    from incubator_flink_old_spark.operators.text import curate
+
+    return curate(t(spark, sf_dir, "documents"))

@@ -113,3 +113,40 @@ def test_semantic_dedup_keeps_lowest_key_representative(spark):
     assert out[2]["keep"] is False         # cos(1,2) = 1.0 >= 0.9, same cell
     assert out[3]["keep"] is True          # orthogonal to everything
     assert out[1]["cell"] == out[2]["cell"]
+
+
+def test_curate_pipeline_composition(spark, sf_dir):
+    """curate() output respects every gate it claims to compose."""
+    from incubator_flink_old_spark.operators.text import curate
+    from incubator_flink_old_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate(docs, domain_cap_n=5).collect()
+    assert len(out) > 0
+    ids = {r["doc_id"] for r in out}
+    assert all(r["lang"] in ("en", "de", "fr") for r in out)
+    assert all(r["doc_id"] % 97 != 0 for r in out)
+    assert all(r["quality"] >= 0.4 for r in out)
+    # per-domain cap holds
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in out)
+    assert max(per_src.values()) <= 5
+    # kept docs are their own exact-dedup canonical
+    from incubator_flink_old_spark.operators.text import fingerprint
+    from pyspark.sql import functions as F
+
+    fp = fingerprint(docs)
+    canon = {
+        r["__canon"]
+        for r in fp.groupBy("fp").agg(F.min("doc_id").alias("__canon")).collect()
+    }
+    assert ids <= canon
+
+
+def test_curate_fluent_api(spark, sf_dir):
+    from incubator_flink_old_spark.api import ExecutionEnvironment
+
+    env = ExecutionEnvironment(spark)
+    ds = env.read_parquet(f"{sf_dir}/documents.parquet")
+    assert ds.curate(domain_cap_n=3).count() > 0
