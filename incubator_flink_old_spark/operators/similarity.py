@@ -296,7 +296,12 @@ def semantic_dedup(
         )
     )
     # nearest centroid: max_by over (sim, -cell) — a combinable
-    # aggregation (map-side partials), no per-vector window needed
+    # aggregation (map-side partials), no per-vector window needed.
+    # Persisted: three consumers (both pair-join sides + the final
+    # assignment) would otherwise each re-run the assignment crossJoin
+    # (static plan shows no exchange reuse across the renamed sides).
+    # At 100 TB the same role is played by writing the corpus
+    # partitioned by cell — the IVF layout.
     assigned = (
         u.crossJoin(F.broadcast(seeds))
         .select("__c", "__u", "cell", dot(F.col("__u"), F.col("__cu")).alias("sim"))
@@ -305,6 +310,7 @@ def semantic_dedup(
             F.max_by("cell", F.struct(F.col("sim"), -F.col("cell"))).alias("cell"),
             F.first("__u").alias("__u"),
         )
+        .persist()
     )
     a = assigned.select(F.col("__c").alias("__a"), F.col("cell"), F.col("__u").alias("__ua"))
     b = assigned.select(F.col("__c").alias("__b"), F.col("cell"), F.col("__u").alias("__ub"))
