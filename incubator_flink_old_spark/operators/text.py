@@ -149,37 +149,32 @@ def minhash_signature(df: DataFrame, num_hashes: int = 8, text: str = "text", ke
     return df.select(key, *sig_cols)
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     df: DataFrame,
     num_hashes: int = 8,
     band_size: int = 2,
-    jaccard_threshold: float = 0.7,
     text: str = "text",
     key: str = "doc_id",
+    _toksets: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash + LSH banding + exact verify.
-
-    1. signatures (num_hashes minhashes) per doc;
-    2. band buckets: hash of each band_size-run of signature values —
-       docs sharing ANY band bucket become candidate pairs (equi-join on
-       the bucket — O(candidates), never a crossJoin);
-    3. exact token-set jaccard verification ≥ threshold.
-
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
-    """
+    """LSH band rows (key, __n, band, bucket) — the frame the candidate
+    self-join runs on. Exposed so a 100 TB deployment can MATERIALIZE it
+    bucketed by (band, bucket) (`bucketBy` + `saveAsTable`), making the
+    candidate join zero-exchange (tools/band_bucket_probe.py measures
+    exactly that); ``__n`` carries the distinct-token count for the
+    size-ratio prefilter."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     sigs = minhash_signature(df, num_hashes, text, key)
-    # Verify runs on 60-bit token hashes (longs), not strings: the exact
-    # jaccard is identical (collisions ~n²/2^61 ≈ never) and integer
-    # set-intersection is several× cheaper — this is the dominant cost on
-    # high-duplication corpora where candidates ≈ all pairs.
-    toksets = df.select(
-        F.col(key).alias("__k"),
-        F.transform(tokens(text, distinct=True), _hash60).alias("__toks"),
+    toksets = (
+        _toksets
+        if _toksets is not None
+        else df.select(
+            F.col(key).alias("__k"),
+            F.transform(tokens(text, distinct=True), _hash60).alias("__toks"),
+        )
     )
-
-    bands = sigs.join(
+    return sigs.join(
         toksets.select(F.col("__k"), F.size("__toks").alias("__n")),
         sigs[key] == F.col("__k"),
     ).select(
@@ -205,6 +200,35 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(key, "__n", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.7,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact verify.
+
+    1. signatures (num_hashes minhashes) per doc;
+    2. band buckets: hash of each band_size-run of signature values —
+       docs sharing ANY band bucket become candidate pairs (equi-join on
+       the bucket — O(candidates), never a crossJoin);
+    3. exact token-set jaccard verification ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    # Verify runs on 60-bit token hashes (longs), not strings: the exact
+    # jaccard is identical (collisions ~n²/2^61 ≈ never) and integer
+    # set-intersection is several× cheaper — this is the dominant cost on
+    # high-duplication corpora where candidates ≈ all pairs.
+    toksets = df.select(
+        F.col(key).alias("__k"),
+        F.transform(tokens(text, distinct=True), _hash60).alias("__toks"),
+    )
+    bands = minhash_bands(df, num_hashes, band_size, text, key, _toksets=toksets)
 
     left = bands.select(F.col(key).alias("doc_a"), F.col("__n").alias("na"), "band", "bucket")
     right = bands.select(F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket")

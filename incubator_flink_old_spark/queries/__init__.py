@@ -147,6 +147,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_funnel",
     "q_cohort_retention",
     "q_curate_full",
+    "q_approx_distinct",
 )
 
 
