@@ -796,14 +796,11 @@ def repetition_metrics(
         tokens(text).alias("__tka"),
     ).withColumn("__nt", F.size("__tka"))
     c2 = (
-        exploded_ngrams(staged, 2, carry=(key, "__nt"))
+        exploded_ngrams(staged, 2, carry=(key,))
         .groupBy(key, "g")
-        .agg(F.max("__nt").alias("__nt"), F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(key)
-        .agg(
-            F.max("__nt").alias("__nt"),
-            F.max("c").alias("__m2"),
-        )
+        .agg(F.max("c").alias("__m2"))
     )
     c5 = (
         exploded_ngrams(staged, 5, carry=(key,))
@@ -821,13 +818,16 @@ def repetition_metrics(
     dup5 = F.coalesce(
         F.col("__d5").cast("double") / F.col("__t5"), F.lit(0.0)
     )
+    # n_tokens comes from the document itself, NOT from the 2-gram agg:
+    # docs with <2 tokens have no gram rows (hypothesis found the 1-token
+    # doc reporting n_tokens=0 through the old carried-column path)
     return (
-        df.select(F.col(key).alias(key))
+        staged.select(key, "__nt")
         .join(c2, on=key, how="left")
         .join(c5, on=key, how="left")
         .select(
             key,
-            F.coalesce("__nt", F.lit(0)).alias("n_tokens"),
+            F.col("__nt").alias("n_tokens"),
             F.round(top2, 6).alias("top_2gram_frac"),
             F.round(dup5, 6).alias("dup_5gram_frac"),
             (

@@ -28,12 +28,12 @@ _SQL_TKA = r"""
     oracle=rf"""
     WITH toks AS ({_SQL_TKA}),
     g2 AS (
-        SELECT doc_id, len(tka) AS nt, tka[i] || ' ' || tka[i + 1] AS g
+        SELECT doc_id, tka[i] || ' ' || tka[i + 1] AS g
         FROM toks, unnest(generate_series(1, len(tka) - 1)) u(i)
         WHERE len(tka) >= 2),
     c2 AS (
-        SELECT doc_id, MAX(nt) AS nt, MAX(c) AS m2
-        FROM (SELECT doc_id, nt, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3)
+        SELECT doc_id, MAX(c) AS m2
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
         GROUP BY doc_id),
     g5 AS (
         SELECT doc_id, array_to_string(list_slice(tka, i, i + 4), ' ') AS g
@@ -45,16 +45,16 @@ _SQL_TKA = r"""
                SUM(c) AS t5
         FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2)
         GROUP BY doc_id)
-    SELECT d.doc_id,
-           COALESCE(c2.nt, 0) AS n_tokens,
-           ROUND(COALESCE(2.0 * c2.m2 / c2.nt, 0.0), 6) AS top_2gram_frac,
+    SELECT t.doc_id,
+           len(t.tka) AS n_tokens,
+           ROUND(COALESCE(2.0 * c2.m2 / len(t.tka), 0.0), 6) AS top_2gram_frac,
            ROUND(COALESCE(CAST(c5.d5 AS DOUBLE) / c5.t5, 0.0), 6) AS dup_5gram_frac,
-           COALESCE(2.0 * c2.m2 / c2.nt, 0.0) <= 0.2
+           COALESCE(2.0 * c2.m2 / len(t.tka), 0.0) <= 0.2
              AND COALESCE(CAST(c5.d5 AS DOUBLE) / c5.t5, 0.0) <= 0.3
                AS keep_repetition
-    FROM documents d
-    LEFT JOIN c2 ON d.doc_id = c2.doc_id
-    LEFT JOIN c5 ON d.doc_id = c5.doc_id
+    FROM toks t
+    LEFT JOIN c2 ON t.doc_id = c2.doc_id
+    LEFT JOIN c5 ON t.doc_id = c5.doc_id
     """,
 )
 def q_text_repetition(spark, sf_dir):
@@ -230,12 +230,12 @@ def _curate_oracle() -> str:
                    AS quality
         FROM toks t JOIN documents d USING (doc_id)),
     g2 AS (
-        SELECT doc_id, len(tka) AS nt, tka[i] || ' ' || tka[i + 1] AS g
+        SELECT doc_id, tka[i] || ' ' || tka[i + 1] AS g
         FROM toks, unnest(generate_series(1, len(tka) - 1)) u(i)
         WHERE len(tka) >= 2),
     c2 AS (
-        SELECT doc_id, MAX(nt) AS nt, MAX(c) AS m2
-        FROM (SELECT doc_id, nt, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3)
+        SELECT doc_id, MAX(c) AS m2
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
         GROUP BY doc_id),
     g5 AS (
         SELECT doc_id, array_to_string(list_slice(tka, i, i + 4), ' ') AS g
@@ -259,13 +259,14 @@ def _curate_oracle() -> str:
     surv AS (
         SELECT d.doc_id, d.lang, d.source,
                ROUND(q.quality, 6) AS quality,
-               COALESCE(c2.nt, 0) AS n_tokens,
+               len(tk2.tka) AS n_tokens,
                md5(regexp_replace(regexp_replace(d.text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
                    '\+?[0-9][0-9()\- ]{{6,}}[0-9]', '<PHONE>', 'g')) AS clean_fp
         FROM documents d
         JOIN fpx USING (doc_id)
         JOIN canon ON fpx.fp = canon.fp AND d.doc_id = canon.canon_id
+        JOIN toks tk2 ON d.doc_id = tk2.doc_id
         LEFT JOIN comp ON d.doc_id = comp.id
         JOIN q USING (doc_id)
         LEFT JOIN c2 ON d.doc_id = c2.doc_id
@@ -274,7 +275,7 @@ def _curate_oracle() -> str:
           AND d.doc_id % 97 <> 0
           AND d.doc_id = COALESCE(comp.component, d.doc_id)
           AND q.quality >= 0.4
-          AND COALESCE(2.0 * c2.m2 / c2.nt, 0.0) <= 0.2
+          AND COALESCE(2.0 * c2.m2 / len(tk2.tka), 0.0) <= 0.2
           AND COALESCE(CAST(c5.d5 AS DOUBLE) / c5.t5, 0.0) <= 0.3
           AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
     SELECT doc_id, lang, source, quality, n_tokens, clean_fp

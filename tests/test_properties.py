@@ -168,3 +168,94 @@ def test_stratified_sample_is_deterministic_subset(spark, frac):
     assert s1 == s2
     smaller = take(frac / 2)
     assert smaller.issubset(s1)
+
+
+# words drawn from a tiny alphabet so generated docs actually repeat
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_docs = st.lists(
+    st.lists(_words, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_docs)
+@settings(**SETTINGS)
+def test_repetition_metrics_match_python_reference(spark, texts):
+    """top-2-gram coverage and dup-5-gram fraction equal a direct python
+    computation on any generated corpus (incl. short/empty docs)."""
+    from collections import Counter
+
+    from incubator_flink_old_spark.operators.text import repetition_metrics
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = from_elements(spark, rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    for i, t in rows:
+        toks = [w for w in t.lower().split() if w]
+        g2 = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        g5 = [" ".join(toks[j : j + 5]) for j in range(len(toks) - 4)]
+        top2 = 2 * max(Counter(g2).values()) / len(toks) if g2 else 0.0
+        c5 = Counter(g5)
+        dup5 = sum(c for c in c5.values() if c > 1) / len(g5) if g5 else 0.0
+        assert got[i]["n_tokens"] == len(toks)
+        assert abs(got[i]["top_2gram_frac"] - round(top2, 6)) < 1e-9
+        assert abs(got[i]["dup_5gram_frac"] - round(dup5, 6)) < 1e-9
+
+
+@given(texts=_docs)
+@settings(**SETTINGS)
+def test_decontaminate_equals_python_set_overlap(spark, texts):
+    """n_hits equals the python set intersection of 3-gram sets against
+    the benchmark subset (every other doc)."""
+    from incubator_flink_old_spark.operators.text import decontaminate
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = from_elements(spark, rows, "doc_id long, text string")
+    bench_rows = [(i, t) for i, t in rows if i % 2 == 0]
+    bench = from_elements(spark, bench_rows, "doc_id long, text string") if bench_rows else df.limit(0)
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(df, bench, n=3).collect()}
+
+    def grams(t):
+        toks = [w for w in t.lower().split() if w]
+        return {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+
+    bench_set = set().union(*(grams(t) for _, t in bench_rows)) if bench_rows else set()
+    for i, t in rows:
+        assert got[i] == len(grams(t) & bench_set)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-8, max_value=8, allow_nan=False).filter(
+                lambda x: abs(x) > 1e-3 or x == 0.0
+            ),
+            min_size=2,
+            max_size=5,
+        ).filter(lambda v: any(x != 0.0 for x in v)),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_quantize_dequantize_bound(spark, vecs):
+    """For any nonzero vector: q8 ∈ [-127, 127], the max-|component| hits
+    ±127 exactly, and dequantized values reconstruct the unit vector
+    within half a quantization step (+ the 9dp scale rounding)."""
+    import math
+
+    from incubator_flink_old_spark.operators.similarity import quantize_embeddings
+
+    # pad to a rectangular matrix (spark arrays may be ragged; fine)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = from_elements(spark, rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, v in rows:
+        nrm = math.sqrt(sum(x * x for x in v))
+        unit = [x / nrm for x in v]
+        r = got[i]
+        assert max(abs(q) for q in r["q8"]) == 127
+        for q, x in zip(r["q8"], unit):
+            assert abs(q) <= 127
+            assert abs(q * r["scale"] - x) <= r["scale"] / 2 + 1e-6
