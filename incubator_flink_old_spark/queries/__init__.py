@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "llm_ops2",
     "llm_ops3",
     "analytics",
+    "surfaces",
 )
 
 LOAD_ERRORS: dict[str, str] = {}
@@ -132,6 +133,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_funnel",
     "q_cohort_retention",
     "q_approx_distinct",
+    "q_csv_roundtrip",
+    "q_partition_invariance",
+    "q_broadcast_filter",
     # round-2 TPC-H completion (the first few fill the remaining driver
     # slots; the rest get their driver row next round via rotation)
     "q_tpch_q2",

@@ -1,0 +1,114 @@
+"""Driver-checkable queries for the source/sink and partitioning
+surfaces that previously only pytest covered (SURVEY §2.1 S1/S2/S11,
+§2.6 U3, §2.8 F2): each query EXERCISES the surface (CSV round-trip,
+explicit repartitioning, broadcast variable) and returns a result whose
+oracle is the plain relational answer — the invariant under test is
+"the surface does not change the data"."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.queries import register
+from incubator_flink_old_spark.queries._util import t
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS n_customers,
+           SUM(CAST(LENGTH(c_name) AS BIGINT)) AS name_chars
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_csv_roundtrip(spark, sf_dir):
+    """S2+S11 driver-checked: write customer as CSV (writeAsCsv), read it
+    back with an explicit schema + includedFields projection mask
+    (readCsvFile), aggregate — the oracle computes the same aggregate
+    from the parquet view, so any loss/corruption in the text round-trip
+    hash-mismatches. Uses a per-run temp dir; the CSV codec must
+    preserve every row and column it claims to."""
+    from incubator_flink_old_spark.sources import read_csv
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="t2_csv_"), "customer_csv"
+    )
+    cust.write.mode("overwrite").option("header", "false").csv(out)
+    back = read_csv(
+        spark,
+        out,
+        schema="c_custkey long, c_name string, c_nationkey long",
+        included_fields=["c_name", "c_nationkey"],
+    )
+    return back.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.length("c_name").cast("long")).alias("name_chars"),
+    )
+
+
+@register(
+    "q_partition_invariance",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_custkey AS BIGINT)) AS custkey_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_partition_invariance(spark, sf_dir):
+    """U3 driver-checked: partitionByHash then rebalance, then aggregate
+    — results must be invariant under any explicit redistribution (the
+    reference's OutputEmitter contract). The aggregate is integer-exact,
+    so any row lost or duplicated by the exchanges hash-mismatches."""
+    from incubator_flink_old_spark.operators.relational import (
+        partition_by_hash,
+        rebalance,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    moved = rebalance(partition_by_hash(orders, "o_custkey"), 16)
+    return moved.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_custkey").cast("long")).alias("custkey_sum"),
+    )
+
+
+@register(
+    "q_broadcast_filter",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers
+    FROM supplier
+    WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+    GROUP BY s_nationkey
+    """,
+)
+def q_broadcast_filter(spark, sf_dir):
+    """F2 driver-checked: a broadcast variable (withBroadcastSet) built
+    from the small nation dim filters the supplier scan via isin — the
+    worker-side-readable broadcast the reference's rich functions use,
+    with the relational IN-subquery as the oracle."""
+    from incubator_flink_old_spark.functions import with_broadcast_set
+
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1).select(
+        "n_nationkey"
+    )
+    bc = with_broadcast_set(spark, nat, "region1_nations")
+    keys = [r["n_nationkey"] for r in bc.value]
+    sup = t(spark, sf_dir, "supplier")
+    return (
+        sup.filter(F.col("s_nationkey").isin(keys))
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
