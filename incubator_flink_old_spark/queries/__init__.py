@@ -136,6 +136,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_csv_roundtrip",
     "q_partition_invariance",
     "q_broadcast_filter",
+    "q_profile_table",
     # round-2 TPC-H completion (the first few fill the remaining driver
     # slots; the rest get their driver row next round via rotation)
     "q_tpch_q2",

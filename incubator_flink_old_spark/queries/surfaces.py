@@ -112,3 +112,68 @@ def q_broadcast_filter(spark, sf_dir):
         .groupBy("s_nationkey")
         .agg(F.count(F.lit(1)).alias("n_suppliers"))
     )
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_nonnull,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           COUNT(*), COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           COUNT(*), COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           CAST(MIN(l_discount) AS DOUBLE),
+           CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def q_profile_table(spark, sf_dir):
+    """Data profiling (the ANALYZE/statistics pass a warehouse runs
+    before planning): per-column row/non-null/distinct counts and
+    min/max for three lineitem measures, computed in ONE scan — the
+    per-column stats unpivot from a single aggregation row instead of
+    one job per column (the oracle spells it as three scans because SQL
+    has no single-pass unpivot-agg; values are identical)."""
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__mn"),
+            F.max(c).cast("double").alias(f"{c}__mx"),
+        ]
+    one = li.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"{c}__n").alias("n_rows"),
+                        F.col(f"{c}__nn").alias("n_nonnull"),
+                        F.col(f"{c}__nd").alias("n_distinct"),
+                        F.col(f"{c}__mn").alias("min_v"),
+                        F.col(f"{c}__mx").alias("max_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.*")
