@@ -129,14 +129,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_decontaminate",
     "q_domain_cap",
     "q_embed_quantize",
-    "q_time_rollup",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_approx_distinct",
     "q_csv_roundtrip",
     "q_partition_invariance",
     "q_broadcast_filter",
     "q_profile_table",
+    "q_time_rollup",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_approx_distinct",
+    "q_lm_score",
+    "q_gap_fill",
     # round-2 TPC-H completion (the first few fill the remaining driver
     # slots; the rest get their driver row next round via rotation)
     "q_tpch_q2",

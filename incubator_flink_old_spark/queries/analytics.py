@@ -192,3 +192,50 @@ def q_approx_distinct(spark, sf_dir):
             ).alias("within_5pct"),
         )
     )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    c AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT s.hour, t.event_type, COALESCE(c.n, 0) AS n_events
+    FROM spine s
+    CROSS JOIN ty t
+    LEFT JOIN c ON s.hour = c.hour AND t.event_type = c.event_type
+    """,
+)
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap filling: a dense (hour × event_type) spine over
+    the observed range, zero-filling hours with no events — what every
+    downstream chart/forecast needs and raw groupBy can't produce. The
+    spine generates from ONE 1-row bounds agg (sequence + explode, both
+    sides of the crossJoin tiny/broadcast); the fact table is scanned
+    once."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(types)
+        .join(counts, on=["hour", "event_type"], how="left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )

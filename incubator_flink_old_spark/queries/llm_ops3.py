@@ -296,3 +296,39 @@ def q_curate_full(spark, sf_dir):
     from incubator_flink_old_spark.operators.text import curate
 
     return curate(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_lm_score",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tk GROUP BY w),
+    tot AS (SELECT SUM(c) AS s FROM cnt)
+    SELECT doc_id, ROUND(AVG(ln(c / s)), 6) AS lm_score
+    FROM tk JOIN cnt USING (w), tot
+    GROUP BY doc_id
+    """,
+)
+def q_lm_score(spark, sf_dir):
+    """Unigram-LM quality proxy (the cheap stand-in for perplexity
+    filtering): corpus unigram frequencies → per-document mean token
+    log-probability. Two aggregations sharing one token explode; the
+    count table joins back keyed by token (co-partitioned at scale,
+    broadcast at this sf) and the 1-row total folds in as a broadcast
+    crossJoin. Rounded to 6dp — double reorder noise is ~1e-14."""
+    docs = t(spark, sf_dir, "documents")
+    from incubator_flink_old_spark.operators.text import tokens
+
+    tk = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    cnt = tk.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("s"))
+    return (
+        tk.join(cnt, on="w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("s"))), 6).alias("lm_score"))
+    )
