@@ -26,10 +26,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(text_col: Column | str, distinct: bool = False) -> Column:
-    """Whitespace tokenization to a (optionally distinct) token array."""
+    """Whitespace tokenization to a (optionally distinct) token array.
+
+    NULL text tokenizes to an EMPTY array, not NULL: `size(NULL)` is -1
+    under Spark's legacy default, and a -1 token count poisons every
+    downstream ratio. Ingest at scale always contains null payloads —
+    they must degrade to "empty document", never to sentinel values.
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     arr = F.split(F.lower(c), r"\s+")
     arr = F.filter(arr, lambda x: x != "")
+    arr = F.coalesce(arr, F.array().cast("array<string>"))
     return F.array_distinct(arr) if distinct else arr
 
 

@@ -64,3 +64,51 @@ def test_bulk_iterate_on_empty(spark):
     d = _empty(spark, "v int")
     out = bulk_iterate(d, lambda df, i: df, max_iterations=3)
     assert out.count() == 0
+
+
+def test_empty_wave3_curation_ops(spark):
+    from incubator_flink_old_spark.operators.similarity import (
+        quantize_embeddings,
+        semantic_dedup,
+    )
+    from incubator_flink_old_spark.operators.text import (
+        curate,
+        decontaminate,
+        dedup_clusters,
+        domain_cap,
+        repetition_metrics,
+    )
+
+    d = _empty(spark, "doc_id long, text string, lang string, source string")
+    assert repetition_metrics(d).count() == 0
+    assert decontaminate(d, d).count() == 0
+    assert domain_cap(d, cap=3).count() == 0
+    assert dedup_clusters(d, band_size=4).count() == 0
+    assert curate(d).count() == 0
+    e = _empty(spark, "vec_id long, embedding array<float>")
+    assert quantize_embeddings(e).count() == 0
+    assert semantic_dedup(e).count() == 0
+
+
+def test_null_text_rows_do_not_poison_metrics(spark):
+    """A NULL text row must yield well-defined per-doc metrics (zeros /
+    keep flags), not nulls or exceptions — ingest at scale always
+    contains some null payloads."""
+    from incubator_flink_old_spark.operators.text import (
+        quality_score,
+        repetition_metrics,
+        text_stats,
+    )
+
+    df = from_elements(
+        spark,
+        [(1, None), (2, "the quick fox")],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert rep[2]["n_tokens"] == 3
+    assert rep[1]["n_tokens"] == 0  # documented: null text ≡ empty
+    assert rep[1]["top_2gram_frac"] == 0.0
+    # stats/quality must not throw on the null row
+    assert text_stats(df).count() == 2
+    assert quality_score(df).count() == 2
