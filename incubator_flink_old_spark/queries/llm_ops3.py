@@ -332,3 +332,100 @@ def q_lm_score(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.avg(F.log(F.col("c") / F.col("s"))), 6).alias("lm_score"))
     )
+
+
+@register(
+    "q_data_mixture",
+    oracle="""
+    WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    n AS (
+        SELECT d.source, w.w, COUNT(*) AS n
+        FROM documents d JOIN w ON d.source = w.source
+        GROUP BY d.source, w.w),
+    t AS (SELECT MIN(n / w) AS t FROM n),
+    fr AS (SELECT source, w * t.t / n AS frac FROM n, t)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN fr ON d.source = fr.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000
+          < CAST(fr.frac * 1000000 AS BIGINT)
+    """,
+)
+def q_data_mixture(spark, sf_dir):
+    """Dataset mixing — the step that assembles a training corpus to
+    target source proportions: given weights per source, the largest
+    feasible total WITHOUT upsampling is T = min(n_s / w_s); each source
+    then downsamples at w_s·T/n_s via the same deterministic
+    md5-Bernoulli used by stratified sampling (reproducible across
+    engines/runs/partitionings, no shuffle on the fact side — the
+    per-source fractions are a broadcast dim)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = spark.createDataFrame(
+        [("src0", 0.5), ("src1", 0.3), ("src2", 0.2)], "source string, w double"
+    )
+    n = (
+        docs.join(F.broadcast(weights), on="source")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tt = n.agg(F.min(F.col("n") / F.col("w")).alias("t"))
+    fr = n.crossJoin(F.broadcast(tt)).select(
+        "source", (F.col("w") * F.col("t") / F.col("n")).alias("frac")
+    )
+    keep = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1_000_000
+    ) < (F.col("frac") * 1_000_000).cast("long")
+    return (
+        docs.join(F.broadcast(fr), on="source")
+        .filter(keep)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "q_vocab_topk_coverage",
+    oracle="""
+    WITH tk AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tk GROUP BY w),
+    tot AS (SELECT SUM(c) AS s FROM cnt),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM cnt)
+    SELECT k,
+           ROUND(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) / MAX(tot.s), 6)
+               AS covered_share
+    FROM ranked, tot, (VALUES (10), (100), (1000)) ks(k)
+    GROUP BY k
+    """,
+)
+def q_vocab_topk_coverage(spark, sf_dir):
+    """Tokenizer-fit analysis: what share of all token OCCURRENCES the
+    top-K vocabulary covers, for K in {10, 100, 1000}. Top-K via
+    TakeOrderedAndProject (per-partition heaps — no single-task global
+    window), then one broadcast semi-join sum per K against the count
+    table; the decision 'how big must the vocab be' falls out of the
+    curve."""
+    from incubator_flink_old_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select(F.explode(tokens("text")).alias("w"))
+    cnt = tk.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
+    total = cnt.agg(F.sum("c").alias("s"))
+    parts = []
+    for k in (10, 100, 1000):
+        topk = cnt.orderBy(F.col("c").desc(), F.col("w")).limit(k)
+        parts.append(
+            topk.agg(F.sum("c").alias("top_c")).select(
+                F.lit(k).alias("k"), "top_c"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.crossJoin(F.broadcast(total)).select(
+        "k", F.round(F.col("top_c") / F.col("s"), 6).alias("covered_share")
+    )
