@@ -988,3 +988,73 @@ def curate(
             F.md5(F.encode(scrub_pii(F.col(text)), "UTF-8")).alias("clean_fp"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-dup pairs by SET CONTAINMENT |A∩B| / |A| — the
+    relation symmetric jaccard misses: quotations, excerpts, and
+    wrapped copies where a small document lives inside a larger one.
+
+    Candidates come from the same MinHash band buckets as the jaccard
+    path but WITHOUT the size-ratio prefilter (containment explicitly
+    allows very different sizes; LSH recall for small⊂big is reduced —
+    at production scale add rare-token blocking for the long tail).
+    Each unordered candidate verifies BOTH directions over 60-bit token
+    hashes.
+
+    Output: (contained, container, containment) rows, one per direction
+    clearing the threshold.
+    """
+    toksets = df.select(
+        F.col(key).alias("__k"),
+        F.transform(tokens(text, distinct=True), _hash60).alias("__toks"),
+    )
+    bands = minhash_bands(df, num_hashes, band_size, text, key, _toksets=toksets)
+    left = bands.select(F.col(key).alias("doc_a"), "band", "bucket")
+    right = bands.select(F.col(key).alias("doc_b"), "band", "bucket")
+    cands = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    scored = (
+        cands.join(
+            toksets.select(F.col("__k").alias("doc_a"), F.col("__toks").alias("ta")),
+            on="doc_a",
+        )
+        .join(
+            toksets.select(F.col("__k").alias("doc_b"), F.col("__toks").alias("tb")),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("__i"),
+            F.size("ta").alias("__la"),
+            F.size("tb").alias("__lb"),
+        )
+    )
+    ab = scored.select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        (F.col("__i").cast("double") / F.col("__la")).alias("containment"),
+    )
+    ba = scored.select(
+        F.col("doc_b").alias("contained"),
+        F.col("doc_a").alias("container"),
+        (F.col("__i").cast("double") / F.col("__lb")).alias("containment"),
+    )
+    return (
+        ab.union(ba)
+        .filter(F.col("containment") >= threshold)
+        .select("contained", "container", F.round("containment", 6).alias("containment"))
+    )

@@ -141,6 +141,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_gap_fill",
     "q_data_mixture",
     "q_vocab_topk_coverage",
+    "q_containment_pairs",
     # round-2 TPC-H completion (the first few fill the remaining driver
     # slots; the rest get their driver row next round via rotation)
     "q_tpch_q2",

@@ -429,3 +429,68 @@ def q_vocab_topk_coverage(spark, sf_dir):
     return out.crossJoin(F.broadcast(total)).select(
         "k", F.round(F.col("top_c") / F.col("s"), 6).alias("covered_share")
     )
+
+
+def _containment_oracle(num_hashes: int = 8, band_size: int = 4, threshold: float = 0.8) -> str:
+    """Band candidates (NO size prefilter — containment allows very
+    different sizes), then both directions of |A∩B|/|A| verified."""
+    mh_exprs = ",\n               ".join(
+        f"list_aggregate(list_transform(tk, x -> md5('{j}|' || x)), 'min') AS mh{j}"
+        for j in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh{b * band_size + r}" for r in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+    from incubator_flink_old_spark.queries.llm_ops import SQL_TOKS
+
+    return rf"""
+    WITH toks AS ({SQL_TOKS}),
+    sigs AS (
+        SELECT doc_id, tk,
+               {mh_exprs}
+        FROM toks
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(ta.tk, tb.tk)) AS i,
+               len(ta.tk) AS la, len(tb.tk) AS lb
+        FROM cands c
+        JOIN toks ta ON c.doc_a = ta.doc_id
+        JOIN toks tb ON c.doc_b = tb.doc_id
+    )
+    SELECT contained, container, ROUND(containment, 6) AS containment
+    FROM (
+        SELECT doc_a AS contained, doc_b AS container,
+               CAST(i AS DOUBLE) / la AS containment
+        FROM scored
+        UNION ALL
+        SELECT doc_b, doc_a, CAST(i AS DOUBLE) / lb FROM scored
+    )
+    WHERE containment >= {threshold}
+    """
+
+
+@register("q_containment_pairs", oracle=_containment_oracle())
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup pairs by set containment |A∩B|/|A| ≥ 0.8 —
+    catches excerpts/quotations/wrapped copies that symmetric jaccard
+    misses. MinHash band candidates without the size-ratio prefilter,
+    both directions verified over 60-bit token hashes
+    (operators/text.containment_pairs)."""
+    from incubator_flink_old_spark.operators.text import containment_pairs
+
+    return containment_pairs(t(spark, sf_dir, "documents"))
