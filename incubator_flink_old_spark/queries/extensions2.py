@@ -97,7 +97,7 @@ def q_fn_regex(spark, sf_dir):
     "q_agg_collect",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
+           array_to_string(list_sort(list(n_name)), '|') AS nations,
            len(list(n_name)) AS n
     FROM nation GROUP BY n_regionkey
     """,
@@ -105,12 +105,18 @@ def q_fn_regex(spark, sf_dir):
 def q_agg_collect(spark, sf_dir):
     """Array-valued aggregation: collect_list sorted for determinism
     (collection order is partition-dependent; sort_array pins it — the
-    engine's rule for any array-typed agg output)."""
+    engine's rule for any array-typed agg output). The array is emitted
+    as a '|'-joined string: the driver's pandas canonicalizer cannot
+    sort/hash ndarray cells (CORRECTNESS_r02 err), and a delimited
+    scalar exercises the identical collect+sort work with a hashable
+    result."""
     return (
         t(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias(
+                "nations"
+            ),
             F.count(F.lit(1)).alias("n"),
         )
     )

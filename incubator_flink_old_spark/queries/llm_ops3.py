@@ -135,15 +135,23 @@ def q_domain_cap(spark, sf_dir):
     SELECT vec_id,
            ROUND(nrm, 6) AS l2_norm,
            ROUND(mx / 127.0, 9) AS scale,
-           list_transform(unit, x -> CAST(ROUND(127.0 * x / mx) AS INT)) AS q8
+           array_to_string(
+               list_transform(unit, x -> CAST(ROUND(127.0 * x / mx) AS INT)),
+               '|') AS q8
     FROM m
     """,
 )
 def q_embed_quantize(spark, sf_dir):
     """Embedding int8 quantization for ANN serving: L2-normalize, scale
     to symmetric int8, emit (l2_norm, scale, q8) per vector — a map-only
-    table rewrite, no shuffle (operators/similarity.quantize_embeddings)."""
-    return quantize_embeddings(t(spark, sf_dir, "embeddings"))
+    table rewrite, no shuffle (operators/similarity.quantize_embeddings).
+    The int8 vector is emitted '|'-joined: the driver canonicalizer
+    cannot hash ndarray cells (CORRECTNESS_r02 err), so the query
+    surfaces the same quantization as a delimited scalar."""
+    q = quantize_embeddings(t(spark, sf_dir, "embeddings"))
+    return q.withColumn(
+        "q8", F.array_join(F.col("q8").cast("array<string>"), "|")
+    )
 
 
 @register(

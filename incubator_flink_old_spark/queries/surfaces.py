@@ -21,7 +21,7 @@ from incubator_flink_old_spark.queries._util import t
     oracle="""
     SELECT c_nationkey AS nationkey,
            COUNT(*) AS n_customers,
-           SUM(CAST(LENGTH(c_name) AS BIGINT)) AS name_chars
+           CAST(SUM(CAST(LENGTH(c_name) AS BIGINT)) AS BIGINT) AS name_chars
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -59,7 +59,7 @@ def q_csv_roundtrip(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_custkey AS BIGINT)) AS custkey_sum
+           CAST(SUM(CAST(o_custkey AS BIGINT)) AS BIGINT) AS custkey_sum
     FROM orders
     GROUP BY o_orderpriority
     """,

@@ -92,14 +92,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-replay streaming source over the events fixture (the same
     parquet the batch forms read, replayed file-at-a-time).
 
-    The events parquet stores TIMESTAMP(NANOS); streaming reads it as long
-    nanos (same legacy conf as batch) and normalizes to µs timestamps.
+    The events fixture stores ``ts`` as TIMESTAMP(MICROS) (verified on
+    every sf dir), which Spark's vectorized reader handles natively —
+    the schema declares it TIMESTAMP directly, matching the batch path
+    (sources.load_table). Round-2 bug: this reader declared ``ts long``
+    and applied the NANOS normalization ``ts div 1000`` to a MICROS
+    payload, shrinking all event times 1000× (epochs ~1.7e6 instead of
+    ~1.7e9) — which silently broke every downstream gap/session
+    computation. Unit mistakes at the source are the worst class of
+    silent corruption; keep source schemas aligned with the file's
+    physical type.
     """
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
+        "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
-    raw = (
+    return (
         spark.readStream.schema(schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
@@ -107,7 +115,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def stateful_session_stats(
@@ -130,6 +137,14 @@ def stateful_session_stats(
     the final open session when the watermark passes. Output rows:
     (user_id, session_start, session_end, n_events, total_value).
 
+    Event time crosses the Arrow boundary as a PLAIN DOUBLE of epoch
+    seconds computed Spark-side (``ts.cast("double")`` on TIMESTAMP) —
+    never as a datetime the Python worker must decode. Round-2 bug:
+    ``rows[ts].astype("int64")/1e9`` read the Arrow int64 payload at
+    microsecond scale under a datetime64[ns] label, shrinking every gap
+    1000× so no session ever closed. Keeping time semantics JVM-side is
+    the engine-wide policy; this operator now follows it.
+
     Scale: state lives in the state store partitioned by key; watermark
     bounds retention.
     """
@@ -140,6 +155,7 @@ def stateful_session_stats(
         "n_events long, total_value double"
     )
     state_schema = "start double, last double, n long, total double"
+    epoch_col = "__epoch_s"
 
     def fn(key_tuple, pdfs, state: GroupState):
         import pandas as pd  # re-import: runs on workers
@@ -158,8 +174,8 @@ def stateful_session_stats(
             )
             return
 
-        rows = pd.concat(list(pdfs)).sort_values([ts_col, "event_id"])
-        epochs = rows[ts_col].astype("int64") / 1e9
+        rows = pd.concat(list(pdfs)).sort_values([epoch_col, "event_id"])
+        epochs = rows[epoch_col]
         closed = []
         if state.exists:
             start, last, n, total = state.get
@@ -188,7 +204,8 @@ def stateful_session_stats(
             )
 
     return (
-        events.withWatermark(ts_col, watermark)
+        events.withColumn(epoch_col, F.col(ts_col).cast("double"))
+        .withWatermark(ts_col, watermark)
         .groupBy(key)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
