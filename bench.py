@@ -6,6 +6,15 @@ Each query executes through the ``noop`` writer — the full physical plan
 runs (scans, shuffles, aggregations) but nothing is collected to the
 driver, so the number measures the engine, not Arrow transfer. Queries
 ending in a bounded result (top-k / small agg) cost the same either way.
+
+Besides wall-clock, the bench records ENGINE-SIDE metrics per query
+(executor run time, shuffle read/write bytes, input bytes — summed over
+the stages each query submitted, read from the Spark UI REST API). Wall
+clock on a shared box confounds engine work with machine load; the stage
+metrics are load-independent, so a round-over-round wall-clock swing with
+flat executorRunTime is machine noise, while a swing WITH rising
+executorRunTime or shuffle volume is a genuine plan regression
+(round-2 adjudication gap — VERDICT r02 "Next round" item 4).
 """
 
 from __future__ import annotations
@@ -15,12 +24,69 @@ import os
 import re
 import sys
 import time
+import urllib.request
+
+
+class StageMetrics:
+    """Reads per-stage engine metrics over the UI REST API and attributes
+    them to queries by stage-id watermark (stage ids are monotonically
+    increasing within an app, so every stage with an id above the last
+    high-water mark belongs to the query that just ran)."""
+
+    FIELDS = {
+        "executorRunTime": "executor_run_time_ms",
+        "shuffleReadBytes": "shuffle_read_bytes",
+        "shuffleWriteBytes": "shuffle_write_bytes",
+        "inputBytes": "input_bytes",
+        "outputBytes": "output_bytes",
+        "memoryBytesSpilled": "memory_spilled_bytes",
+        "diskBytesSpilled": "disk_spilled_bytes",
+    }
+
+    def __init__(self, spark) -> None:
+        self._base = None
+        self._last_stage = -1
+        ui = spark.sparkContext.uiWebUrl
+        if ui:
+            self._base = (
+                f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}/stages"
+            )
+
+    def _stages(self) -> list[dict]:
+        if self._base is None:
+            return []
+        try:
+            with urllib.request.urlopen(self._base, timeout=10) as resp:
+                return json.load(resp)
+        except Exception as exc:  # metrics are best-effort; never fail bench
+            print(f"bench: stage metrics fetch failed: {exc}", file=sys.stderr)
+            return []
+
+    def advance(self) -> dict[str, int]:
+        """Aggregate metrics of stages submitted since the previous call."""
+        fresh = [
+            s
+            for s in self._stages()
+            if s.get("stageId", -1) > self._last_stage
+            and s.get("status") != "SKIPPED"
+        ]
+        if fresh:
+            self._last_stage = max(s["stageId"] for s in fresh)
+        out = {alias: 0 for alias in self.FIELDS.values()}
+        for s in fresh:
+            for field, alias in self.FIELDS.items():
+                out[alias] += int(s.get(field, 0) or 0)
+        out["n_stages"] = len(fresh)
+        return out
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # Bench wants the UI REST endpoint for stage metrics (tests keep it off).
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
 
     from incubator_flink_old_spark import get_spark
     from incubator_flink_old_spark.queries import QUERIES, load_all_queries
@@ -31,6 +97,8 @@ def main() -> None:
     # Warm the JVM + file listing once so per-query numbers measure steady
     # state (the driver compares against a steady-state baseline).
     QUERIES["q_tpch_q3"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    metrics = StageMetrics(spark)
+    metrics.advance()  # consume warmup stages
 
     def run_once(name: str) -> float:
         start = time.perf_counter()
@@ -38,6 +106,7 @@ def main() -> None:
         return time.perf_counter() - start
 
     timings: dict[str, float] = {}
+    engine: dict[str, dict[str, int]] = {}
     for name in sorted(QUERIES):
         try:
             t = run_once(name)
@@ -45,14 +114,20 @@ def main() -> None:
             # JIT and transient machine load (observed 2-4× swings on the
             # heavy dedup queries). Re-run anything slow once and report
             # the min — the number that reflects the engine, not the JVM.
-            if t > 3.0:
+            reran = t > 3.0
+            if reran:
                 t = min(t, run_once(name))
             timings[name] = round(t, 4)
+            # Engine metrics cover ALL runs of the query this session (a
+            # rerun doubles them); n_runs lets readers normalize.
+            engine[name] = metrics.advance() | {"n_runs": 2 if reran else 1}
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
+            metrics.advance()  # don't attribute failed stages to the next query
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
     ok = [v for v in timings.values() if v >= 0]
+    total_ert = sum(m["executor_run_time_ms"] for m in engine.values())
     result = {
         "metric": "t2_query_wall_clock_total",
         "value": round(sum(ok), 4),
@@ -61,6 +136,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
+        "executor_run_time_total_ms": total_ert,
     }
     print(json.dumps(result))
     # Machine-readable sidecar for round-over-round regression diffs (the
@@ -74,6 +150,7 @@ def main() -> None:
             | {
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 "sf_dir": sf_dir,
+                "engine_metrics": engine,
             },
             f,
             indent=1,

@@ -78,72 +78,10 @@ LOAD_ERRORS: dict[str, str] = {}
 #: after the priority block. Purely an ordering hint — every query stays
 #: registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # new this round (no driver row yet)
-    "q_simhash_pairs",
-    "q_sim_ivf_topk",
-    "q_dedup_cluster",
-    "q_text_chunks",
-    "q_sample_stratified",
-    "q_training_corpus",
-    # round-1 registered but driver-unchecked (VERDICT.md "What's missing" #1)
-    "q_pregel_sssp",
-    "q_transitive_closure",
-    "q_triangles",
-    "q_iterate_pagerank",
-    "q_iterate_kmeans",
-    "q_wordcount",
-    "q_text_stats",
-    "q_text_quality",
-    "q_text_lang_id",
-    "q_text_fingerprint",
-    "q_text_dedup",
-    "q_dedup_minhash",
-    "q_text_simhash",
-    "q_dedup_ngram",
-    "q_sim_topk",
-    "q_sim_lsh_pairs",
-    "q_multimodal_pipeline",
-    "q_text_scrub",
-    "q_text_vocab",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_asof_join",
-    "q_range_join",
-    "q_pivot",
-    "q_agg_percentile",
-    "q_sample_hash",
-    "q_explode_pos",
-    "q_agg_grouping_sets",
-    "q_unpivot",
-    "q_fn_regex",
-    "q_agg_collect",
-    "q_subquery_exists",
-    "q_window_frames",
-    "q_window_ntile",
-    # wave-3 curation + analytics ops: the north-star section the judge
-    # grades first-class — they take driver slots ahead of the TPC-H
-    # completion remainder (which the in-repo gate covers meanwhile)
-    "q_curate_full",
-    "q_semantic_dedup",
-    "q_text_repetition",
-    "q_decontaminate",
-    "q_domain_cap",
-    "q_embed_quantize",
-    "q_csv_roundtrip",
-    "q_partition_invariance",
-    "q_broadcast_filter",
-    "q_profile_table",
-    "q_time_rollup",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_approx_distinct",
-    "q_lm_score",
-    "q_gap_fill",
-    "q_data_mixture",
-    "q_vocab_topk_coverage",
-    "q_containment_pairs",
-    # round-2 TPC-H completion (the first few fill the remaining driver
-    # slots; the rest get their driver row next round via rotation)
+    # --- round-3 rotation (VERDICT r02 items 1–3): the 24 queries with no
+    # --- driver row yet (union of CORRECTNESS_r01+r02), the 4 re-checks
+    # --- whose r02 rows were non-green, and the new S1 surface query.
+    # TPC-H completion (15) — registered r02, never driver-checked
     "q_tpch_q2",
     "q_tpch_q4",
     "q_tpch_q7",
@@ -159,6 +97,49 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
+    # analytics / curation (9) — registered r02, never driver-checked
+    "q_time_rollup",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_approx_distinct",
+    "q_lm_score",
+    "q_gap_fill",
+    "q_data_mixture",
+    "q_vocab_topk_coverage",
+    "q_containment_pairs",
+    # re-checks: r02 rows were err (array canonicalization) or
+    # hash-mismatch (oracle HUGEINT typing) — fixed this round
+    "q_agg_collect",
+    "q_embed_quantize",
+    "q_csv_roundtrip",
+    "q_partition_invariance",
+    # new this round (no driver row yet)
+    "q_source_text",
+    # the pytest-regression query sits adjacent to the stream-source fix;
+    # keep its driver row fresh too
+    "q_event_dedup",
+    # remaining slots: re-confirm the heaviest / most-load-bearing greens
+    # so a plan regression in them surfaces immediately
+    "q_curate_full",
+    "q_dedup_minhash",
+    "q_dedup_cluster",
+    "q_semantic_dedup",
+    "q_sim_ivf_topk",
+    "q_multimodal_pipeline",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_iterate_cc",
+    "q_iterate_pagerank",
+    "q_pregel_sssp",
+    "q_wordcount",
+    "q_window_frames",
+    "q_simhash_pairs",
+    "q_text_simhash",
 )
 
 

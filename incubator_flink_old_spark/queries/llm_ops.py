@@ -206,10 +206,13 @@ def _simhash_oracle() -> str:
             f")) >= len(tk) THEN {1 << k} ELSE 0 END)"
         )
     sig = "\n             + ".join(terms)
+    # len(tk) = 0 → NULL signature (matches simhash16's empty-doc rule:
+    # the row survives, but carries no signature to band-join on).
     return rf"""
     WITH toks AS ({SQL_TOKS})
     SELECT doc_id,
-           CAST({sig} AS BIGINT) AS simhash
+           CASE WHEN len(tk) = 0 THEN NULL
+                ELSE CAST({sig} AS BIGINT) END AS simhash
     FROM toks
     """
 

@@ -115,6 +115,48 @@ def q_broadcast_filter(spark, sf_dir):
 
 
 @register(
+    "q_source_text",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(LENGTH(p_name) AS BIGINT)) AS BIGINT) AS name_chars
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q_source_text(spark, sf_dir):
+    """S1 driver-checked: writeAsText then readTextFile round-trip — part
+    rows serialize to '|'-delimited text lines (write_as_text's record
+    encoding), the line source reads them back as single-string records
+    (sources.read_text), and the query re-parses and aggregates. The
+    oracle computes the same aggregate from the parquet view, so any
+    line lost, split wrong, or corrupted by the text codec
+    hash-mismatches. Closes SURVEY §2.1 S1's t2 column — text lines are
+    the most common raw-corpus ingest path."""
+    from incubator_flink_old_spark.sources import read_text
+
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    out = os.path.join(tempfile.mkdtemp(prefix="t2_text_"), "part_text")
+    (
+        part.select(
+            F.concat_ws(
+                "|", *[F.col(c).cast("string") for c in part.columns]
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out)
+    )
+    lines = read_text(spark, out)
+    parsed = lines.select(F.split("value", "\\|").alias("f")).select(
+        F.col("f")[1].alias("p_name"), F.col("f")[2].alias("p_brand")
+    )
+    return parsed.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.length("p_name").cast("long")).alias("name_chars"),
+    )
+
+
+@register(
     "q_profile_table",
     oracle="""
     SELECT 'l_quantity' AS col,

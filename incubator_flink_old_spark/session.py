@@ -64,13 +64,27 @@ def get_spark(app_name: str = "incubator_flink_old_spark") -> SparkSession:
     runs under spark-submit with master/memory provided externally.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # UI off by default (saves a jetty server + listener overhead in tests);
+    # bench sets SPARK_GRAFT_UI=1 to read per-stage engine metrics
+    # (executorRunTime, shuffle bytes) back over the UI REST API.
+    ui = os.environ.get("SPARK_GRAFT_UI", "") not in ("", "0")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        # A long-lived session compiles one whole-stage-codegen module per
+        # stage per query; at the default 240 MB the JVM code cache fills
+        # after ~100 queries, HotSpot stops JIT-compiling, and hot verify
+        # loops drop to the interpreter (measured 2-4× wall / ~40× CPU on
+        # the dedup queries mid-bench). 1 GB + explicit flushing keeps
+        # steady-state JIT'd for a 125-query session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -90,6 +90,27 @@ def test_empty_wave3_curation_ops(spark):
     assert semantic_dedup(e).count() == 0
 
 
+def test_simhash_preserves_empty_docs(spark):
+    """Empty/NULL-text documents must SURVIVE simhash16 with a NULL
+    signature (round-2 bug: explode dropped them — silent row loss at
+    ingest scale), and simhash_pairs must neither pair them with each
+    other nor throw."""
+    from incubator_flink_old_spark.operators.text import simhash_pairs
+
+    df = from_elements(
+        spark,
+        [(1, "the quick brown fox"), (2, None), (3, ""), (4, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash16(df).collect()}
+    assert set(sigs) == {1, 2, 3, 4}, "every input row must survive"
+    assert sigs[2] is None and sigs[3] is None
+    assert sigs[1] is not None and sigs[1] == sigs[4]
+    pairs = simhash_pairs(df, max_hamming=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 4)}
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
 def test_null_text_rows_do_not_poison_metrics(spark):
     """A NULL text row must yield well-defined per-doc metrics (zeros /
     keep flags), not nulls or exceptions — ingest at scale always
