@@ -309,7 +309,7 @@ def simhash16(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
     # bits [(3-k//4)*4, +3] of the parsed value, its bit (3-k%4) is the
     # recipe's bit k) — the per-bit counts below are then pure integer
     # shifts over this staged array, no string work.
-    staged = df.select(
+    staged = _spread(df.select(key, text)).select(
         F.col(key).alias(key),
         F.size(dtoks).alias("__n"),
         F.transform(
@@ -704,6 +704,35 @@ def _hash60(tok: Column) -> Column:
     """60-bit integer token hash: first 15 hex digits of md5, portable to
     DuckDB as ('0x' || substr(md5(x), 1, 15))::BIGINT."""
     return F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row work (per-token md5 signatures) has at
+    least the cluster's parallelism underneath it — for MAP-ONLY
+    pipelines (simhash16).
+
+    A small corpus arrives as one unsplittable parquet row group, so a
+    map-only signature pipeline runs in ONE task regardless of cores.
+    Repartition ONLY when the scan's split count is well below
+    defaultParallelism: on a production table (thousands of splits) this
+    is a no-op, so the 100 TB plan never pays the shuffle; on toy inputs
+    the shuffle moves <1 MB of text and parallelizes the hashing. The
+    partition-count probe compiles the plan but runs no job.
+
+    Do NOT apply under join pipelines: measured 2× SLOWER on the minhash
+    family at sf0.1 — the injected round-robin Exchange displaces AQE's
+    broadcast/local-shuffle-read choices for every join above it, and the
+    extra plan nodes outweigh the parallel hashing.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans; stay safe
+        return df
+    if 2 * n <= target:
+        return df.repartition(target)
+    return df
 
 
 #: Below this |A|·|B| product the linear-scan intersect count wins over
