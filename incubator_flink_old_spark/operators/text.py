@@ -257,11 +257,14 @@ def minhash_lsh_pairs(
     )
     # |A∪B| = |A|+|B|-|A∩B| (sets): one intersect instead of
     # intersect+union — the verify step dominates the pipeline's cost.
-    # The intersect size is STAGED as a real column before the jaccard
-    # arithmetic references it twice (and the threshold filter a third
-    # time): inlined, the non-cheap array_intersect would be re-evaluated
-    # per reference (the engine-wide staging rule; CollapseProject spares
-    # non-cheap multi-use projections).
+    # The intersect size is STAGED as a real column AND the threshold
+    # filter sits above a Generate barrier (_verify_barrier): a plain
+    # filter on a projected jaccard gets substituted and pushed into the
+    # broadcast-join CONDITION by PushPredicateThroughJoin, making every
+    # probe row evaluate the intersect twice (once in the condition, once
+    # in the output projection — observed in the physical plan). A filter
+    # on a Generate-produced attribute cannot be pushed below the
+    # Generate, so the intersect runs exactly once per candidate.
     scored = (
         cands.join(toksets.withColumnRenamed("__k", "doc_a").withColumnRenamed("__toks", "ta"), on="doc_a")
         .join(toksets.withColumnRenamed("__k", "doc_b").withColumnRenamed("__toks", "tb"), on="doc_b")
@@ -272,16 +275,16 @@ def minhash_lsh_pairs(
             (F.size("ta") + F.size("tb")).alias("__s"),
         )
     )
-    return (
-        scored.select(
-            "doc_a",
-            "doc_b",
+    return _verify_barrier(
+        scored,
+        F.struct(
+            F.col("doc_a"),
+            F.col("doc_b"),
             (
                 F.col("__i").cast("double") / (F.col("__s") - F.col("__i"))
             ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-    )
+        ),
+    ).filter(F.col("jaccard") >= jaccard_threshold)
 
 
 def simhash16(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
@@ -678,7 +681,8 @@ def ngram_jaccard_pairs(
         / F.greatest(F.size("ga"), F.size("gb"))
         >= threshold
     )
-    # intersect STAGED once (engine staging rule), adaptive kernel
+    # intersect STAGED once + Generate barrier against filter pushdown
+    # into the join condition (see minhash_lsh_pairs for the rationale)
     scored = (
         a.join(b, on="bkt")
         .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
@@ -689,21 +693,39 @@ def ngram_jaccard_pairs(
             (F.size("ga") + F.size("gb")).alias("__s"),
         )
     )
-    return (
-        scored.select(
-            "doc_a",
-            "doc_b",
+    return _verify_barrier(
+        scored,
+        F.struct(
+            F.col("doc_a"),
+            F.col("doc_b"),
             (
                 F.col("__i").cast("double") / (F.col("__s") - F.col("__i"))
             ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+        ),
+    ).filter(F.col("jaccard") >= threshold)
 
 def _hash60(tok: Column) -> Column:
     """60-bit integer token hash: first 15 hex digits of md5, portable to
     DuckDB as ('0x' || substr(md5(x), 1, 15))::BIGINT."""
     return F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def _verify_barrier(df: DataFrame, *structs: Column) -> DataFrame:
+    """Fan each row out into the given struct rows through ONE
+    ``explode(array(structs...))`` Generate — used as an OPTIMIZER
+    BARRIER by the pair-verify pipelines.
+
+    Catalyst's PushPredicateThroughJoin substitutes a filter on a
+    projected expression (jaccard / containment) down into the verify
+    join's CONDITION, so the non-cheap staged intersect underneath it is
+    evaluated once in the condition and again in the output projection.
+    Predicates on Generate-produced attributes cannot cross the
+    Generate, and the Project computing the staged intersect below it is
+    not collapsed into the Generate — one intersect per candidate,
+    verified on the physical plan.
+    """
+    out = df.select(F.explode(F.array(*structs)).alias("__e"))
+    return out.select("__e.*")
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -1146,12 +1168,12 @@ def containment_pairs(
     # directions from the already-computed intersection size. The naive
     # form — ab.union(ba) over a shared `scored` frame — duplicates the
     # ENTIRE candidate pipeline (band join + distinct + verify joins) in
-    # the physical plan, and putting the intersect in a join condition
-    # evaluates it again in the output projection: 4 array_intersects
-    # and 2 candidate shuffles per pair (measured 4× CPU at sf0.1).
-    # Staging __i as a real column keeps one evaluation (CollapseProject
-    # spares non-cheap multi-use projections) and posexplode-free struct
-    # fan-out replaces the union, so the subtree exists once.
+    # the physical plan, and any filter over the staged intersect gets
+    # pushed into the verify-join CONDITION, re-evaluating the intersect
+    # per reference (4 array_intersects + 2 candidate shuffles per pair,
+    # measured 4× CPU at sf0.1). The _verify_barrier Generate keeps the
+    # subtree single and the intersect at exactly one evaluation; both
+    # direction structs reference the staged __i as a cheap bound column.
     scored = (
         cands.join(
             toksets.select(F.col("__k").alias("doc_a"), F.col("__toks").alias("ta")),
@@ -1168,39 +1190,20 @@ def containment_pairs(
             F.size("ta").alias("__la"),
             F.size("tb").alias("__lb"),
         )
-        # best-direction containment is __i / min(la, lb): if even that
-        # misses the threshold, neither direction can clear it — prune
-        # before fanning out
-        .filter(
-            F.col("__i").cast("double")
-            >= F.lit(threshold) * F.least("__la", "__lb")
-        )
     )
-    both = scored.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("doc_a").alias("contained"),
-                    F.col("doc_b").alias("container"),
-                    (F.col("__i").cast("double") / F.col("__la")).alias(
-                        "containment"
-                    ),
-                ),
-                F.struct(
-                    F.col("doc_b").alias("contained"),
-                    F.col("doc_a").alias("container"),
-                    (F.col("__i").cast("double") / F.col("__lb")).alias(
-                        "containment"
-                    ),
-                ),
-            )
-        ).alias("e")
+    both = _verify_barrier(
+        scored,
+        F.struct(
+            F.col("doc_a").alias("contained"),
+            F.col("doc_b").alias("container"),
+            (F.col("__i").cast("double") / F.col("__la")).alias("containment"),
+        ),
+        F.struct(
+            F.col("doc_b").alias("contained"),
+            F.col("doc_a").alias("container"),
+            (F.col("__i").cast("double") / F.col("__lb")).alias("containment"),
+        ),
     )
-    return (
-        both.filter(F.col("e.containment") >= threshold)
-        .select(
-            F.col("e.contained").alias("contained"),
-            F.col("e.container").alias("container"),
-            F.round("e.containment", 6).alias("containment"),
-        )
+    return both.filter(F.col("containment") >= threshold).select(
+        "contained", "container", F.round("containment", 6).alias("containment")
     )
