@@ -1,0 +1,108 @@
+"""Physical-plan regression guards for the optimizer traps found by
+profiling (PERF.md rounds 2-3). These assert the SHAPE of the plan, not
+timings — a re-introduced trap shows up as a deterministic test failure
+instead of a silent 2-4× CPU regression at scale.
+
+Trap catalogue being guarded:
+- union-of-projections duplicating an expensive shared subtree
+  (dedup_clusters round-3 fix: explode-based symmetrization)
+- threshold filters pushed into the verify join CONDITION, re-evaluating
+  the staged intersect per reference (round-3 fix: _verify_barrier)
+- q_vocab_topk_coverage's token-count Exchange shared via ReuseExchange
+  instead of a persisted intermediate (round-3 fix)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.sources import from_elements
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, n=60):
+    rows = [
+        (i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} shared common words", "en", "s")
+        for i in range(n)
+    ]
+    return from_elements(
+        spark, rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_minhash_verify_join_condition_carries_no_intersect(spark):
+    """The jaccard threshold must NOT be pushed into the verify join's
+    condition: that re-evaluates the staged intersect once in the
+    condition and again in the output projection (2× verify CPU)."""
+    from incubator_flink_old_spark.operators.text import minhash_lsh_pairs
+
+    plan = _executed_plan(minhash_lsh_pairs(_docs(spark), band_size=4))
+    for line in plan.splitlines():
+        if "Join" in line and "Build" in line:
+            assert "array_intersect" not in line and "array_contains" not in line, (
+                "verify intersect leaked into a join condition:\n" + line
+            )
+
+
+def test_containment_verify_join_condition_carries_no_intersect(spark):
+    from incubator_flink_old_spark.operators.text import containment_pairs
+
+    plan = _executed_plan(containment_pairs(_docs(spark)))
+    for line in plan.splitlines():
+        if "Join" in line and "Build" in line:
+            assert "array_intersect" not in line and "array_contains" not in line, (
+                "verify intersect leaked into a join condition:\n" + line
+            )
+
+
+def test_dedup_clusters_single_pair_subtree(spark):
+    """Edge symmetrization must fan out per-row (one Generate), not
+    union two projections of the pair pipeline — the union form plants
+    the whole signature+band+verify subtree twice in the plan."""
+    from incubator_flink_old_spark.operators.text import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark), band_size=4)
+    from incubator_flink_old_spark.operators.text import dedup_clusters
+
+    out = dedup_clusters(_docs(spark), pairs=pairs, band_size=4)
+    plan = _executed_plan(out)
+    # the adjacency was checkpointed and released; the returned frame's
+    # plan must not re-run the band join at all
+    assert plan.count("Generate explode") <= 2, plan[:2000]
+
+
+def test_vocab_topk_coverage_reuses_count_exchange(spark, request):
+    """The grand-total branch must read the token-count shuffle via
+    ReusedExchange (one tokenize+shuffle), not recompute it — and the
+    operator must hold NO persisted cache after planning."""
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip("no testdata")
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = jsc.getPersistentRDDs().size()
+    df = QUERIES["q_vocab_topk_coverage"](spark, sf_dir)
+    df.collect()
+    plan = _executed_plan(df)
+    assert "ReusedExchange" in plan, plan[:2000]
+    # the operator must not add a persisted intermediate (round-2 leak)
+    assert jsc.getPersistentRDDs().size() <= cached_before
+
+
+def test_spread_is_noop_on_parallel_input(spark):
+    """_spread must not add a shuffle when the input already has the
+    cluster's parallelism (the 100 TB no-op contract)."""
+    from incubator_flink_old_spark.operators.text import _spread
+
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism)
+    assert "Repartition" not in _spread(wide)._jdf.queryExecution().optimizedPlan().toString()
+    narrow = spark.range(0, 1000, 1, 1)
+    assert "Repartition" in _spread(narrow)._jdf.queryExecution().optimizedPlan().toString()
