@@ -506,6 +506,102 @@ def dedup_clusters(
     )
 
 
+def containment_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-containment join |A∩B|/|A| ≥ t via prefix filtering
+    (the PPJoin/AllPairs family) — the zero-false-negative complement to
+    :func:`containment_pairs`' MinHash-band candidates, which trade
+    recall for volume on the small⊂big long tail.
+
+    Prefix principle: order every document's distinct tokens by GLOBAL
+    rarity (ascending document frequency, ties by token hash). If
+    |A∩B| ≥ ⌈t·|A|⌉ then A shares at least one of its first
+    |A| − ⌈t·|A|⌉ + 1 rarest tokens with B — otherwise too few tokens
+    remain outside the prefix to reach the bound. Candidates are
+    therefore prefix(A) ⋈ inverted-token-index(B): an equi-join whose
+    volume is Σ_token prefix_count·doc_count, dominated by RARE tokens
+    (frequent tokens only enter short prefixes), so on a Zipfian corpus
+    it stays near-linear. On an adversarially tiny vocab (this fixture:
+    31 tokens, each in ~78% of docs) every posting list is ~the whole
+    corpus and the candidate set degenerates toward all-pairs — that is
+    data-inherent for EXACT containment (the output itself is ~O(n²)
+    there), and the operator stays correct.
+
+    Dataflow (3 shuffles + verify):
+    1. doc-frequency of every token (groupBy token);
+    2. rarity-sorted token array per doc (join freq + re-aggregate,
+       deterministic sort by (freq, token));
+    3. prefix explode ⋈ full token index → distinct candidates;
+    4. staged-intersect verify behind the Generate barrier.
+
+    Empty-token documents produce no rows (containment from an empty set
+    is undefined); callers needing them route through exact dedup.
+    Returns (contained, container, containment) ordered pairs.
+    """
+    toksets = df.select(
+        F.col(key).alias("__k"),
+        F.transform(tokens(text, distinct=True), _hash60).alias("__toks"),
+    )
+    tokrows = toksets.select("__k", F.explode("__toks").alias("__t"))
+    dfreq = tokrows.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        tokrows.join(dfreq, on="__t")
+        .groupBy("__k")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("__t")))
+            ).alias("__s")
+        )
+        .select(
+            "__k",
+            F.transform("__s", lambda s: s["__t"]).alias("__sorted"),
+        )
+    )
+    n = F.size("__sorted")
+    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    pref = ranked.select(
+        F.col("__k").alias("__ca"),
+        F.explode(F.slice("__sorted", F.lit(1), prefix_len)).alias("__t"),
+    )
+    cands = (
+        pref.join(tokrows.select(F.col("__k").alias("__cb"), "__t"), on="__t")
+        .filter(F.col("__ca") != F.col("__cb"))
+        .select("__ca", "__cb")
+        .distinct()
+    )
+    scored = (
+        cands.join(
+            toksets.select(F.col("__k").alias("__ca"), F.col("__toks").alias("ta")),
+            on="__ca",
+        )
+        .join(
+            toksets.select(F.col("__k").alias("__cb"), F.col("__toks").alias("tb")),
+            on="__cb",
+        )
+        .select(
+            "__ca",
+            "__cb",
+            _intersect_size("ta", "tb").alias("__i"),
+            F.size("ta").alias("__la"),
+        )
+    )
+    out = _verify_barrier(
+        scored,
+        F.struct(
+            F.col("__ca").alias("contained"),
+            F.col("__cb").alias("container"),
+            (F.col("__i").cast("double") / F.col("__la")).alias("containment"),
+        ),
+    )
+    return out.filter(F.col("containment") >= threshold).select(
+        "contained", "container", F.round("containment", 6).alias("containment")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -115,6 +115,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_partition_invariance",
     # new this round (no driver row yet)
     "q_source_text",
+    "q_containment_exact",
     # the pytest-regression query sits adjacent to the stream-source fix;
     # keep its driver row fresh too
     "q_event_dedup",
@@ -139,7 +140,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_wordcount",
     "q_window_frames",
     "q_simhash_pairs",
-    "q_text_simhash",
 )
 
 

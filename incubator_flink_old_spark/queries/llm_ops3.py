@@ -525,3 +525,40 @@ def q_containment_pairs(spark, sf_dir):
     from incubator_flink_old_spark.operators.text import containment_pairs
 
     return containment_pairs(t(spark, sf_dir, "documents"))
+
+
+def _containment_exact_oracle(threshold: float = 0.9, mod: int = 8) -> str:
+    """Brute-force all-ordered-pairs containment — the EXACT contract the
+    prefix-filter operator must reproduce (candidate generation is a pure
+    optimization with zero false negatives by the prefix principle)."""
+    from incubator_flink_old_spark.queries.llm_ops import SQL_TOKS
+
+    return rf"""
+    WITH toks AS ({SQL_TOKS}),
+    sub AS (SELECT * FROM toks WHERE doc_id % {mod} = 0),
+    p AS (
+        SELECT a.doc_id AS contained, b.doc_id AS container,
+               CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / len(a.tk)
+                   AS c
+        FROM sub a JOIN sub b ON a.doc_id <> b.doc_id
+        WHERE len(a.tk) > 0)
+    SELECT contained, container, ROUND(c, 6) AS containment
+    FROM p WHERE c >= {threshold}
+    """
+
+
+@register("q_containment_exact", oracle=_containment_exact_oracle())
+def q_containment_exact(spark, sf_dir):
+    """EXACT containment join |A∩B|/|A| ≥ 0.9 via rarity-ordered prefix
+    filtering (PPJoin family) — zero false negatives, unlike the
+    LSH-band path whose recall drops for small⊂big pairs
+    (operators/text.containment_pairs_exact). Runs on the doc_id%8
+    subset: this fixture's 31-token vocab makes every posting list ~the
+    whole corpus, so exact containment output is inherently ~O(n²) on
+    it — the subset keeps the demonstration honest while the operator's
+    rare-token pruning does its work on Zipfian corpora. The oracle is
+    BRUTE-FORCE all-pairs: candidate generation must lose nothing."""
+    from incubator_flink_old_spark.operators.text import containment_pairs_exact
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    return containment_pairs_exact(docs, threshold=0.9)

@@ -290,3 +290,59 @@ def test_dedup_clusters_local_and_distributed_agree(spark, sf_dir):
     assert a == b and len(a) > 0
     # at least one non-singleton cluster exists in the fixture corpus
     assert any(not r[2] for r in a)
+
+
+def test_containment_exact_equals_naive(spark):
+    """Prefix-filter candidate generation must be EXACT: rarity-ordered
+    prefix join + verify == naive all-ordered-pairs containment, on a
+    Zipfian synthetic corpus where the prefix actually prunes (rare
+    tokens discriminate) and across thresholds."""
+    from incubator_flink_old_spark.operators.text import containment_pairs_exact
+    from incubator_flink_old_spark.sources import from_elements
+
+    # Zipfian-ish vocab: token j appears in ~n/(j+1) docs; doc i holds a
+    # mix of common and rare tokens, plus exact excerpt pairs.
+    rows = []
+    for i in range(60):
+        toks = [f"w{j}" for j in range(1, 12) if i % j == 0] + [f"rare{i % 13}"]
+        rows.append((i, " ".join(toks)))
+    # explicit excerpt: doc 100x is a strict subset of doc i's tokens
+    for i in range(0, 60, 7):
+        toks = [f"w{j}" for j in range(1, 12) if i % j == 0][:3]
+        if toks:
+            rows.append((100 + i, " ".join(toks)))
+    docs = from_elements(spark, rows, "doc_id long, text string")
+
+    def naive(th):
+        toksets = {
+            r["doc_id"]: set(r["text"].lower().split()) for r in docs.collect()
+        }
+        out = set()
+        for a, ta in toksets.items():
+            for b, tb in toksets.items():
+                if a != b and ta and len(ta & tb) / len(ta) >= th:
+                    out.add((a, b, round(len(ta & tb) / len(ta), 6)))
+        return out
+
+    for th in (0.7, 0.9, 1.0):
+        got = {
+            (r["contained"], r["container"], r["containment"])
+            for r in containment_pairs_exact(docs, threshold=th).collect()
+        }
+        assert got == naive(th), f"threshold={th}"
+
+
+def test_containment_exact_empty_docs_produce_no_rows(spark):
+    from incubator_flink_old_spark.operators.text import containment_pairs_exact
+    from incubator_flink_old_spark.sources import from_elements
+
+    docs = from_elements(
+        spark,
+        [(1, "a b c"), (2, None), (3, ""), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["contained"], r["container"])
+        for r in containment_pairs_exact(docs, threshold=0.7).collect()
+    }
+    assert got == {(1, 4), (4, 1)}
