@@ -207,7 +207,9 @@ def global_row_number(
         offsets.append((pid, acc))
         acc += sizes[pid]
     spark = df.sparkSession
-    offsets_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offset long")
+    from incubator_flink_old_spark.sources import local_rows
+
+    offsets_df = local_rows(spark, offsets or [(0, 0)], "__pid int, __offset long")
     return (
         indexed.join(F.broadcast(offsets_df), "__pid", "left")
         .withColumn(alias, F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local"))

@@ -255,19 +255,32 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # |A∪B| = |A|+|B|-|A∩B| (sets): one intersect instead of
-    # intersect+union — the verify step dominates the pipeline's cost.
-    # The intersect size is STAGED as a real column AND the threshold
-    # filter sits above a Generate barrier (_verify_barrier): a plain
-    # filter on a projected jaccard gets substituted and pushed into the
-    # broadcast-join CONDITION by PushPredicateThroughJoin, making every
-    # probe row evaluate the intersect twice (once in the condition, once
-    # in the output projection — observed in the physical plan). A filter
-    # on a Generate-produced attribute cannot be pushed below the
-    # Generate, so the intersect runs exactly once per candidate.
+    return _jaccard_verify(cands, toksets, toksets, jaccard_threshold)
+
+
+def _jaccard_verify(
+    cands: DataFrame,
+    toks_a: DataFrame,
+    toks_b: DataFrame,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Exact-jaccard verify over candidate (doc_a, doc_b) pairs, given
+    (__k, __toks) hashed-token-set frames for each side.
+
+    |A∪B| = |A|+|B|-|A∩B| (sets): one intersect instead of
+    intersect+union — the verify step dominates the pipeline's cost.
+    The intersect size is STAGED as a real column AND the threshold
+    filter sits above a Generate barrier (_verify_barrier): a plain
+    filter on a projected jaccard gets substituted and pushed into the
+    broadcast-join CONDITION by PushPredicateThroughJoin, making every
+    probe row evaluate the intersect twice (once in the condition, once
+    in the output projection — observed in the physical plan). A filter
+    on a Generate-produced attribute cannot be pushed below the
+    Generate, so the intersect runs exactly once per candidate.
+    """
     scored = (
-        cands.join(toksets.withColumnRenamed("__k", "doc_a").withColumnRenamed("__toks", "ta"), on="doc_a")
-        .join(toksets.withColumnRenamed("__k", "doc_b").withColumnRenamed("__toks", "tb"), on="doc_b")
+        cands.join(toks_a.withColumnRenamed("__k", "doc_a").withColumnRenamed("__toks", "ta"), on="doc_a")
+        .join(toks_b.withColumnRenamed("__k", "doc_b").withColumnRenamed("__toks", "tb"), on="doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -474,7 +487,10 @@ def dedup_clusters(
                     if a > b:
                         a, b = b, a
                     parent[b] = a
-            comp_small = df.sparkSession.createDataFrame(
+            from incubator_flink_old_spark.sources import local_rows
+
+            comp_small = local_rows(
+                df.sparkSession,
                 [(int(k), int(_find(k))) for k in parent],
                 "id long, component long",
             )
@@ -656,7 +672,10 @@ def sample_stratified(
     is a pure Column expression — shuffle-free sampling at any scale.
     """
     spark = df.sparkSession
-    frac = spark.createDataFrame(
+    from incubator_flink_old_spark.sources import local_rows
+
+    frac = local_rows(
+        spark,
         [(k, float(v)) for k, v in fractions.items()],
         f"{strata} string, __frac double",
     )
@@ -1302,4 +1321,262 @@ def containment_pairs(
     )
     return both.filter(F.col("containment") >= threshold).select(
         "contained", "container", F.round("containment", 6).alias("containment")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 8,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Substring-level (span) duplication detection: for each document,
+    the fraction of its tokens covered by some ``window``-token run that
+    appears VERBATIM in at least one other document.
+
+    The fixed-width windowed-hash variant of suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): a suffix array finds duplicated substrings of any
+    length ≥ L with one global index structure; hashing every L-token
+    window finds the same spans for fixed L as a pure dataflow — three
+    shuffles at any corpus size, no global index:
+
+    1. map-only: explode window start positions, hash each window
+       (gram built AFTER the Generate — see exploded_ngrams on the
+       Catalyst inlining trap);
+    2. groupBy window-hash, keep hashes seen in ≥2 DISTINCT docs
+       (count_distinct over a (hash, doc) pre-distinct — both shuffles
+       map-side combinable);
+    3. equi-join the dup hashes back and merge each doc's overlapping
+       fixed-width intervals into maximal spans.
+
+    Interval union without a per-doc sort shuffle: starts are sorted
+    in-array, width is constant so interval ends are monotone, and each
+    start contributes ``min(window, next_start - start)`` (the last one
+    ``window``) — a zip_with over the sorted start list inside the
+    per-doc aggregate.
+
+    Returns (key, n_tokens, dup_windows, dup_token_frac) for EVERY input
+    document (0 / 0.0 when nothing is duplicated — silent row loss at
+    ingest scale is the bug class simhash16 once had).
+
+    Scale: shuffle keys are xxhash64 longs (8 bytes); the window
+    explosion multiplies rows by ~tokens-per-doc — the same envelope as
+    the n-gram quality gates. At 100 TB swap the per-window concat_ws
+    hash for a rolling polynomial hash (O(1)/window instead of
+    O(window)); the dataflow shape is unchanged.
+    """
+    w = int(window)
+    assert w >= 2, "window must be ≥ 2 tokens"
+    staged = df.select(F.col(key), tokens(text).alias("__tka")).withColumn(
+        "__nt", F.size("__tka").cast("long")
+    )
+    # (key, pos, wh): one row per window start; exploded_ngrams builds the
+    # gram after the Generate but does not expose the position, so inline
+    # its explode-then-build shape here with the index kept.
+    idx = F.when(
+        F.size("__tka") >= w, F.sequence(F.lit(1), F.size("__tka") - (w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = staged.select(F.col(key), F.col("__tka"), F.explode(idx).alias("pos")).select(
+        F.col(key),
+        F.col("pos"),
+        F.xxhash64(F.concat_ws(" ", F.slice("__tka", F.col("pos"), w))).alias("wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct(F.col(key)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("wh")
+    )
+    hits = wins.join(dup, on="wh").select(F.col(key), F.col("pos"))
+    ps = F.sort_array(F.collect_list("pos"))
+    per = hits.groupBy(key).agg(
+        F.count(F.lit(1)).alias("dup_windows"),
+        ps.alias("__ps"),
+    )
+    n = F.size("__ps")
+    gaps = F.zip_with(
+        F.slice("__ps", 1, n - 1),
+        F.slice("__ps", 2, n - 1),
+        lambda a, b: F.least(F.lit(w), b - a),
+    )
+    covered = (
+        F.aggregate(gaps, F.lit(0), lambda acc, x: acc + x) + F.lit(w)
+    ).cast("long")
+    per = per.select(key, "dup_windows", covered.alias("__cov"))
+    return (
+        staged.select(key, "__nt")
+        .join(per, on=key, how="left")
+        .select(
+            key,
+            F.col("__nt").alias("n_tokens"),
+            F.coalesce("dup_windows", F.lit(0).cast("long")).alias("dup_windows"),
+            F.round(
+                F.coalesce(
+                    F.col("__cov").cast("double") / F.col("__nt"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 512,
+    buckets: int = 8,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing: assign documents to fixed-capacity
+    training packs (the pre-tokenization step that turns a curated corpus
+    into ~capacity-token training sequences).
+
+    Deterministic two-level scheme that needs NO global order: documents
+    are hashed (portable md5) into ``buckets`` independent packing
+    streams; within a stream documents are ordered by key, the
+    concatenated token stream is chopped every ``capacity`` tokens, and a
+    document belongs to the pack where its FIRST token lands. One window
+    cumsum per bucket — parallelism = buckets, never a single-task global
+    window; at 100 TB set buckets ≈ shuffle partitions and each stream
+    packs independently. (True first-fit bin packing is inherently
+    sequential; bin-of-first-token over a hashed stream is the standard
+    deterministic surrogate and within one straddling doc per boundary of
+    optimal fill.)
+
+    Returns one row per document: (key, n_tok, bucket, pack_id,
+    pack_pos) where pack_pos is the token offset of the document inside
+    its bucket stream.
+    """
+    from pyspark.sql import Window
+
+    cap = int(capacity)
+    d = df.select(
+        F.col(key),
+        token_count(text).cast("long").alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % buckets
+        ).alias("bucket"),
+    )
+    win = Window.partitionBy("bucket").orderBy(key)
+    start = (F.sum("n_tok").over(win) - F.col("n_tok")).alias("pack_pos")
+    d = d.select(key, "n_tok", "bucket", start)
+    return d.select(
+        key,
+        "n_tok",
+        "bucket",
+        F.floor(F.col("pack_pos") / cap).cast("long").alias("pack_id"),
+        "pack_pos",
+    )
+
+
+def minhash_lsh_pairs_between(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.7,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora (left probe × right
+    corpus) — the incremental-ingest form of minhash_lsh_pairs.
+
+    Identical banding/prefilter/verify, but candidates come from the
+    left bands equi-joined against the right bands only: a nightly batch
+    is checked against the standing corpus in O(batch candidates),
+    never re-pairing corpus×corpus. At 100 TB the right side's band
+    frame is the MATERIALIZED bucketed table (see minhash_bands) — the
+    probe join is then zero-exchange on the corpus side.
+
+    Returns (doc_a ∈ left, doc_b ∈ right, jaccard ≥ threshold). Callers
+    must ensure the two key spaces are disjoint (or accept self-pairs).
+    """
+    toks_l = left_df.select(
+        F.col(key).alias("__k"),
+        F.transform(tokens(text, distinct=True), _hash60).alias("__toks"),
+    )
+    toks_r = right_df.select(
+        F.col(key).alias("__k"),
+        F.transform(tokens(text, distinct=True), _hash60).alias("__toks"),
+    )
+    bands_l = minhash_bands(left_df, num_hashes, band_size, text, key, _toksets=toks_l)
+    bands_r = minhash_bands(right_df, num_hashes, band_size, text, key, _toksets=toks_r)
+    left = bands_l.select(F.col(key).alias("doc_a"), F.col("__n").alias("na"), "band", "bucket")
+    right = bands_r.select(F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket")
+    cands = (
+        left.join(right, on=["band", "bucket"])
+        .filter(
+            F.least("na", "nb").cast("double") / F.greatest("na", "nb")
+            >= jaccard_threshold
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_verify(cands, toks_l, toks_r, jaccard_threshold)
+
+
+def incremental_dedup(
+    df: DataFrame,
+    split_mod: int = 5,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.7,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup decision: treat a deterministic
+    ~1/split_mod hash slice of ``df`` as the NEW batch and the rest as
+    the standing corpus, and classify every new document as
+
+    - ``exact_dup``  — normalized text already in the corpus
+      (fingerprint semi-join);
+    - ``near_dup``   — MinHash-LSH jaccard ≥ threshold with ≥1 corpus
+      doc (minhash_lsh_pairs_between: candidates are new×corpus ONLY);
+    - ``keep``       — novel content.
+
+    This is the nightly-ingest pattern at 100 TB: the corpus side's
+    fingerprints and band buckets are precomputed, bucketed tables; each
+    new batch probes them in O(batch) with no corpus×corpus work. The
+    hash split here stands in for the batch boundary so the whole
+    decision is replayable by a SQL oracle.
+
+    Returns (key, verdict) for every NEW-batch document (exact wins over
+    near when both hold).
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % split_mod
+    )
+    flagged = df.withColumn("__new", h == 0)
+    new_df = flagged.filter(F.col("__new")).drop("__new")
+    corpus = flagged.filter(~F.col("__new")).drop("__new")
+    fp_corpus = fingerprint(corpus, text, key).select("fp").distinct()
+    exact_ids = (
+        fingerprint(new_df, text, key)
+        .join(fp_corpus, on="fp", how="left_semi")
+        .select(F.col(key), F.lit(1).alias("__e"))
+    )
+    near_ids = (
+        minhash_lsh_pairs_between(
+            new_df, corpus, num_hashes, band_size, jaccard_threshold, text, key
+        )
+        .select(F.col("doc_a").alias(key))
+        .distinct()
+        .withColumn("__nr", F.lit(1))
+    )
+    return (
+        new_df.select(key)
+        .join(exact_ids, on=key, how="left")
+        .join(near_ids, on=key, how="left")
+        .select(
+            key,
+            F.when(F.col("__e") == 1, F.lit("exact_dup"))
+            .when(F.col("__nr") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
     )

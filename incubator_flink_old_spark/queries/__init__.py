@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "tpch_full",
     "llm_ops2",
     "llm_ops3",
+    "llm_ops4",
     "analytics",
     "surfaces",
 )
@@ -116,6 +117,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new this round (no driver row yet)
     "q_source_text",
     "q_containment_exact",
+    "q_dup_spans",
+    "q_pack_sequences",
+    "q_incremental_dedup",
     # the pytest-regression query sits adjacent to the stream-source fix;
     # keep its driver row fresh too
     "q_event_dedup",
@@ -137,9 +141,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_iterate_cc",
     "q_iterate_pagerank",
     "q_pregel_sssp",
-    "q_wordcount",
-    "q_window_frames",
-    "q_simhash_pairs",
 )
 
 

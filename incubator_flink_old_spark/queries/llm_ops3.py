@@ -368,8 +368,10 @@ def q_data_mixture(spark, sf_dir):
     engines/runs/partitionings, no shuffle on the fact side — the
     per-source fractions are a broadcast dim)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
-    weights = spark.createDataFrame(
-        [("src0", 0.5), ("src1", 0.3), ("src2", 0.2)], "source string, w double"
+    from incubator_flink_old_spark.sources import local_rows
+
+    weights = local_rows(
+        spark, [("src0", 0.5), ("src1", 0.3), ("src2", 0.2)], "source string, w double"
     )
     n = (
         docs.join(F.broadcast(weights), on="source")

@@ -229,9 +229,58 @@ def load_table_evolved(
     return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(*paths)
 
 
+#: Above this row count local_rows falls back to createDataFrame — a
+#: hundred-thousand-literal expression tree costs Catalyst more to compile
+#: than the Python-worker upload costs to run.
+_LOCAL_ROWS_MAX = 4096
+
+
+def local_rows(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Small-collection source with NO Python execution path.
+
+    ``createDataFrame(list)`` ships rows through pickled Python RDD
+    partitions: defaultParallelism tasks, each launching (or waking) a
+    Python worker — measured ~1.3 s per COLD worker, i.e. ~45 s of
+    executor time for a 2-row fractions dim at 32 cores (engine-metrics
+    finding, round 3; invisible in wall clock because the tasks run in
+    parallel). Broadcast dims are built constantly — sampling fractions,
+    mixture weights, partition offsets — so the engine's small-dim path
+    must never touch Python.
+
+    Here the rows become ONE JVM literal — explode(array(struct…)) over
+    range(1) — a single task, zero Python workers, and a relation small
+    enough that Catalyst broadcasts it directly. Values must be plain
+    scalars (str/int/float/bool/None/date/Decimal). Falls back to
+    createDataFrame for empty input (no literal to type) and above
+    _LOCAL_ROWS_MAX rows (plan-compile cost crosses over).
+    """
+    st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    if not rows or len(rows) > _LOCAL_ROWS_MAX:
+        return spark.createDataFrame(rows, schema=schema)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).alias(f.name)
+                for v, f in zip(row if isinstance(row, (tuple, list)) else (row,), st.fields)
+            ]
+        )
+        for row in rows
+    ]
+    return spark.range(1).select(
+        F.explode(F.array(*structs)).alias("__r")
+    ).select(*[F.col(f"__r.{f.name}").cast(f.dataType).alias(f.name) for f in st.fields])
+
+
 def from_elements(spark: SparkSession, rows: list, schema) -> DataFrame:
-    """S5: CollectionInputFormat / fromElements — local collection source."""
-    return spark.createDataFrame(rows, schema=schema)
+    """S5: CollectionInputFormat / fromElements — local collection source.
+
+    Scalar-tuple collections take the JVM-literal path (local_rows);
+    nested/complex rows fall back to createDataFrame.
+    """
+    try:
+        return local_rows(spark, rows, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema=schema)
 
 
 def generate_sequence(spark: SparkSession, start: int, end: int) -> DataFrame:
