@@ -329,3 +329,56 @@ def semantic_dedup(
             F.col("__d").isNull().alias("keep"),
         )
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    group: str = "label",
+    key: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Embedding outlier gate: cosine of every vector to its own group's
+    centroid, flagging vectors below ``threshold`` — the cheap stand-in
+    for CLIP-score/quality filtering of paired (caption, image) or
+    clustered embedding corpora before training.
+
+    Scale shape: centroids are built with ONE posexplode aggregation
+    keyed by (group, pos) — combinable partial averages, shuffle volume
+    = corpus dims, never corpus×groups — and the |groups|-row centroid
+    table broadcasts back onto the corpus, so the scoring pass is
+    map-side. The corpus itself is never shuffled. Cosines are rounded
+    to 6dp BEFORE thresholding so the keep decision replays identically
+    on any engine (same contract as brute_force_topk).
+
+    Output: (key, group, centroid_cos, is_outlier) per input vector.
+    """
+    e = df.select(F.col(key), F.col(group), as_double_array(vec).alias("__v"))
+    # DECIMAL(27,15)-cast partial sums: double addition is fold-order-
+    # dependent, and the shuffle's partial-aggregation order varies with
+    # partitioning — exact decimal sums make the centroid (and thus the
+    # keep decision) bit-identical on any partitioning/engine (the dsum
+    # contract).
+    cent = (
+        e.select(group, F.posexplode("__v").alias("pos", "x"))
+        .groupBy(group, "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(27,15)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .groupBy(group)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(group, F.transform("pm", lambda s: s["m"]).alias("__c"))
+    )
+    cos = F.round(cosine(F.col("__v"), F.col("__c")), 6)
+    return (
+        e.join(F.broadcast(cent), on=group)
+        .select(
+            key,
+            group,
+            cos.alias("centroid_cos"),
+            (cos < F.lit(threshold)).alias("is_outlier"),
+        )
+    )

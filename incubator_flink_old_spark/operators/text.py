@@ -1580,3 +1580,244 @@ def incremental_dedup(
             .alias("verdict"),
         )
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    key: str = "p_partkey",
+    name: str = "p_name",
+    max_dist: int = 4,
+    bucket_width: int = 4,
+) -> DataFrame:
+    """Fuzzy record linkage: blocked edit-distance join over DISTINCT
+    names — catalog/entity dedup where values differ by typos or small
+    word swaps rather than exact duplication.
+
+    The scalable shape, in order:
+      1. Collapse rows to (name, count, min-key representative) FIRST —
+         real catalogs carry huge exact-duplicate groups, and pairing at
+         the row level would be O(dups²) per group. Exact duplicates are
+         `exact_dedup`'s job; this operator only ever compares distinct
+         strings.
+      2. Block candidates with an EQUI-join key (first token, length
+         bucket). One side explodes to adjacent buckets {b-1, b, b+1};
+         since ``bucket_width >= max_dist``, an edit within ``max_dist``
+         can never move a string more than one bucket, so no qualifying
+         pair is lost to bucketing. First-token blocking is the standard
+         recall trade-off (an edit inside the first token escapes the
+         block) — documented, deterministic.
+      3. Verify with ``levenshtein(a, b, max_dist)`` — the thresholded
+         form early-exits the DP row once the bound is exceeded, O(max_dist
+         × len) instead of O(len²) per candidate.
+
+    At 100 TB the block key (token, bucket) is the shuffle key; block
+    sizes track vocabulary frequency, so a frequency cap / secondary
+    block key (e.g. second token) bounds the worst block — same policy
+    as LSH band caps.
+
+    Output: (name_a, name_b, rep_a, rep_b, cnt_a, cnt_b, dist), name_a <
+    name_b, dist <= max_dist.
+    """
+    if bucket_width < max_dist:
+        raise ValueError("bucket_width must be >= max_dist for ±1-bucket probing")
+    names = df.groupBy(F.col(name).alias("name")).agg(
+        F.count("*").alias("cnt"), F.min(key).alias("rep")
+    )
+    base = names.select(
+        "name",
+        "cnt",
+        "rep",
+        F.element_at(F.split(F.lower("name"), r"\s+"), 1).alias("blk"),
+        F.floor(F.length("name") / bucket_width).alias("b"),
+    )
+    probe = base.select(
+        F.col("name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"),
+        F.col("rep").alias("rep_a"),
+        "blk",
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("b"),
+    )
+    build = base.select(
+        F.col("name").alias("name_b"),
+        F.col("cnt").alias("cnt_b"),
+        F.col("rep").alias("rep_b"),
+        "blk",
+        "b",
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist)
+    return (
+        probe.join(build, on=["blk", "b"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            "rep_a",
+            "rep_b",
+            "cnt_a",
+            "cnt_b",
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+
+
+def _word_vocab(df: DataFrame, text: str) -> DataFrame:
+    """Corpus → (word, count) vocabulary. Grouping to the vocabulary FIRST
+    is what makes BPE-style training feasible at 100 TB: every subsequent
+    pass scales with |vocab|, not corpus tokens."""
+    return (
+        df.select(F.explode(tokens(text)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text: str = "text", top_n: int = 20) -> DataFrame:
+    """Adjacent character-pair frequencies over the word vocabulary — the
+    inner statistic of BPE tokenizer training (its round-0 form, where
+    every symbol is still a single character). Pairs are weighted by word
+    frequency; ties broken by pair text so the top-N is deterministic.
+
+    Output: (pair, cnt) — the ``top_n`` most frequent pairs.
+    """
+    vocab = _word_vocab(df, text)
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(top_n)
+    )
+
+
+def _merge_adjacent(s: Column, a: str, b: str) -> Column:
+    """Replace every adjacent (a, b) symbol pair in ``s`` with the merged
+    symbol a+b, greedy left-to-right — one F.aggregate pass carrying a
+    single pending symbol (JVM-side, no Python per row)."""
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        take = (
+            acc["pend"].isNotNull()
+            & (acc["pend"] == F.lit(a))
+            & (x == F.lit(b))
+        )
+        out = (
+            F.when(take, F.concat(acc["out"], F.array(F.lit(a + b))))
+            .when(
+                acc["pend"].isNotNull(),
+                F.concat(acc["out"], F.array(acc["pend"])),
+            )
+            .otherwise(acc["out"])
+        )
+        pend = F.when(take, F.lit(None).cast("string")).otherwise(x)
+        return F.struct(out.alias("out"), pend.alias("pend"))
+
+    def fin(acc):
+        return F.when(
+            acc["pend"].isNotNull(), F.concat(acc["out"], F.array(acc["pend"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(s, acc0, step, fin)
+
+
+def bpe_learn(
+    df: DataFrame, text: str = "text", num_merges: int = 8
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``num_merges`` BPE merges over the corpus.
+
+    The vocabulary (word → frequency) is built once and stays
+    distributed as symbol arrays; each round counts adjacent symbol
+    pairs (weighted by word frequency, combinable partial sums), pulls
+    ONE (pair, count) scalar to the driver — the same bounded
+    driver-finish contract as k-means convergence — and rewrites the
+    arrays with a JVM-side aggregate pass. Ties break on (count desc,
+    pair asc) so the learned merge list is deterministic.
+
+    Returns (merges, vocab_df) where vocab_df is (w, c, syms) after all
+    merges — the segmentation a tokenizer would ship.
+    """
+    vocab = _word_vocab(df, text).select(
+        "w",
+        "c",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("syms"),
+    )
+    cur = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        top = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("a"),
+                            F.element_at("syms", i + F.lit(1)).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        nxt = cur.withColumn("syms", _merge_adjacent(F.col("syms"), a, b))
+        nxt = nxt.localCheckpoint(eager=True)
+        cur = nxt
+    return merges, cur
+
+
+def cluster_representatives(
+    df: DataFrame, text: str = "text", key: str = "doc_id", band_size: int = 4
+) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (MinHash-LSH →
+    connected components, `dedup_clusters`) keep their HIGHEST-quality
+    member instead of the arbitrary min-id — the curation policy real
+    pipelines want (keep the cleanest copy, drop its mirrors).
+
+    One extra broadcast-sized shuffle over `dedup_clusters`: the window
+    ranks within cluster_id, and cluster sizes are bounded by the near-dup
+    group structure (not corpus size). Tie-break (quality desc, key asc)
+    is deterministic and replays on any engine.
+
+    Output: (key, cluster_id, quality, is_rep) for every document.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(df, band_size=band_size).select(key, "cluster_id")
+    q = quality_score(df, text=text, key=key).select(key, "quality")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col(key))
+    return (
+        clusters.join(q, on=key)
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            key,
+            "cluster_id",
+            "quality",
+            (F.col("__rn") == 1).alias("is_rep"),
+        )
+    )

@@ -120,6 +120,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dup_spans",
     "q_pack_sequences",
     "q_incremental_dedup",
+    # new this session (wave 5 — no driver row yet)
+    "q_fuzzy_dedup",
+    "q_bpe_pairs",
+    "q_cluster_rep",
+    "q_embed_outliers",
+    "q_approx_quantile",
     # the pytest-regression query sits adjacent to the stream-source fix;
     # keep its driver row fresh too
     "q_event_dedup",
@@ -132,11 +138,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sim_ivf_topk",
     "q_multimodal_pipeline",
     "q_tpch_q1",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q10",
-    "q_tpch_q14",
     "q_tpch_q18",
     "q_iterate_cc",
     "q_iterate_pagerank",

@@ -182,3 +182,167 @@ def q_incremental_dedup(spark, sf_dir):
     return incremental_dedup(
         t(spark, sf_dir, "documents"), split_mod=5, band_size=4
     )
+
+
+# --- wave 5: record linkage, quality-aware canonicals, tokenizer stats,
+# --- embedding outliers ------------------------------------------------
+
+from incubator_flink_old_spark.operators.similarity import centroid_outliers
+from incubator_flink_old_spark.operators.text import (
+    bpe_pair_counts,
+    cluster_representatives,
+    fuzzy_pairs,
+)
+
+
+@register(
+    "q_fuzzy_dedup",
+    oracle=r"""
+    WITH n AS (
+        SELECT p_name AS name, COUNT(*) AS cnt, MIN(p_partkey) AS rep
+        FROM part GROUP BY 1),
+    p AS (
+        SELECT name, cnt, rep,
+               list_filter(string_split_regex(lower(name), '\s+'),
+                           x -> x <> '')[1] AS blk,
+               length(name) // 4 AS b
+        FROM n)
+    SELECT a.name AS name_a, b.name AS name_b,
+           a.rep AS rep_a, b.rep AS rep_b,
+           a.cnt AS cnt_a, b.cnt AS cnt_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND abs(a.b - b.b) <= 1 AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+    """,
+)
+def q_fuzzy_dedup(spark, sf_dir):
+    """Fuzzy record linkage over part names: distinct-name collapse (the
+    O(dups²) guard), (first-token, length-bucket) equi-join blocking with
+    ±1-bucket probing, thresholded-levenshtein verify
+    (operators/text.fuzzy_pairs)."""
+    return fuzzy_pairs(
+        t(spark, sf_dir, "part"), key="p_partkey", name="p_name", max_dist=4
+    )
+
+
+@register(
+    "q_bpe_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS tka
+        FROM documents),
+    v AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(tka) AS w FROM toks)
+        GROUP BY 1),
+    pg AS (
+        SELECT substring(w, i, 2) AS pair, c
+        FROM v, unnest(generate_series(1, length(w) - 1)) u(i)
+        WHERE length(w) >= 2)
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt
+    FROM pg GROUP BY 1
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def q_bpe_pairs(spark, sf_dir):
+    """BPE-training inner statistic: top-20 adjacent character pairs over
+    the word VOCABULARY (corpus collapses to (word, count) first — the
+    pass scales with vocabulary, not corpus tokens), frequency-weighted,
+    pair-text tie-break (operators/text.bpe_pair_counts)."""
+    return bpe_pair_counts(t(spark, sf_dir, "documents"), top_n=20)
+
+
+def _cluster_rep_oracle() -> str:
+    """dedup_clusters' recursive-CTE twin extended with the quality score
+    and a per-cluster (quality desc, doc_id) rank."""
+    from incubator_flink_old_spark.queries.llm_ops import _minhash_oracle
+
+    pairs_sql = _minhash_oracle(band_size=4).strip()
+    return rf"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+    sym AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT src AS id, src AS lbl FROM sym
+        UNION
+        SELECT s.dst AS id, r.lbl
+        FROM reach r JOIN sym s ON r.id = s.src
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    cl AS (
+        SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+    toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '\s+'), x -> x <> ''
+               )) AS tk,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS tka
+        FROM documents),
+    qual AS (
+        SELECT d.doc_id,
+               0.5 * (CAST(len(list_filter(t.tka,
+                   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                   / len(t.tka))
+                 + 0.3 * (1.0 - (1.0 - CAST(len(t.tk) AS DOUBLE) / len(t.tka)))
+                 + 0.2 * CAST(LENGTH(d.text) BETWEEN 100 AND 20000 AS DOUBLE)
+                   AS quality
+        FROM documents d JOIN toks t USING (doc_id)),
+    r AS (
+        SELECT cl.doc_id, cl.cluster_id, q.quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cl.cluster_id
+                   ORDER BY q.quality DESC NULLS LAST, cl.doc_id
+               ) AS rn
+        FROM cl JOIN qual q USING (doc_id))
+    SELECT doc_id, cluster_id, quality, rn = 1 AS is_rep FROM r
+    """
+
+
+@register("q_cluster_rep", oracle=_cluster_rep_oracle())
+def q_cluster_rep(spark, sf_dir):
+    """Quality-aware canonical selection: near-dup clusters keep their
+    highest-quality member (quality desc, doc_id tie-break) instead of
+    the arbitrary min-id (operators/text.cluster_representatives)."""
+    return cluster_representatives(t(spark, sf_dir, "documents"), band_size=4)
+
+
+@register(
+    "q_embed_outliers",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+        SELECT label, i,
+               CAST(SUM(CAST(v[i] AS DECIMAL(27,15))) AS DOUBLE)
+                 / COUNT(*) AS m
+        FROM e, unnest(generate_series(1, len(v))) u(i)
+        GROUP BY 1, 2),
+    cent AS (SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY 1),
+    sc AS (
+        SELECT e.vec_id, e.label,
+               ROUND(list_dot_product(e.v, c.c)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.c, c.c))), 6) AS centroid_cos
+        FROM e JOIN cent c ON e.label = c.label)
+    SELECT vec_id, label, centroid_cos,
+           centroid_cos < 0.0 AS is_outlier
+    FROM sc
+    """,
+)
+def q_embed_outliers(spark, sf_dir):
+    """Embedding outlier gate: cosine of every vector to its group
+    centroid, below-zero flagged — the cheap CLIP-score-style quality
+    filter. Centroids build from one combinable (label, pos) aggregation
+    over DECIMAL(27,15)-cast partial sums (partition-order-independent,
+    same contract as dsum) and broadcast back; the corpus is never
+    shuffled (operators/similarity.centroid_outliers)."""
+    return centroid_outliers(
+        t(spark, sf_dir, "embeddings"), group="label", key="vec_id"
+    )

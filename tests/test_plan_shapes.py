@@ -106,3 +106,26 @@ def test_spread_is_noop_on_parallel_input(spark):
     assert "Repartition" not in _spread(wide)._jdf.queryExecution().optimizedPlan().toString()
     narrow = spark.range(0, 1000, 1, 1)
     assert "Repartition" in _spread(narrow)._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_centroid_outliers_broadcasts_centroids(spark, sf_dir):
+    """The |groups|-row centroid table must broadcast back onto the
+    corpus — a shuffled scoring join would move the whole corpus for a
+    handful of centroid rows."""
+    from incubator_flink_old_spark.operators.similarity import centroid_outliers
+    from incubator_flink_old_spark.sources import load_table
+
+    plan = _executed_plan(centroid_outliers(load_table(spark, sf_dir, "embeddings")))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_blocking_is_equi_join(spark, sf_dir):
+    """Candidate blocking must be an EQUI-join on (first token, bucket) —
+    a cartesian/NLJ here is O(names²) and dies at scale."""
+    from incubator_flink_old_spark.operators.text import fuzzy_pairs
+    from incubator_flink_old_spark.sources import load_table
+
+    plan = _executed_plan(fuzzy_pairs(load_table(spark, sf_dir, "part")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
