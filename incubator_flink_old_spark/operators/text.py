@@ -1821,3 +1821,211 @@ def cluster_representatives(
             (F.col("__rn") == 1).alias("is_rep"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Dataset-version diff: classify every document as added / removed /
+    changed / unchanged between two corpus snapshots — the audit step
+    between training-data releases.
+
+    One full-outer equi-join on the document key, comparing md5 content
+    fingerprints (never the payloads — at 100 TB the texts stay in place
+    and only 32-byte digests shuffle). Emits one row per key in either
+    version.
+    """
+    fp = lambda c: F.md5(F.coalesce(F.col(c), F.lit("")))  # noqa: E731
+    o = old.select(F.col(key), fp(text).alias("__fp_old"))
+    n = new.select(F.col(key), fp(text).alias("__fp_new"))
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, on=key, how="full_outer")
+        .select(key, status.alias("status"))
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 8,
+    text: str = "text",
+    source: str = "source",
+) -> DataFrame:
+    """Cross-subcorpus contamination matrix: for every pair of sources,
+    the number of distinct ``n``-gram fingerprints they share and the
+    overlap coefficient shared/min(|A|,|B|) — the release-audit view of
+    "how much of source A leaked into source B".
+
+    Shape: distinct (source, gram-md5) rows — one explode + one distinct
+    shuffle — then a self-equi-join ON THE GRAM. Gram frequency across
+    sources is bounded by |sources| (the join key's fan-out is at most
+    sources², not corpus size), so the join cannot quadratically blow up
+    the way a doc-level gram join would. Totals per source ride the same
+    distinct-gram frame.
+    """
+    staged = df.select(F.col(source).alias("src"), tokens(text).alias("__tka"))
+    grams = (
+        exploded_ngrams(staged, n, carry=("src",), hashed=False, out="g")
+        .select("src", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    totals = grams.groupBy("src").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("src").alias("source_a"), "gh")
+    b = grams.select(F.col("src").alias("source_b"), "gh")
+    shared = (
+        a.join(b, on="gh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    ta = totals.select(F.col("src").alias("source_a"), F.col("n_grams").alias("na"))
+    tb = totals.select(F.col("src").alias("source_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(F.broadcast(ta), on="source_a")
+        .join(F.broadcast(tb), on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams") / F.least("na", "nb"), 6
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+def tokenize_ids(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    max_len: int = 64,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer APPLICATION: map each document's first ``max_len``
+    tokens to integer ids from a frequency-built vocabulary (rank by
+    count desc, token asc; OOV → 0) — the corpus→token-ids step that
+    feeds sequence packing.
+
+    The vocabulary is a bounded TakeOrderedAndProject (top
+    ``vocab_size``) broadcast onto the exploded prefix; encoded ids
+    reassemble position-sorted (join order never matters) and emit as a
+    CSV string so the result is driver-canonicalizable. Corpus scan →
+    one explode of at most ``max_len`` rows/doc → broadcast join → one
+    groupBy(key): a single shuffle keyed by doc.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text)
+    vocab = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(vocab_size)
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+            .alias("tok_id"),
+        )
+    )
+    pos = df.select(
+        F.col(key), F.posexplode(F.slice(toks, 1, max_len)).alias("pos", "tok")
+    )
+    enc = (
+        pos.join(F.broadcast(vocab), on="tok", how="left")
+        .groupBy(key)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", F.coalesce("tok_id", F.lit(0)).alias("id"))
+                )
+            ).alias("pi")
+        )
+        .select(
+            key,
+            F.array_join(F.transform("pi", lambda s: s["id"]), ",").alias("ids"),
+            F.size("pi").alias("n_ids"),
+        )
+    )
+    return (
+        df.select(key)
+        .join(enc, on=key, how="left")
+        .select(
+            key,
+            F.coalesce("ids", F.lit("")).alias("ids"),
+            F.coalesce("n_ids", F.lit(0)).alias("n_ids"),
+        )
+    )
+
+
+def template_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Boilerplate/template detection: a STRUCTURAL fingerprint — digit
+    runs collapsed to '#', whitespace collapsed, lowercased — groups
+    documents that are the same template with different fill-ins (serial
+    numbers, dates, ids), the duplication class exact hashing misses and
+    MinHash only partially catches.
+
+    One hash groupBy (same scale shape as exact_dedup); emits only docs
+    in template groups of ≥ 2 with the min-key member as template id.
+    """
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col(text), F.lit(""))), "[0-9]+", "#"
+                ),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    base = df.select(F.col(key), fp.alias("tpl_fp"))
+    groups = (
+        base.groupBy("tpl_fp")
+        .agg(F.count("*").alias("group_size"), F.min(key).alias("template_id"))
+        .filter(F.col("group_size") >= 2)
+    )
+    return base.join(groups, on="tpl_fp").select(key, "template_id", "group_size")
+
+
+def resolve_entities(
+    df: DataFrame,
+    key: str = "p_partkey",
+    name: str = "p_name",
+    max_dist: int = 4,
+) -> DataFrame:
+    """End-to-end entity resolution: `fuzzy_pairs` similarity edges →
+    connected components (the G2 delta-iteration operator) → one entity
+    id per name group (min representative key; singletons resolve to
+    themselves) — the linkage DECISION, composed from the engine's own
+    primitives exactly like `dedup_clusters` composes MinHash + CC.
+
+    Scale shape: the component graph has one node per DISTINCT name that
+    appears in a fuzzy pair — a vanishing fraction of rows — so the CC
+    iterations run on a tiny edge list while the corpus itself is only
+    touched by the initial distinct-name collapse.
+    """
+    from incubator_flink_old_spark.operators.graph import connected_components
+
+    names = df.groupBy(F.col(name).alias("name")).agg(F.min(key).alias("rep"))
+    edges = fuzzy_pairs(df, key=key, name=name, max_dist=max_dist).select(
+        F.col("rep_a").alias("src"), F.col("rep_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return (
+        names.join(comp, names["rep"] == comp["id"], "left")
+        .select(
+            "name",
+            "rep",
+            F.coalesce(F.col("component"), F.col("rep")).alias("entity_id"),
+        )
+    )

@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "llm_ops2",
     "llm_ops3",
     "llm_ops4",
+    "llm_ops5",
     "analytics",
     "surfaces",
 )
@@ -126,6 +127,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cluster_rep",
     "q_embed_outliers",
     "q_approx_quantile",
+    # new this session (wave 6 — no driver row yet)
+    "q_corpus_diff",
+    "q_source_overlap",
+    "q_tokenize_ids",
+    "q_data_card",
+    # new this session (wave 7 — no driver row yet)
+    "q_salted_join",
+    "q_global_rank",
+    "q_template_dedup",
+    "q_entity_resolve",
     # the pytest-regression query sits adjacent to the stream-source fix;
     # keep its driver row fresh too
     "q_event_dedup",
@@ -134,14 +145,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_curate_full",
     "q_dedup_minhash",
     "q_dedup_cluster",
-    "q_semantic_dedup",
-    "q_sim_ivf_topk",
-    "q_multimodal_pipeline",
-    "q_tpch_q1",
-    "q_tpch_q18",
-    "q_iterate_cc",
-    "q_iterate_pagerank",
-    "q_pregel_sssp",
 )
 
 

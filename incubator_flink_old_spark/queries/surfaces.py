@@ -219,3 +219,52 @@ def q_profile_table(spark, sf_dir):
         ).alias("s")
     )
     return stacked.select("s.*")
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-salted join driver-checked: the salt/explode rewrite
+    (operators/joins.salted_join — the power-law-key tool when one key
+    exceeds a task even after AQE skew splitting) must be INVISIBLE in
+    the result — the oracle is the plain join. Integer-exact aggregates
+    so the check is representation-proof."""
+    from incubator_flink_old_spark.operators.joins import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+    )
+
+
+@register(
+    "q_global_rank",
+    oracle="""
+    SELECT event_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_global_rank(spark, sf_dir):
+    """Distributed total-order row numbering driver-checked
+    (operators/aggregates.global_row_number): range partition on the
+    order keys + per-partition numbering + broadcast offsets — no
+    single-task global window anywhere in the plan. Oracle is the
+    classic (single-threaded) ROW_NUMBER."""
+    from incubator_flink_old_spark.operators.aggregates import global_row_number
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = global_row_number(ev, [F.col("ts"), F.col("event_id")], alias="rn")
+    return out.select("event_id", F.col("rn").cast("bigint").alias("rn"))
