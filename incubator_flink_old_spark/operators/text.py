@@ -2029,3 +2029,69 @@ def resolve_entities(
             F.coalesce(F.col("component"), F.col("rep")).alias("entity_id"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi: tuple[str, ...], k: int = 5
+) -> DataFrame:
+    """Privacy release audit: group sizes over a quasi-identifier tuple,
+    flagging equivalence classes smaller than ``k`` (the rows a k-anonymity
+    policy would require generalizing or suppressing before the dataset
+    ships).
+
+    One hash groupBy over the quasi columns — combinable counts, the
+    exact_dedup scale shape.
+    """
+    return (
+        df.groupBy(*quasi)
+        .agg(F.count("*").alias("class_size"))
+        .withColumn("k_ok", F.col("class_size") >= F.lit(k))
+    )
+
+
+def negative_samples(
+    df: DataFrame,
+    query_filter: Column,
+    k: int = 4,
+    num_buckets: int = 64,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    query document draws ``k`` pseudo-random corpus documents — one from
+    each of the ``k`` hash-ring buckets after its own — with the
+    per-bucket pick arg-min'd on a (query, candidate) pair hash.
+
+    Scale shape: candidates equi-join their BUCKET (each query touches
+    k/num_buckets of the corpus, and with the corpus written
+    bucket-partitioned the probe is partition-pruned, the IVF layout
+    move); the per-bucket pick is a combinable min_by — no crossJoin,
+    no per-query scan of the full corpus. md5-derived hashes replay
+    identically on any engine.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+    ).cast("long") % num_buckets
+    cand = df.select(
+        F.col(key).alias("neg_id"), bucket.alias("__b")
+    )
+    q = df.filter(query_filter).select(
+        F.col(key).alias("q_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(k)),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    ((bucket + j) % num_buckets).alias("__b"),
+                ),
+            )
+        ).alias("probe"),
+    ).select("q_id", F.col("probe.j").alias("j"), F.col("probe.__b").alias("__b"))
+    pair_h = F.md5(
+        F.concat_ws("|", F.col("q_id").cast("string"), F.col("neg_id").cast("string"))
+    )
+    return (
+        q.join(cand, on="__b")
+        .filter(F.col("neg_id") != F.col("q_id"))
+        .groupBy("q_id", "j")
+        .agg(F.min_by("neg_id", pair_h).alias("neg_id"))
+    )

@@ -137,14 +137,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_global_rank",
     "q_template_dedup",
     "q_entity_resolve",
-    # the pytest-regression query sits adjacent to the stream-source fix;
-    # keep its driver row fresh too
-    "q_event_dedup",
-    # remaining slots: re-confirm the heaviest / most-load-bearing greens
-    # so a plan regression in them surfaces immediately
+    # new this session (wave 8 — no driver row yet)
+    "q_k_anonymity",
+    "q_negative_sampling",
+    # remaining slots: re-confirm the two r02-weak heavies (VERDICT's
+    # pending adjudication) so a plan regression surfaces immediately
     "q_curate_full",
     "q_dedup_minhash",
-    "q_dedup_cluster",
 )
 
 

@@ -268,3 +268,61 @@ def q_entity_resolve(spark, sf_dir):
     record-linkage decision composed from the engine's own primitives
     (operators/text.resolve_entities); recursive-CTE oracle."""
     return resolve_entities(t(spark, sf_dir, "part"), key="p_partkey", name="p_name")
+
+
+# --- wave 8: privacy release audit, contrastive negative sampling ------
+
+from incubator_flink_old_spark.operators.text import k_anonymity, negative_samples
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS class_size,
+           COUNT(*) >= 5 AS k_ok
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """Privacy release audit: equivalence-class sizes over the
+    (nationkey, mktsegment) quasi-identifier tuple with the k=5 policy
+    flag — the generalize-or-suppress worklist a release pipeline
+    produces (operators/text.k_anonymity). One combinable hash groupBy."""
+    return k_anonymity(
+        t(spark, sf_dir, "customer"), quasi=("c_nationkey", "c_mktsegment"), k=5
+    )
+
+
+@register(
+    "q_negative_sampling",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 64 AS bk
+        FROM documents),
+    q AS (
+        SELECT doc_id AS q_id, j, (bk + j) % 64 AS bk2
+        FROM b, unnest(generate_series(1, 4)) u(j)
+        WHERE doc_id % 17 = 0)
+    SELECT q.q_id, CAST(q.j AS INT) AS j,
+           arg_min(c.doc_id,
+                   md5(CAST(q.q_id AS VARCHAR) || '|'
+                       || CAST(c.doc_id AS VARCHAR))) AS neg_id
+    FROM q JOIN b c ON q.bk2 = c.bk
+    WHERE c.doc_id <> q.q_id
+    GROUP BY q.q_id, q.j
+    """,
+)
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic contrastive negative sampling: every 17th document
+    draws 4 negatives, one from each of the next 4 hash-ring buckets,
+    arg-min'd on a portable (query, candidate) md5 pair hash — an
+    equi-join on the bucket (k/64 of the corpus per query; partition-
+    pruned under a bucket-partitioned layout), never a crossJoin
+    (operators/text.negative_samples)."""
+    docs = t(spark, sf_dir, "documents")
+    return negative_samples(
+        docs, F.col("doc_id") % 17 == 0, k=4, num_buckets=64
+    )

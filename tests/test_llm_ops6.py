@@ -136,3 +136,36 @@ def test_resolve_entities_transitive(spark):
         "acme axyy": 10,
         "zeta zzzz": 13,
     }
+
+
+def test_k_anonymity_flags(spark):
+    from incubator_flink_old_spark.operators.text import k_anonymity
+
+    df = from_elements(
+        spark,
+        [(1, "a", "x")] * 5 + [(2, "b", "y")] * 2,
+        "id long, qa string, qb string",
+    )
+    got = {(r["qa"], r["qb"]): (r["class_size"], r["k_ok"]) for r in
+           k_anonymity(df, quasi=("qa", "qb"), k=5).collect()}
+    assert got == {("a", "x"): (5, True), ("b", "y"): (2, False)}
+
+
+def test_negative_samples_contract(spark, sf_dir):
+    from incubator_flink_old_spark.operators.text import negative_samples
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = negative_samples(docs, F.col("doc_id") % 17 == 0, k=4).collect()
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    per_q: dict = {}
+    for r in out:
+        assert r["neg_id"] in ids and r["neg_id"] != r["q_id"]
+        assert 1 <= r["j"] <= 4
+        per_q.setdefault(r["q_id"], set()).add(r["j"])
+    # every query doc drew from distinct ring offsets
+    for q, js in per_q.items():
+        assert len(js) == len([r for r in out if r["q_id"] == q])
+    # determinism: a second run returns the identical sample
+    again = negative_samples(docs, F.col("doc_id") % 17 == 0, k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

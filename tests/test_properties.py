@@ -259,3 +259,95 @@ def test_quantize_dequantize_bound(spark, vecs):
         for q, x in zip(r["q8"], unit):
             assert abs(q) <= 127
             assert abs(q * r["scale"] - x) <= r["scale"] / 2 + 1e-6
+
+
+# --- wave 5-8 operator laws ------------------------------------------
+
+name_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=4), min_size=1, max_size=3
+).map(" ".join)
+
+
+@given(names=st.lists(name_words, min_size=2, max_size=14, unique=True))
+@settings(max_examples=8, deadline=None)
+def test_fuzzy_pairs_equals_naive_blocked(spark, names):
+    """±1-bucket probing loses nothing vs the naive first-token-blocked
+    all-pairs join at the same threshold, on generated names."""
+    import itertools
+
+    from incubator_flink_old_spark.operators.text import fuzzy_pairs
+
+    rows = [(i, nm) for i, nm in enumerate(names)]
+    df = from_elements(spark, rows, "k long, nm string")
+    got = {(r["name_a"], r["name_b"], r["dist"]) for r in
+           fuzzy_pairs(df, key="k", name="nm", max_dist=4).collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for a, b in itertools.combinations(sorted(set(names)), 2):
+        if a.split()[0] == b.split()[0] and lev(a, b) <= 4:
+            want.add((a, b, lev(a, b)))
+    assert got == want
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=0, max_size=10),
+    pair=st.tuples(st.sampled_from(["a", "b", "ab"]), st.sampled_from(["a", "b", "c"])),
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_merge_adjacent_matches_python(spark, syms, pair):
+    """The JVM aggregate merge pass == the greedy left-to-right Python
+    merge on arbitrary symbol sequences."""
+    from incubator_flink_old_spark.operators.text import _merge_adjacent
+
+    a, b = pair
+    df = from_elements(spark, [(1,)], "i long").select(
+        _merge_adjacent(F.array(*[F.lit(s) for s in syms]), a, b).alias("m")
+    )
+    got = list(df.first()["m"])
+    want, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            want.append(a + b)
+            i += 2
+        else:
+            want.append(syms[i])
+            i += 1
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_tokenize_ids_matches_python(spark, texts):
+    """Token-id encoding == the pure-Python encoder (same vocab ranking
+    and OOV rule) on generated corpora."""
+    from collections import Counter
+
+    from incubator_flink_old_spark.operators.text import tokenize_ids
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = from_elements(spark, rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["ids"], r["n_ids"]) for r in
+           tokenize_ids(df, vocab_size=3, max_len=4).collect()}
+    counts = Counter(w for t in texts for w in t.lower().split())
+    vocab = {w: i + 1 for i, (w, _) in enumerate(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3])}
+    for i, t in rows:
+        toks = t.lower().split()[:4]
+        ids = ",".join(str(vocab.get(w, 0)) for w in toks)
+        assert got[i] == (ids, len(toks))
