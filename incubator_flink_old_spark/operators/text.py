@@ -383,6 +383,53 @@ def training_corpus(
     )
 
 
+def components_partial(
+    spark,
+    edges: DataFrame,
+    n_edges: int | None = None,
+    max_iterations: int = 20,
+    local_max: int = 500_000,
+) -> DataFrame:
+    """Connected components over an edge list with the finish-small move:
+    ≤ ``local_max`` edges are solved by a bounded driver-side union-find
+    (one collect — the same finish-small call AQE makes for joins),
+    larger graphs run the G2 delta-iteration operator distributed.
+
+    Returns a PARTIAL (id, component) mapping — ids absent from the
+    result are their own component (callers left-join and coalesce to
+    self). Shared by `dedup_clusters` (its contracted residual graph)
+    and `resolve_entities` (fuzzy-linkage name graph).
+    """
+    from incubator_flink_old_spark.operators.graph import connected_components
+    from incubator_flink_old_spark.sources import local_rows
+
+    if n_edges is None:
+        n_edges = edges.count()
+    if n_edges > local_max:
+        return connected_components(edges, max_iterations=max_iterations)
+    parent: dict = {}
+
+    def _find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        a, b = _find(row["src"]), _find(row["dst"])
+        if a != b:
+            if a > b:
+                a, b = b, a
+            parent[b] = a
+    return local_rows(
+        spark,
+        [(int(k), int(_find(k))) for k in parent],
+        "id long, component long",
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -425,8 +472,6 @@ def dedup_clusters(
     Returns (doc_id, cluster_id, keep) for EVERY input document, where
     keep ⇔ doc_id == cluster_id (the canonical member).
     """
-    from incubator_flink_old_spark.operators.graph import connected_components
-
     if pairs is None:
         pairs = minhash_lsh_pairs(
             df, band_size=band_size, jaccard_threshold=jaccard_threshold,
@@ -470,34 +515,13 @@ def dedup_clusters(
             F.col("id").alias("__cid"), F.col("lbl").alias("component")
         )
     else:
-        if n_residual <= residual_local_max:
-            parent: dict = {}
-
-            def _find(x):
-                root = x
-                while parent.get(root, root) != root:
-                    root = parent[root]
-                while parent.get(x, x) != x:
-                    parent[x], x = root, parent[x]
-                return root
-
-            for row in cedges.collect():
-                a, b = _find(row["src"]), _find(row["dst"])
-                if a != b:
-                    if a > b:
-                        a, b = b, a
-                    parent[b] = a
-            from incubator_flink_old_spark.sources import local_rows
-
-            comp_small = local_rows(
-                df.sparkSession,
-                [(int(k), int(_find(k))) for k in parent],
-                "id long, component long",
-            )
-        else:
-            comp_small = connected_components(
-                cedges, max_iterations=max_iterations
-            )
+        comp_small = components_partial(
+            df.sparkSession,
+            cedges,
+            n_edges=n_residual,
+            max_iterations=max_iterations,
+            local_max=residual_local_max,
+        )
         comp = labels.join(
             comp_small, labels["lbl"] == comp_small["id"], "left"
         ).select(
@@ -2010,17 +2034,16 @@ def resolve_entities(
     primitives exactly like `dedup_clusters` composes MinHash + CC.
 
     Scale shape: the component graph has one node per DISTINCT name that
-    appears in a fuzzy pair — a vanishing fraction of rows — so the CC
-    iterations run on a tiny edge list while the corpus itself is only
-    touched by the initial distinct-name collapse.
+    appears in a fuzzy pair — a vanishing fraction of rows — so the
+    components solve via `components_partial`'s finish-small union-find
+    (or distributed delta iteration past 500k edges) while the corpus
+    itself is only touched by the initial distinct-name collapse.
     """
-    from incubator_flink_old_spark.operators.graph import connected_components
-
     names = df.groupBy(F.col(name).alias("name")).agg(F.min(key).alias("rep"))
     edges = fuzzy_pairs(df, key=key, name=name, max_dist=max_dist).select(
         F.col("rep_a").alias("src"), F.col("rep_b").alias("dst")
     )
-    comp = connected_components(edges)
+    comp = components_partial(df.sparkSession, edges)
     return (
         names.join(comp, names["rep"] == comp["id"], "left")
         .select(
