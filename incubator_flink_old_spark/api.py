@@ -269,6 +269,38 @@ class DataSet:
 
         return DataSet(self.env, curate(self.df, **kw))
 
+    def dedup_templates(self, **kw) -> "DataSet":
+        """Structural template groups — operators/text.template_dedup."""
+        from incubator_flink_old_spark.operators.text import template_dedup
+
+        return DataSet(self.env, template_dedup(self.df, **kw))
+
+    def fuzzy_pairs(self, **kw) -> "DataSet":
+        """Blocked edit-distance linkage pairs — operators/text.fuzzy_pairs."""
+        from incubator_flink_old_spark.operators.text import fuzzy_pairs
+
+        return DataSet(self.env, fuzzy_pairs(self.df, **kw))
+
+    def resolve_entities(self, **kw) -> "DataSet":
+        """Fuzzy linkage → components → entity ids —
+        operators/text.resolve_entities."""
+        from incubator_flink_old_spark.operators.text import resolve_entities
+
+        return DataSet(self.env, resolve_entities(self.df, **kw))
+
+    def tokenize(self, **kw) -> "DataSet":
+        """Vocabulary-ranked token-id encoding — operators/text.tokenize_ids."""
+        from incubator_flink_old_spark.operators.text import tokenize_ids
+
+        return DataSet(self.env, tokenize_ids(self.df, **kw))
+
+    def diff_against(self, new: "DataSet", **kw) -> "DataSet":
+        """Snapshot diff vs a newer corpus version —
+        operators/text.corpus_diff."""
+        from incubator_flink_old_spark.operators.text import corpus_diff
+
+        return DataSet(self.env, corpus_diff(self.df, new.df, **kw))
+
     # -- actions (testing convenience; the reference's collect()) ---------
     def collect(self):
         return self.df.collect()

@@ -161,3 +161,21 @@ def test_llm_pipeline_fluent_surface(spark):
     clusters = docs.dedup_clusters()
     kept = {r["doc_id"] for r in clusters.collect() if r["keep"]}
     assert kept == {1, 3}
+
+
+def test_linkage_fluent_surface(spark, sf_dir):
+    """Wave-5..8 fluent parity: template dedup, fuzzy linkage, entity
+    resolution, tokenizer application, corpus diff."""
+    env = env_for(spark)
+    parts = env.read_table(sf_dir, "part")
+    pairs = parts.fuzzy_pairs(key="p_partkey", name="p_name", max_dist=4)
+    assert {"name_a", "name_b", "dist"} <= set(pairs.df.columns)
+    ents = parts.resolve_entities(key="p_partkey", name="p_name")
+    assert ents.count() == parts.df.select("p_name").distinct().count()
+
+    docs = env.read_table(sf_dir, "documents")
+    ids = docs.tokenize(vocab_size=50, max_len=8)
+    assert ids.count() == docs.count()
+    diff = docs.diff_against(docs)
+    assert {r["status"] for r in diff.collect()} == {"unchanged"}
+    assert docs.dedup_templates().count() == 0  # random text: no templates

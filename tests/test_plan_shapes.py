@@ -129,3 +129,29 @@ def test_fuzzy_pairs_blocking_is_equi_join(spark, sf_dir):
     plan = _executed_plan(fuzzy_pairs(load_table(spark, sf_dir, "part")))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_samples_is_equi_join(spark, sf_dir):
+    """Negative sampling must equi-join the hash-ring bucket — a
+    NLJ/cartesian here is the O(queries × corpus) shape the op exists
+    to avoid."""
+    from incubator_flink_old_spark.operators.text import negative_samples
+    from incubator_flink_old_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(negative_samples(docs, F.col("doc_id") % 17 == 0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tokenize_ids_vocab_is_bounded_topk(spark, sf_dir):
+    """The vocabulary build must be a bounded TakeOrderedAndProject —
+    a global sort of the full token vocabulary would shuffle everything
+    to produce 1000 rows."""
+    from incubator_flink_old_spark.operators.text import tokenize_ids
+    from incubator_flink_old_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(tokenize_ids(docs, vocab_size=100, max_len=16))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,65 @@
+"""Registry invariants: the driver contract the rounds depend on.
+
+The round driver verifies only the FIRST 50 registered queries, so the
+rotation discipline (COVERAGE.md) must hold structurally: every
+registered query either already has a green CORRECTNESS_r* row or sits
+inside the first-50 window. A new query registered without rotating it
+forward would silently never get driver-checked — these tests make that
+a deterministic failure instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from incubator_flink_old_spark.queries import (
+    DRIVER_PRIORITY,
+    ORACLES,
+    QUERIES,
+    load_all_queries,
+)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _green_rows() -> set[str]:
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+            ):
+                green.add(name)
+    return green
+
+
+def test_every_query_has_an_oracle():
+    load_all_queries()
+    assert set(QUERIES) == set(ORACLES), (
+        "rows-only queries reintroduced: "
+        f"{sorted(set(QUERIES) - set(ORACLES))}"
+    )
+
+
+def test_driver_priority_names_exist():
+    load_all_queries()
+    missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    assert not missing, f"DRIVER_PRIORITY names not registered: {missing}"
+
+
+def test_driver_window_covers_every_unchecked_query():
+    load_all_queries()
+    green = _green_rows()
+    window = set(list(QUERIES)[:50])
+    stranded = [n for n in QUERIES if n not in green and n not in window]
+    assert not stranded, (
+        "registered queries with no green driver row outside the first-50 "
+        f"window (rotate DRIVER_PRIORITY): {stranded}"
+    )
