@@ -133,3 +133,50 @@ def test_null_text_rows_do_not_poison_metrics(spark):
     # stats/quality must not throw on the null row
     assert text_stats(df).count() == 2
     assert quality_score(df).count() == 2
+
+
+def test_empty_wave5_8_ops(spark):
+    """Waves 5-8 degrade cleanly on empty / all-null input."""
+    from incubator_flink_old_spark.operators.similarity import centroid_outliers
+    from incubator_flink_old_spark.operators.text import (
+        bpe_pair_counts,
+        cluster_representatives,
+        corpus_diff,
+        fuzzy_pairs,
+        k_anonymity,
+        negative_samples,
+        resolve_entities,
+        source_overlap,
+        template_dedup,
+        tokenize_ids,
+    )
+
+    docs = _empty(spark, "doc_id long, text string, lang string, source string")
+    parts = _empty(spark, "p_partkey long, p_name string")
+    emb = _empty(spark, "vec_id long, label int, embedding array<double>")
+
+    assert fuzzy_pairs(parts).count() == 0
+    assert resolve_entities(parts).count() == 0
+    assert bpe_pair_counts(docs).count() == 0
+    assert cluster_representatives(docs).count() == 0
+    assert centroid_outliers(emb).count() == 0
+    assert corpus_diff(docs, docs).count() == 0
+    assert source_overlap(docs).count() == 0
+    assert tokenize_ids(docs).count() == 0
+    assert template_dedup(docs).count() == 0
+    assert k_anonymity(docs, quasi=("lang", "source")).count() == 0
+    assert negative_samples(docs, F.col("doc_id") % 2 == 0).count() == 0
+
+
+def test_null_name_rows_drop_from_linkage(spark):
+    """NULL names cannot equi-join a block key — they drop from the pair
+    list instead of pairing with each other (the null-safe contract)."""
+    from incubator_flink_old_spark.operators.text import fuzzy_pairs
+
+    df = from_elements(
+        spark,
+        [(1, None), (2, None), (3, "acme x"), (4, "acme y")],
+        "p_partkey long, p_name string",
+    )
+    pairs = fuzzy_pairs(df, max_dist=4).collect()
+    assert {(r["name_a"], r["name_b"]) for r in pairs} == {("acme x", "acme y")}
