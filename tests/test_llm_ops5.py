@@ -190,3 +190,12 @@ def test_centroid_outliers_partition_invariant(spark, sf_dir):
     a = {tuple(r) for r in centroid_outliers(emb).collect()}
     b = {tuple(r) for r in centroid_outliers(emb.repartition(7)).collect()}
     assert a == b
+
+
+def test_bpe_learn_fixture_partition_invariant(spark, sf_dir):
+    """Merge lists are identical under any input partitioning: pair
+    counts sum integers (order-free) and the argmax tie-break is total."""
+    docs = load_table(spark, sf_dir, "documents")
+    m1, _ = bpe_learn(docs, num_merges=3)
+    m2, _ = bpe_learn(docs.repartition(7), num_merges=3)
+    assert m1 == m2 and len(m1) == 3
