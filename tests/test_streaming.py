@@ -307,3 +307,36 @@ def test_interval_join_helper_stream_batch_parity(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_template_dedup_parity(spark, sf_dir, events_stream):
+    """Structural-template dedup in a stream: dropDuplicates on the
+    template fingerprint (digit runs → '#', whitespace collapsed) keeps
+    the first arrival per template — stream key-count == the batch
+    operator's template-group count (plus untemplated singles)."""
+    from pyspark.sql import functions as F
+
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.coalesce(F.col("props"), F.lit(""))), "[0-9]+", "#"),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    deduped = dedup_streaming(
+        events_stream.select("event_id", "ts", fp.alias("tpl_fp")),
+        ["tpl_fp"],
+        "ts",
+        "10 minutes",
+    )
+    run_stream_to_memory(deduped, "stream_tpl_dedup", "append")
+    n_stream = spark.sql("SELECT count(*) AS n FROM stream_tpl_dedup").first()["n"]
+    n_batch = (
+        load_table(spark, sf_dir, "events")
+        .select(fp.alias("tpl_fp"))
+        .distinct()
+        .count()
+    )
+    assert n_stream == n_batch
