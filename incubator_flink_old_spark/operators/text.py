@@ -1816,7 +1816,11 @@ def bpe_learn(
 
 
 def cluster_representatives(
-    df: DataFrame, text: str = "text", key: str = "doc_id", band_size: int = 4
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    band_size: int = 4,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-aware canonical selection: near-dup clusters (MinHash-LSH →
     connected components, `dedup_clusters`) keep their HIGHEST-quality
@@ -1832,7 +1836,9 @@ def cluster_representatives(
     """
     from pyspark.sql import Window
 
-    clusters = dedup_clusters(df, band_size=band_size).select(key, "cluster_id")
+    clusters = dedup_clusters(
+        df, pairs=pairs, text=text, key=key, band_size=band_size
+    ).select(key, "cluster_id")
     q = quality_score(df, text=text, key=key).select(key, "quality")
     w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col(key))
     return (

@@ -199,3 +199,15 @@ def test_bpe_learn_fixture_partition_invariant(spark, sf_dir):
     m1, _ = bpe_learn(docs, num_merges=3)
     m2, _ = bpe_learn(docs.repartition(7), num_merges=3)
     assert m1 == m2 and len(m1) == 3
+
+
+def test_cluster_representatives_accepts_precomputed_pairs(spark, sf_dir):
+    """Production pipelines compute the expensive pair list once; the
+    representative selection must accept it instead of re-deriving."""
+    from incubator_flink_old_spark.operators.text import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, band_size=4)
+    a = {tuple(r) for r in cluster_representatives(docs, band_size=4).collect()}
+    b = {tuple(r) for r in cluster_representatives(docs, pairs=pairs).collect()}
+    assert a == b
