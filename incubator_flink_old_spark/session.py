@@ -81,9 +81,18 @@ def get_spark(app_name: str = "incubator_flink_old_spark") -> SparkSession:
         # loops drop to the interpreter (measured 2-4× wall / ~40× CPU on
         # the dedup queries mid-bench). 1 GB + explicit flushing keeps
         # steady-state JIT'd for a 125-query session.
+        # DontCompileHugeMethods is OFF because whole-stage codegen for the
+        # pair-verify stages (signature md5s + banded join + intersect)
+        # emits methods past HotSpot's 8000-bytecode-byte compile limit;
+        # with the default, those exact hot loops silently stay interpreted
+        # — measured as 2-5× run-to-run swings on an IDENTICAL plan
+        # (16 s vs 32 s for q_dedup_minhash at sf0.1) depending on where
+        # method boundaries landed. In local mode executors share this JVM,
+        # so the one flag covers the whole engine.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-XX:-DontCompileHugeMethods",
         )
     )
     spark = builder.getOrCreate()
