@@ -382,3 +382,228 @@ def centroid_outliers(
             (cos < F.lit(threshold)).alias("is_outlier"),
         )
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    kmeans_iters: int = 3,
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Train product-quantization codebooks: the d-dim space splits into
+    ``m`` contiguous subspaces and each learns ``k`` centroids by Lloyd
+    iterations — all subspaces train TOGETHER in one DataFrame (sub is
+    just another grouping key), so the m trainings cost one job chain,
+    not m. Deterministic: lowest-key seeds, fixed iterations, L2
+    assignment tie-broken by centroid id. Vectors are L2-normalized
+    first so inner-product ADC ranks like cosine.
+
+    Returns (sub, cid, cv): m·k rows, each centroid a d/m-dim array —
+    tiny (m·k·d/m = k·d doubles) and always broadcast by consumers.
+    """
+    c = corpus.select(
+        F.col(corpus_key).alias("__c"), as_double_array(vec).alias("__v")
+    ).select(
+        "__c",
+        F.transform("__v", lambda x: x / norm(F.col("__v"))).alias("__v"),
+    )
+    d_over_m = F.floor(F.size("__v") / m).cast("int")
+    subs = c.select(
+        "__c",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        "__c",
+        "sub",
+        F.slice(
+            F.col("__v"), F.col("sub") * d_over_m + 1, d_over_m
+        ).alias("sv"),
+    )
+    subs = subs.persist()
+    try:
+        from pyspark.sql import Window
+
+        # seeds: the k lowest-key vectors' slices, shared across subspaces
+        centers = (
+            subs.withColumn(
+                "cid",
+                F.dense_rank().over(Window.partitionBy("sub").orderBy("__c")),
+            )
+            .filter(F.col("cid") <= k)
+            .select("sub", "cid", F.col("sv").alias("cv"))
+        )
+        l2 = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for _ in range(kmeans_iters):
+            assigned = (
+                subs.join(F.broadcast(centers), on="sub")
+                .select("__c", "sub", "sv", "cid", l2.alias("d2"))
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("__c", "sub").orderBy("d2", "cid")
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+            )
+            centers = (
+                assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+                .groupBy("sub", "cid", "pos")
+                .agg(F.avg("x").alias("x"))
+                .groupBy("sub", "cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
+                .select(
+                    "sub", "cid", F.transform("px", lambda s: s["x"]).alias("cv")
+                )
+            )
+            centers = centers.localCheckpoint(eager=True)
+        return centers
+    finally:
+        subs.unpersist()
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Encode each (normalized) vector as its per-subspace nearest
+    centroid ids — (vec_id, codes array<int>), the 4-bit-per-subspace
+    compressed representation stored instead of raw floats at scale
+    (d·4 bytes → m·log2(k) bits; 64-dim float32 → 8 nibbles = 64×
+    smaller here). One broadcast join against the m·k codebook rows and
+    one combinable per-vector fold — no shuffle of the corpus beyond the
+    groupBy on its own key."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(corpus_key).alias(corpus_key), as_double_array(vec).alias("__v")
+    ).select(
+        corpus_key,
+        F.transform("__v", lambda x: x / norm(F.col("__v"))).alias("__v"),
+    )
+    d_over_m = F.floor(F.size("__v") / m).cast("int")
+    subs = c.select(
+        corpus_key,
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        corpus_key,
+        "sub",
+        F.slice(F.col("__v"), F.col("sub") * d_over_m + 1, d_over_m).alias("sv"),
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        subs.join(F.broadcast(codebooks), on="sub")
+        .select(corpus_key, "sub", "cid", l2.alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(corpus_key, "sub").orderBy("d2", "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.groupBy(corpus_key)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cid"))).alias("sc"))
+        .select(
+            corpus_key,
+            F.transform("sc", lambda s: s["cid"].cast("int")).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    kmeans_iters: int = 3,
+    query_key: str = "q_id",
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k by asymmetric distance
+    computation (ADC) — the memory-bound ANN path: the corpus is scanned
+    as codes (m small ints per vector, 64× smaller than raw floats
+    here), never as raw vectors.
+
+    Each query precomputes an m·n_centroids table of exact
+    query-subvector · centroid inner products (flattened to one array);
+    a corpus vector's approximate cosine is then m array lookups summed
+    — `aggregate(sequence, dtab[sub·K + code])`, pure JVM HOFs, no
+    Python. The query side (10s-1000s of rows × m·K doubles) broadcasts;
+    the corpus side streams codes map-side; per-query top-k is the same
+    windowed TakeOrdered as the exact path. At 100 TB: codes live
+    columnar next to doc ids, raw vectors stay cold — ADC reads ~1/64th
+    the bytes of brute force, and composes with the IVF cell layout
+    (probe cells first, ADC within).
+
+    Approximate by design (quantization error); deterministic given the
+    lowest-key seeds and tie-breaks. Output: (q_id, vec_id, score) —
+    score approximates the cosine of L2-normalized vectors.
+    """
+    from pyspark.sql import Window
+
+    books = pq_codebooks(corpus, m, n_centroids, kmeans_iters, corpus_key, vec)
+    books = books.localCheckpoint(eager=True)  # reused by encode + dtab
+    codes = pq_encode(corpus, books, m, corpus_key, vec)
+
+    q = queries.select(
+        F.col(query_key).alias(query_key), as_double_array(vec).alias("__qv")
+    ).select(
+        query_key,
+        F.transform("__qv", lambda x: x / norm(F.col("__qv"))).alias("__qv"),
+    )
+    d_over_m = F.floor(F.size("__qv") / m).cast("int")
+    qsubs = q.select(
+        query_key,
+        "__qv",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        query_key,
+        "sub",
+        F.slice(F.col("__qv"), F.col("sub") * d_over_m + 1, d_over_m).alias("qsv"),
+    )
+    dtab = (
+        qsubs.join(F.broadcast(books), on="sub")
+        .select(
+            query_key,
+            (F.col("sub") * n_centroids + F.col("cid") - 1).alias("idx"),
+            dot(F.col("qsv"), F.col("cv")).alias("d"),
+        )
+        .groupBy(query_key)
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "d"))).alias("id_"))
+        .select(query_key, F.transform("id_", lambda s: s["d"]).alias("dtab"))
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("dtab"),
+            (i * n_centroids + F.element_at(F.col("codes"), i + 1)).cast("int"),
+        ),
+    )
+    scored = codes.join(F.broadcast(dtab)).select(
+        query_key, corpus_key, score.alias("score")
+    )
+    w = Window.partitionBy(query_key).orderBy(F.col("score").desc(), F.col(corpus_key))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

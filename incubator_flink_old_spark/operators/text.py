@@ -896,12 +896,6 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-#: Below this |A|·|B| product the linear-scan intersect count wins over
-#: the hash-set one (measured 6.2× at the fixture's ~25-element sets —
-#: array_intersect allocates an OpenHashSet per ROW, the scan is
-#: branch-predictable compares); above it the O(la·lb) scan loses to
-#: O(la+lb) hashing. 4096 ≈ 64×64-element sets, comfortably past the
-#: fixture and typical short-document regime.
 def _intersect_size(a, b) -> Column:
     """|A∩B| for arrays of DISTINCT non-null elements — the verify
     kernel for every pair pipeline (minhash / ngram / containment).

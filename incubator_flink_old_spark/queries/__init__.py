@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     "llm_ops3",
     "llm_ops4",
     "llm_ops5",
+    "llm_ops6",
     "analytics",
     "surfaces",
 )

@@ -155,3 +155,67 @@ def test_tokenize_ids_vocab_is_bounded_topk(spark, sf_dir):
     plan = _executed_plan(tokenize_ids(docs, vocab_size=100, max_len=16))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontaminate_filters_before_distinct(spark, sf_dir):
+    """The Bloom membership test must sit BELOW the doc-gram distinct's
+    exchange: filtering after the distinct would shuffle the full corpus
+    gram stream — exactly the cost the prefilter exists to avoid."""
+    from incubator_flink_old_spark.operators.sketches import decontaminate_bloom
+    from incubator_flink_old_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(
+        decontaminate_bloom(docs, docs.filter(F.col("doc_id") % 97 == 0), n=8)
+    )
+    lines = plan.splitlines()
+    # the bloom bit test (shiftright over element_at of the word array)
+    bloom = [i for i, l in enumerate(lines) if "shiftright" in l]
+    semi = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+    # corpus-side gram exchanges (the doc-gram distinct)
+    exch = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning" in l and "g#" in l and "doc_id" in l
+    ]
+    assert bloom, "bloom bit-test not found in the plan"
+    # plan text prints top-down (deeper = runs first): the bloom prune
+    # must sit BELOW the exact LeftSemi verify and below every corpus
+    # gram exchange — without the Generate barrier Catalyst pushes the
+    # exact join under the bloom filter, reducing the sketch to a no-op
+    assert semi and min(bloom) > max(semi), (
+        "exact LeftSemi verify runs below the bloom prune"
+    )
+    assert exch and max(exch) < min(bloom), (
+        "a corpus gram exchange runs below the bloom filter (full gram shuffle)"
+    )
+
+
+def test_heavy_hitters_exact_pass_broadcasts_candidates(spark, sf_dir):
+    """The exact recount must semi-join the candidate set via a broadcast
+    — a shuffle join here would re-shuffle the full gram stream."""
+    from incubator_flink_old_spark.operators.sketches import heavy_hitters
+    from incubator_flink_old_spark.operators.text import exploded_ngrams, tokens
+    from incubator_flink_old_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = exploded_ngrams(
+        docs.select(tokens("text").alias("__tka")), 2, carry=(), hashed=False,
+        out="gram",
+    )
+    plan = _executed_plan(heavy_hitters(grams, 30))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pq_scoring_broadcasts_distance_tables(spark, sf_dir):
+    """ADC scoring must broadcast the per-query distance tables over the
+    code stream (the corpus side never shuffles for scoring)."""
+    from incubator_flink_old_spark.operators.similarity import pq_topk
+    from incubator_flink_old_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    plan = _executed_plan(pq_topk(q, emb, k=3, m=8, n_centroids=4, kmeans_iters=1))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1,0 +1,157 @@
+"""Sketch-accelerated exact operators (wave 9): Bloom-prefiltered
+decontamination, threshold heavy hitters, product-quantization ANN.
+
+The law under test everywhere: the sketch only prunes, the exact pass
+decides — so sketched and naive formulations must be row-identical under
+ANY partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.operators.sketches import (
+    bloom_build,
+    bloom_might_contain,
+    decontaminate_bloom,
+    heavy_hitters,
+)
+from incubator_flink_old_spark.operators.text import decontaminate, exploded_ngrams, tokens
+from incubator_flink_old_spark.sources import from_elements, load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --- Bloom filter --------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    vals = from_elements(
+        spark, [(v,) for v in range(-500, 500, 7)], "g long"
+    )
+    bf = bloom_build(vals, "g", num_bits=1 << 12, num_hashes=5)
+    hits = vals.join(F.broadcast(bf)).filter(
+        bloom_might_contain(F.col("g"), F.col("__bf"), 1 << 12, 5)
+    )
+    assert hits.count() == vals.count()  # every inserted value tests positive
+
+
+def test_bloom_prunes_absent_values(spark):
+    present = from_elements(spark, [(v,) for v in range(100)], "g long")
+    absent = from_elements(
+        spark, [(v,) for v in range(10_000, 20_000)], "g long"
+    )
+    bf = bloom_build(present, "g", num_bits=1 << 14, num_hashes=5)
+    fp = absent.join(F.broadcast(bf)).filter(
+        bloom_might_contain(F.col("g"), F.col("__bf"), 1 << 14, 5)
+    )
+    # 100 values in 2^14 bits → theoretical FP rate ≈ (1-e^{-kn/m})^k ≈ 1e-8;
+    # allow a generous bound — the point is pruning, not the exact rate.
+    assert fp.count() < 100
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = decontaminate(docs, benchmark, n=8)
+    sketched = decontaminate_bloom(docs, benchmark, n=8)
+    assert _rows(sketched) == _rows(exact)
+
+
+def test_bloom_decontaminate_empty_benchmark(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = decontaminate_bloom(docs, docs.filter(F.lit(False)), n=8)
+    got = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("n_hits")).alias("h")
+    ).collect()[0]
+    assert got["n"] == docs.count() and got["h"] == 0
+
+
+# --- Heavy hitters -------------------------------------------------------
+
+
+def _bigrams(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exploded_ngrams(
+        docs.select(tokens("text").alias("__tka")), 2, carry=(), hashed=False,
+        out="gram",
+    )
+
+
+def test_heavy_hitters_equals_plain_groupby(spark, sf_dir):
+    grams = _bigrams(spark, sf_dir)
+    plain = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 30)
+    )
+    assert _rows(heavy_hitters(grams, 30)) == _rows(plain)
+
+
+def test_heavy_hitters_partition_invariant(spark, sf_dir):
+    grams = _bigrams(spark, sf_dir)
+    a = heavy_hitters(grams.repartition(3), 30)
+    b = heavy_hitters(grams.repartition(17), 30)
+    assert _rows(a) == _rows(b)
+
+
+def test_heavy_hitters_threshold_one_is_wordcount(spark):
+    vals = from_elements(
+        spark, [("a",), ("b",), ("a",), ("c",), ("a",), ("b",)], "w string"
+    )
+    got = {r["w"]: r["cnt"] for r in heavy_hitters(vals, 1).collect()}
+    assert got == {"a": 3, "b": 2, "c": 1}
+
+
+def test_heavy_hitters_rejects_multicolumn(spark):
+    import pytest
+
+    df = from_elements(spark, [(1, 2)], "a long, b long")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, 2)
+
+
+def test_heavy_hitters_empty_input(spark):
+    vals = from_elements(spark, [("x",)], "w string").filter(F.lit(False))
+    assert heavy_hitters(vals, 2).count() == 0
+
+
+# --- Product quantization ------------------------------------------------
+
+
+def test_pq_self_retrieval_and_determinism(spark, sf_dir):
+    from incubator_flink_old_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = pq_topk(queries, emb, k=5, m=8, n_centroids=16, kmeans_iters=2)
+    rows = _rows(out.select("q_id", "vec_id"))
+    # self is retrieved for every query
+    assert all((q, q) in set(rows) for q in range(5))
+    # deterministic under input repartitioning
+    out2 = pq_topk(
+        queries.repartition(7), emb.repartition(5), k=5, m=8,
+        n_centroids=16, kmeans_iters=2,
+    )
+    assert rows == _rows(out2.select("q_id", "vec_id"))
+
+
+def test_pq_codes_shape(spark, sf_dir):
+    from incubator_flink_old_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    books = pq_codebooks(emb, m=8, k=4, kmeans_iters=1)
+    assert books.count() == 8 * 4  # m × k centroids
+    codes = pq_encode(emb, books, m=8)
+    bad = codes.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 1) | (c > 4))
+    )
+    assert bad.count() == 0
