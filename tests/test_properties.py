@@ -351,3 +351,53 @@ def test_tokenize_ids_matches_python(spark, texts):
         toks = t.lower().split()[:4]
         ids = ",".join(str(vocab.get(w, 0)) for w in toks)
         assert got[i] == (ids, len(toks))
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]), min_size=1, max_size=60
+    ),
+    threshold=st.integers(min_value=1, max_value=12),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_law(spark, words, threshold, parts):
+    """heavy_hitters == {w: count(w) ≥ T} with EXACT counts, under any
+    partitioning (the pigeonhole-prune law from operators/sketches)."""
+    from collections import Counter
+
+    from incubator_flink_old_spark.operators.sketches import heavy_hitters
+
+    df = from_elements(spark, [(w,) for w in words], "w string").repartition(parts)
+    got = {r["w"]: r["cnt"] for r in heavy_hitters(df, threshold).collect()}
+    want = {w: c for w, c in Counter(words).items() if c >= threshold}
+    assert got == want
+
+
+@given(
+    present=st.sets(st.integers(min_value=-(2**40), max_value=2**40), max_size=30),
+    probes=st.sets(st.integers(min_value=-(2**40), max_value=2**40), max_size=30),
+)
+@settings(**SETTINGS)
+def test_bloom_never_rejects_inserted_values(spark, present, probes):
+    """Bloom law: no false negatives, ever — any inserted value probes
+    positive; absent values may or may not (FP allowed by contract)."""
+    from incubator_flink_old_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    if not present:
+        return
+    vals = from_elements(spark, [(v,) for v in present], "g long")
+    bf = bloom_build(vals, "g", num_bits=1 << 10, num_hashes=3)
+    both = from_elements(
+        spark, [(v,) for v in present | probes], "g long"
+    ).join(F.broadcast(bf))
+    hits = {
+        r["g"]
+        for r in both.filter(
+            bloom_might_contain(F.col("g"), F.col("__bf"), 1 << 10, 3)
+        ).collect()
+    }
+    assert present <= hits
