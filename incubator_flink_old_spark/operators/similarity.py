@@ -72,6 +72,50 @@ def brute_force_topk(
     )
 
 
+def _train_cells(c: DataFrame, n_cells: int, kmeans_iters: int) -> DataFrame:
+    """Coarse quantizer shared by the IVF family: Lloyd over (__c, __cv)
+    with deterministic lowest-key seeds; returns (cell, cv). Tiny
+    (n_cells rows) — consumers always broadcast it."""
+    from pyspark.sql import Window
+
+    centers = (
+        c.orderBy("__c").limit(n_cells)
+        .select(F.row_number().over(Window.orderBy("__c")).alias("cell"), F.col("__cv").alias("cv"))
+    )
+    for _ in range(kmeans_iters):
+        assigned = _assign_cells(c, centers)
+        # element-wise centroid mean via posexplode (dimension-agnostic)
+        centers = (
+            assigned.select("cell", F.posexplode("__cv").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select("cell", F.transform("pv", lambda s: s["v"]).alias("cv"))
+        )
+        centers = centers.localCheckpoint(eager=True)
+    return centers
+
+
+def _assign_cells(c: DataFrame, centers: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, tie-broken by cell id: (__c, __cv,
+    cell). One broadcast join — the corpus never shuffles to train."""
+    from pyspark.sql import Window
+
+    return (
+        c.crossJoin(F.broadcast(centers))
+        .select("__c", "__cv", "cell", cosine(F.col("__cv"), F.col("cv")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("__c").orderBy(F.col("sim").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("__c", "__cv", "cell")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -101,47 +145,9 @@ def ivf_topk(
     c = corpus.select(F.col(corpus_key).alias("__c"), as_double_array(vec).alias("__cv"))
     c = c.persist()
 
-    # --- train coarse quantizer (Lloyd on the corpus itself) -------------
-    centers = (
-        c.orderBy("__c").limit(n_cells)
-        .select(F.row_number().over(Window.orderBy("__c")).alias("cell"), F.col("__cv").alias("cv"))
-    )
-    for _ in range(kmeans_iters):
-        assigned = (
-            c.crossJoin(F.broadcast(centers))
-            .select("__c", "__cv", "cell", cosine(F.col("__cv"), F.col("cv")).alias("sim"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("__c").orderBy(F.col("sim").desc(), F.col("cell"))
-                ),
-            )
-            .filter(F.col("rn") == 1)
-        )
-        # element-wise centroid mean via posexplode (dimension-agnostic)
-        centers = (
-            assigned.select("cell", F.posexplode("__cv").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("v").alias("v"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
-            .select("cell", F.transform("pv", lambda s: s["v"]).alias("cv"))
-        )
-        centers = centers.localCheckpoint(eager=True)
-
-    # --- assign corpus to cells (the "write bucketed by cell" step) ------
-    cells = (
-        c.crossJoin(F.broadcast(centers))
-        .select("__c", "__cv", "cell", cosine(F.col("__cv"), F.col("cv")).alias("sim"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("__c").orderBy(F.col("sim").desc(), F.col("cell"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("__c", "__cv", "cell")
-    )
+    centers = _train_cells(c, n_cells, kmeans_iters)
+    # assign corpus to cells (the "write bucketed by cell" step)
+    cells = _assign_cells(c, centers)
 
     # --- probe: each query searches its n_probe nearest cells ------------
     q = queries.select(F.col(query_key).alias("__q"), as_double_array(vec).alias("__qv"))
@@ -607,3 +613,128 @@ def pq_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    m: int = 8,
+    n_centroids: int = 16,
+    kmeans_iters: int = 3,
+    query_key: str = "q_id",
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the composed billion-scale ANN layout: an IVF coarse
+    quantizer prunes WHICH vectors are scanned (n_probe/n_cells of the
+    corpus, partition-pruned when the code table is written partitioned
+    by cell) and PQ/ADC compresses HOW each is scanned (m code lookups
+    against a broadcast distance table instead of a d-dim float read).
+
+    Simplification vs textbook IVF-PQ, documented deliberately: codes
+    quantize the (normalized) vector itself, not the residual
+    v − centroid(cell) — residual encoding couples the codebooks to the
+    cell layout (re-encode the corpus on any re-clustering) for accuracy
+    this fixture cannot measure (its neighbor structure is a noise floor
+    beyond identity). The composition points — probe prune, equi-join on
+    cell, ADC within — are identical either way.
+
+    Deterministic: lowest-key seeds everywhere, fixed Lloyd iterations,
+    (score desc, vec_id) tie-break. A corpus query vector always probes
+    its own cell (it is its top-1 cell by construction), so
+    self-retrieval is exact. Output: (q_id, vec_id, score).
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(corpus_key).alias("__c"), as_double_array(vec).alias("__cv")
+    ).persist()
+    try:
+        centers = _train_cells(c, n_cells, kmeans_iters)
+        cells = _assign_cells(c, centers).select(
+            F.col("__c").alias(corpus_key), "cell"
+        )
+
+        books = pq_codebooks(corpus, m, n_centroids, kmeans_iters, corpus_key, vec)
+        books = books.localCheckpoint(eager=True)
+        codes = pq_encode(corpus, books, m, corpus_key, vec).join(
+            cells, on=corpus_key
+        )
+
+        q = queries.select(
+            F.col(query_key).alias("__q"), as_double_array(vec).alias("__qv")
+        )
+        probes = (
+            F.broadcast(q).crossJoin(F.broadcast(centers))
+            .select(
+                "__q", "__qv", "cell", cosine(F.col("__qv"), F.col("cv")).alias("sim")
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("__q").orderBy(
+                        F.col("sim").desc(), F.col("cell")
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= n_probe)
+            .select(F.col("__q").alias(query_key), "cell")
+        )
+
+        qn = q.select(
+            F.col("__q").alias(query_key),
+            F.transform("__qv", lambda x: x / norm(F.col("__qv"))).alias("__qv"),
+        )
+        d_over_m = F.floor(F.size("__qv") / m).cast("int")
+        qsubs = qn.select(
+            query_key,
+            "__qv",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        ).select(
+            query_key,
+            "sub",
+            F.slice(F.col("__qv"), F.col("sub") * d_over_m + 1, d_over_m).alias(
+                "qsv"
+            ),
+        )
+        dtab = (
+            qsubs.join(F.broadcast(books), on="sub")
+            .select(
+                query_key,
+                (F.col("sub") * n_centroids + F.col("cid") - 1).alias("idx"),
+                dot(F.col("qsv"), F.col("cv")).alias("d"),
+            )
+            .groupBy(query_key)
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "d"))).alias("id_"))
+            .select(query_key, F.transform("id_", lambda s: s["d"]).alias("dtab"))
+        )
+        score = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(
+                F.col("dtab"),
+                (i * n_centroids + F.element_at(F.col("codes"), i + 1)).cast(
+                    "int"
+                ),
+            ),
+        )
+        # the probe prune IS the join: only codes in probed cells score —
+        # equi-join on cell (partition-pruned under a by-cell layout)
+        scored = codes.join(
+            F.broadcast(probes.join(dtab, on=query_key)), on="cell"
+        ).select(query_key, corpus_key, score.alias("score"))
+        w = Window.partitionBy(query_key).orderBy(
+            F.col("score").desc(), F.col(corpus_key)
+        )
+        out = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        c.unpersist()

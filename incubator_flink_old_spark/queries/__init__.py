@@ -67,6 +67,7 @@ _QUERY_MODULES = (
     "llm_ops5",
     "llm_ops6",
     "analytics",
+    "analytics2",
     "surfaces",
 )
 

@@ -1,0 +1,227 @@
+"""Warehouse-analytics queries, wave 11: SCD2 validity intervals,
+per-node clustering coefficient, equi-width histogram profiling. All
+pure Column expressions with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.queries import register
+from incubator_flink_old_spark.queries._util import t
+from incubator_flink_old_spark.queries.iterations import EDGES_SQL, edges_df
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+    ch AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM o WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+    FROM ch
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) interval construction — turn an
+    event log into per-entity validity ranges of a changing attribute:
+    keep only CHANGE points (event_type differs from the previous event
+    of the same user) and close each interval at the next change
+    (valid_to NULL = current). Two windows over the same
+    (user_id → ts, event_id) partitioning, so the single shuffle is
+    reused; this is the snapshot→dimension build step a warehouse runs
+    on ingest, at any scale one exchange keyed by entity."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    changes = ev.select(
+        "user_id", "event_type", "ts", "event_id", prev.alias("__prev")
+    ).filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+@register(
+    "q_clustering_coeff",
+    oracle=f"""
+    WITH edges AS ({EDGES_SQL}),
+    canon AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst),
+    tri AS (
+        SELECT ab.a, ab.b, bc.b AS c
+        FROM canon ab
+        JOIN canon bc ON ab.b = bc.a
+        WHERE EXISTS (SELECT 1 FROM canon ac
+                      WHERE ac.a = ab.a AND ac.b = bc.b)),
+    tcnt AS (
+        SELECT id, COUNT(*) AS n_tri FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        GROUP BY id),
+    deg AS (
+        SELECT id, COUNT(*) AS deg FROM (
+            SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)
+        GROUP BY id)
+    SELECT d.id, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+           ROUND(CASE WHEN d.deg >= 2
+                 THEN 2.0 * COALESCE(tc.n_tri, 0) / (d.deg * (d.deg - 1))
+                 ELSE 0.0 END, 6) AS coeff
+    FROM deg d LEFT JOIN tcnt tc ON d.id = tc.id
+    """,
+)
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per node (G5 depth beyond global
+    triangle enumeration): coeff = 2·triangles(v) / (deg·(deg−1)) over
+    the canonical a<b edge set. Triangle counts melt from the
+    enum_triangles output (each closed triad counts for all three
+    corners) and degrees from the same canonical edges — two combinable
+    aggregations and one left join, no iteration."""
+    from incubator_flink_old_spark.operators.graph import enum_triangles
+
+    edges = edges_df(spark, sf_dir)
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    tri = enum_triangles(edges)
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        canon.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    coeff = F.when(
+        F.col("deg") >= 2,
+        F.lit(2.0) * F.col("n_tri") / (F.col("deg") * (F.col("deg") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tcnt, on="id", how="left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+        )
+        .select("id", "deg", "n_tri", F.round(coeff, 6).alias("coeff"))
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    WITH stats AS (
+        SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+        FROM lineitem),
+    b AS (
+        SELECT LEAST(9, CAST(FLOOR((l_extendedprice - s.mn)
+                   / ((s.mx - s.mn) / 10.0)) AS INTEGER)) AS bucket,
+               s.mn, s.mx
+        FROM lineitem, stats s)
+    SELECT bucket,
+           ROUND(mn + bucket * ((mx - mn) / 10.0), 6) AS lo,
+           ROUND(mn + (bucket + 1) * ((mx - mn) / 10.0), 6) AS hi,
+           COUNT(*) AS cnt
+    FROM b GROUP BY bucket, mn, mx
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Equi-width histogram profiling (the ANALYZE companion to
+    q_profile_table): 10 buckets over l_extendedprice — one min/max
+    pass, the bounds broadcast as a one-row dim, then a combinable
+    bucket count. Bucket arithmetic is plain IEEE double division/floor,
+    bit-identical across engines; the top bucket absorbs the max via
+    LEAST(9, ·)."""
+    li = t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    w = (F.col("mx") - F.col("mn")) / 10.0
+    bucket = F.least(
+        F.lit(9),
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / w).cast("int"),
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"), "mn", "mx")
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            F.round(F.col("mn") + F.col("bucket") * w, 6).alias("lo"),
+            F.round(F.col("mn") + (F.col("bucket") + 1) * w, 6).alias("hi"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "q_zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS svv
+        FROM events GROUP BY event_type),
+    m AS (
+        SELECT event_type, sv / n AS mean,
+               SQRT(svv / n - (sv / n) * (sv / n)) AS sd
+        FROM s)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - m.mean) / m.sd, 6) AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE ABS((e.value - m.mean) / m.sd) > 2.5
+    """,
+)
+def q_zscore_outliers(spark, sf_dir):
+    """Per-group z-score anomaly detection (the data-quality monitor a
+    pipeline runs on every ingest): events whose value sits more than
+    2.5σ from their event-type mean. The first and second moments are
+    DECIMAL-staged before summing (the q_embed_outliers rule) so
+    mean/σ — and therefore every keep decision — are
+    partition-order-independent and engine-identical; the z expression
+    itself is plain IEEE arithmetic from those exact sums. One
+    combinable stats pass + one broadcast join back; the event stream
+    never shuffles."""
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    m = s.select(
+        "event_type",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("svv") / F.col("n") - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n"))
+        ).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(m), on="event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )

@@ -244,3 +244,113 @@ def q_temperature_mixture(spark, sf_dir):
     return docs.join(F.broadcast(fr), on="lang").filter(keep).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "q_sim_ivfpq_topk",
+    oracle="""
+    SELECT vec_id AS q_id, true AS self_top1, true AS found_in_probe
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composed ANN (operators/similarity.ivf_pq_topk) — the
+    billion-scale layout: IVF probes prune WHICH vectors score
+    (n_probe/n_cells of the corpus, an equi-join on cell that becomes a
+    partition-pruned scan under a by-cell layout), PQ/ADC compresses HOW
+    (m code lookups vs a d-dim float read). Contract (same calibration
+    rationale as q_sim_pq_topk): each of 10 corpus queries probes its
+    own cell by construction and ADC ranks its own vector top-1
+    (measured margin >2× over the noise floor at both SFs);
+    found_in_probe asserts the probe prune did not lose the true
+    nearest neighbor (= self)."""
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.operators.similarity import ivf_pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    res = ivf_pq_topk(
+        queries, emb, k=5, n_cells=8, n_probe=4, m=8, n_centroids=16,
+        kmeans_iters=3,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    top1 = (
+        res.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("q_id", (F.col("vec_id") == F.col("q_id")).alias("self_top1"))
+    )
+    found = res.groupBy("q_id").agg(
+        F.max(F.col("vec_id") == F.col("q_id")).alias("found_in_probe")
+    )
+    return top1.join(found, on="q_id").select(
+        "q_id", "self_top1", "found_in_probe"
+    )
+
+
+@register(
+    "q_distinctive_terms",
+    oracle=r"""
+    WITH tk AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+    st AS (SELECT source, w, COUNT(*) AS c FROM tk GROUP BY source, w),
+    wt AS (SELECT source, w, c,
+                  SUM(c) OVER (PARTITION BY source) AS n_s,
+                  SUM(c) OVER (PARTITION BY w) AS c_t,
+                  SUM(c) OVER () AS n
+           FROM st),
+    lifted AS (
+        SELECT source, w AS term,
+               ROUND((CAST(c AS DOUBLE) / n_s) / (CAST(c_t AS DOUBLE) / n), 6)
+                   AS lift,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY (CAST(c AS DOUBLE) / n_s) / (CAST(c_t AS DOUBLE) / n)
+                            DESC, w
+               ) AS rk
+        FROM wt)
+    SELECT source, term, lift FROM lifted WHERE rk <= 5
+    """,
+)
+def q_distinctive_terms(spark, sf_dir):
+    """Per-source distinctive vocabulary (the data-card enrichment that
+    characterizes WHAT each domain contributes): lift = P(term|source) /
+    P(term), top-5 per source, ties broken by term. One token explode →
+    one (source, term) count aggregation; source totals, term totals and
+    the grand total all derive from that SAME aggregated frame via
+    windows (its size is sources × vocabulary, not corpus tokens), so
+    the corpus is scanned and shuffled exactly once at any scale."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("w")
+    )
+    st = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    wt = st.select(
+        "source",
+        "w",
+        "c",
+        F.sum("c").over(Window.partitionBy("source")).alias("n_s"),
+        F.sum("c").over(Window.partitionBy("w")).alias("c_t"),
+        F.sum("c").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    lift = (F.col("c").cast("double") / F.col("n_s")) / (
+        F.col("c_t").cast("double") / F.col("n")
+    )
+    ranked = wt.select(
+        "source",
+        F.col("w").alias("term"),
+        F.round(lift, 6).alias("lift"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(lift.desc(), "w"))
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= 5).select("source", "term", "lift")

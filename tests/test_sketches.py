@@ -155,3 +155,44 @@ def test_pq_codes_shape(spark, sf_dir):
         | F.exists("codes", lambda c: (c < 1) | (c > 4))
     )
     assert bad.count() == 0
+
+
+def test_ivf_pq_all_cells_equals_plain_pq(spark, sf_dir):
+    """With n_probe = n_cells the IVF prune admits everything, so the
+    composed ranking must equal plain PQ (same codebooks, same ADC)."""
+    from incubator_flink_old_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    full = ivf_pq_topk(
+        q, emb, k=5, n_cells=4, n_probe=4, m=8, n_centroids=8, kmeans_iters=2
+    )
+    plain = pq_topk(q, emb, k=5, m=8, n_centroids=8, kmeans_iters=2)
+    assert _rows(full.select("q_id", "vec_id")) == _rows(
+        plain.select("q_id", "vec_id")
+    )
+
+
+def test_ivf_pq_results_come_from_probed_cells(spark, sf_dir):
+    """The probe prune is real: every returned vector lies in one of the
+    query's n_probe cells (the equi-join admits nothing else), and self
+    is always retrieved (a query probes its own cell by construction)."""
+    from incubator_flink_old_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = ivf_pq_topk(
+        q, emb, k=5, n_cells=8, n_probe=2, m=8, n_centroids=8, kmeans_iters=2
+    )
+    got = _rows(out.select("q_id", "vec_id"))
+    assert all((i, i) in set(got) for i in range(5))
+    # deterministic under repartitioning
+    out2 = ivf_pq_topk(
+        q.repartition(3), emb.repartition(7), k=5, n_cells=8, n_probe=2, m=8,
+        n_centroids=8, kmeans_iters=2,
+    )
+    assert got == _rows(out2.select("q_id", "vec_id"))
