@@ -301,6 +301,44 @@ class DataSet:
 
         return DataSet(self.env, corpus_diff(self.df, new.df, **kw))
 
+    def decontaminate(
+        self, benchmark: "DataSet", bloom: bool = False, **kw
+    ) -> "DataSet":
+        """Eval-set leakage flags; bloom=True routes through the
+        bit-array prefilter (operators/sketches.decontaminate_bloom —
+        identical output, candidate-only verify volume)."""
+        if bloom:
+            from incubator_flink_old_spark.operators.sketches import (
+                decontaminate_bloom as fn,
+            )
+        else:
+            from incubator_flink_old_spark.operators.text import decontaminate as fn
+
+        return DataSet(self.env, fn(self.df, benchmark.df, **kw))
+
+    def heavy_hitters(self, threshold: int, **kw) -> "DataSet":
+        """Exact values occurring ≥ threshold times (single-column input)
+        — operators/sketches.heavy_hitters (candidate-only shuffle)."""
+        from incubator_flink_old_spark.operators.sketches import heavy_hitters
+
+        return DataSet(self.env, heavy_hitters(self.df, threshold, **kw))
+
+    def ann_topk(
+        self, queries: "DataSet", k: int = 5, method: str = "brute", **kw
+    ) -> "DataSet":
+        """Similarity top-k over an embedding column: method ∈
+        {'brute', 'ivf', 'pq', 'ivfpq'} — exact baseline, cell-pruned,
+        code-compressed, or both composed (operators/similarity)."""
+        from incubator_flink_old_spark.operators import similarity as S
+
+        fn = {
+            "brute": S.brute_force_topk,
+            "ivf": S.ivf_topk,
+            "pq": S.pq_topk,
+            "ivfpq": S.ivf_pq_topk,
+        }[method]
+        return DataSet(self.env, fn(queries.df, self.df, k=k, **kw))
+
     # -- actions (testing convenience; the reference's collect()) ---------
     def collect(self):
         return self.df.collect()

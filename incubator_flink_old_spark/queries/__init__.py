@@ -142,10 +142,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new this session (wave 8 — no driver row yet)
     "q_k_anonymity",
     "q_negative_sampling",
-    # remaining slots: re-confirm the two r02-weak heavies (VERDICT's
-    # pending adjudication) so a plan regression surfaces immediately
-    "q_curate_full",
-    "q_dedup_minhash",
+    # remaining slots: the round-3 session added 11 queries (waves 9-11)
+    # — more unchecked than the 50-slot window holds. The two flagship
+    # sketch ops take the last slots; the other 9 rotate into r04
+    # (tools/rotation.py recomputes from the CORRECTNESS_r* union). The
+    # r02-weak heavies (q_curate_full, q_dedup_minhash) no longer spend
+    # window slots: their r02 rows are hash-GREEN — the pending weakness
+    # is performance, which BENCH_r03 adjudicates, not the correctness
+    # window.
+    "q_heavy_hitters",
+    "q_bloom_decontaminate",
 )
 
 

@@ -225,3 +225,86 @@ def q_zscore_outliers(spark, sf_dir):
         .filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
     )
+
+
+@register(
+    "q_correlation",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6)))
+                    AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+    FROM s
+    """,
+)
+def q_correlation(spark, sf_dir):
+    """Grouped Pearson correlation (profiling depth beyond per-column
+    stats): corr(l_quantity, l_extendedprice) per return flag, computed
+    from DECIMAL-staged raw moments so the coefficient — unlike a plain
+    F.corr over doubles — is partition-order-independent and replays
+    bit-identically in the oracle. One combinable aggregation pass."""
+    li = t(spark, sf_dir, "lineitem")
+    d = lambda c: F.sum(c.cast("decimal(27,6)")).cast("double")  # noqa: E731
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        d(x).alias("sx"),
+        d(y).alias("sy"),
+        d(x * y).alias("sxy"),
+        d(x * x).alias("sxx"),
+        d(y * y).alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr"))
+
+
+@register(
+    "q_pmi_lang_source",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, COUNT(*) AS n_ij FROM documents
+        GROUP BY lang, source),
+    tot AS (SELECT SUM(n_ij) AS n FROM c),
+    mi AS (
+        SELECT c.lang, c.source, c.n_ij,
+               LN((CAST(tot.n AS DOUBLE) * c.n_ij)
+                  / (CAST(SUM(c.n_ij) OVER (PARTITION BY c.lang) AS DOUBLE)
+                     * SUM(c.n_ij) OVER (PARTITION BY c.source))) AS pmi
+        FROM c, tot)
+    SELECT lang, source, n_ij, ROUND(pmi, 6) AS pmi FROM mi
+    """,
+)
+def q_pmi_lang_source(spark, sf_dir):
+    """Pointwise mutual information between the lang and source columns
+    — the dependence audit a data card runs ("is language confounded
+    with provenance?"). Marginals and the grand total derive from the
+    SAME (lang, source) contingency aggregate via windows (its size is
+    |langs|·|sources|, not corpus size), so the corpus shuffles exactly
+    once; PMI is plain ln over exact integer counts — deterministic in
+    both engines."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_ij"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    pmi = F.log(
+        (F.sum("n_ij").over(wall).cast("double") * F.col("n_ij"))
+        / (F.sum("n_ij").over(wl).cast("double") * F.sum("n_ij").over(ws))
+    )
+    return c.select("lang", "source", "n_ij", F.round(pmi, 6).alias("pmi"))

@@ -251,3 +251,51 @@ def interval_join(
         & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return left.join(right, cond, "inner")
+
+
+def idempotent_parquet_sink(path: str):
+    """foreachBatch writer with exactly-once-on-retry semantics — the
+    production sink pattern for file outputs.
+
+    Structured Streaming guarantees foreachBatch is called with a
+    monotonically-increasing ``batch_id``, and AFTER A FAILURE the same
+    batch_id is retried with the same data — the sink must therefore be
+    idempotent per batch_id or the output duplicates. Protocol here:
+    one ``batch_id=N`` directory per epoch, ``mode("overwrite")`` so a
+    partial previous attempt is replaced, and a ``_COMMITTED`` marker
+    written last; a retry of a committed batch is a no-op. Readers
+    that only trust marked directories see each epoch exactly once.
+
+    Local-FS marker semantics; on an object store the marker becomes a
+    row in a manifest table (same protocol, same three steps). Usage::
+
+        stream.writeStream.foreachBatch(idempotent_parquet_sink(out))
+              .option("checkpointLocation", ckpt).start()
+    """
+    import os
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(path, f"batch_id={batch_id}")
+        marker = os.path.join(target, "_COMMITTED")
+        if os.path.exists(marker):
+            return
+        df.write.mode("overwrite").parquet(target)
+        open(marker, "w").close()
+
+    return write_batch
+
+
+def read_committed(spark: SparkSession, path: str) -> DataFrame:
+    """Read back ONLY committed epochs of an idempotent_parquet_sink
+    output (uncommitted = a crashed attempt's partial data)."""
+    import os
+
+    dirs = [
+        os.path.join(path, d)
+        for d in sorted(os.listdir(path))
+        if d.startswith("batch_id=")
+        and os.path.exists(os.path.join(path, d, "_COMMITTED"))
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no committed batches under {path}")
+    return spark.read.parquet(*dirs)

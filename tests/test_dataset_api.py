@@ -179,3 +179,26 @@ def test_linkage_fluent_surface(spark, sf_dir):
     diff = docs.diff_against(docs)
     assert {r["status"] for r in diff.collect()} == {"unchanged"}
     assert docs.dedup_templates().count() == 0  # random text: no templates
+
+
+def test_fluent_sketch_and_ann_surface(spark, sf_dir):
+    from incubator_flink_old_spark.api import ExecutionEnvironment
+    from pyspark.sql import functions as F
+
+    env = ExecutionEnvironment.get_execution_environment(spark)
+    docs = env.read_table(sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plain = docs.decontaminate(bench)
+    bloomed = docs.decontaminate(bench, bloom=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bloomed.collect())
+    )
+
+    emb = env.read_table(sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).map(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    hits = emb.ann_topk(q, k=3, method="ivfpq", n_cells=4, n_probe=4,
+                        m=8, n_centroids=4, kmeans_iters=1)
+    got = {(r["q_id"], r["vec_id"]) for r in hits.collect()}
+    assert all((i, i) in got for i in range(3))

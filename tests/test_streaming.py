@@ -340,3 +340,52 @@ def test_stream_template_dedup_parity(spark, sf_dir, events_stream):
         .count()
     )
     assert n_stream == n_batch
+
+
+def test_idempotent_sink_retry_is_exactly_once(spark, sf_dir, tmp_path):
+    """Retrying a committed batch_id (Spark's failure-recovery contract
+    for foreachBatch) must not duplicate output; a retry of an
+    UNcommitted batch must repair it via overwrite."""
+    import os
+
+    from incubator_flink_old_spark.sources import load_table
+    from incubator_flink_old_spark.streaming import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    out = str(tmp_path / "sink")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type").limit(100)
+    write = idempotent_parquet_sink(out)
+    write(ev, 0)
+    write(ev, 0)  # retry of a committed epoch: no-op
+    write(ev, 1)
+    got = read_committed(spark, out)
+    assert got.count() == 200  # two epochs, no duplicates from the retry
+
+    # simulate a crashed attempt: partial dir without marker, then retry
+    os.remove(os.path.join(out, "batch_id=1", "_COMMITTED"))
+    assert read_committed(spark, out).count() == 100  # partials invisible
+    write(ev, 1)  # retry repairs and commits
+    assert read_committed(spark, out).count() == 200
+
+
+def test_idempotent_sink_drives_a_real_stream(spark, sf_dir, tmp_path, events_stream):
+    from incubator_flink_old_spark.streaming import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    out = str(tmp_path / "stream_sink")
+    q = (
+        events_stream.select("event_id", "event_type")
+        .writeStream.foreachBatch(idempotent_parquet_sink(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    from incubator_flink_old_spark.sources import load_table
+
+    want = load_table(spark, sf_dir, "events").count()
+    assert read_committed(spark, out).count() == want
