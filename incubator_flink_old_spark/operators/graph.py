@@ -364,3 +364,55 @@ def transitive_closure(
         return cur.count() == prev.count()
 
     return bulk_iterate(base, step, max_iterations=max_iterations, converged=converged)
+
+
+def k_core(
+    edges: DataFrame, k: int = 2, rounds: int = 8
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (graph-library depth
+    beyond components/ranking): repeatedly remove vertices with degree
+    < k from the canonical undirected edge set until stable — the
+    surviving vertices form the k-core, the standard "dense enough to
+    matter" subgraph filter before community/embedding work.
+
+    Each peel round is one combinable degree aggregation + one
+    broadcast-pruned semi-join pair over the shrinking edge list
+    (bulk_iterate materializes rounds and cuts lineage). ``rounds`` is
+    fixed — not convergence-driven — so the DuckDB oracle can unroll
+    the same number of CTE rounds verbatim; peeling is monotone, so
+    extra rounds past the fixpoint are no-ops and the fixed unrolling
+    is exact whenever the graph stabilizes within ``rounds`` (asserted
+    by the paired test on the fixture).
+
+    Returns the surviving (src, dst) canonical edges (src < dst).
+    """
+    from incubator_flink_old_spark.operators.iterations import bulk_iterate
+
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    def peel(e: DataFrame, _i: int) -> DataFrame:
+        deg = (
+            e.select(F.explode(F.array("src", "dst")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        return (
+            e.join(
+                F.broadcast(keep.withColumnRenamed("id", "src")), on="src",
+                how="left_semi",
+            )
+            .join(
+                F.broadcast(keep.withColumnRenamed("id", "dst")), on="dst",
+                how="left_semi",
+            )
+            .select("src", "dst")
+        )
+
+    return bulk_iterate(canon, peel, max_iterations=rounds)

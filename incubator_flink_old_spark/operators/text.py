@@ -2121,3 +2121,47 @@ def negative_samples(
         .groupBy("q_id", "j")
         .agg(F.min_by("neg_id", pair_h).alias("neg_id"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key: str,
+    name: str,
+    window: int = 3,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage — the classic alternative to
+    LSH blocking: sort records by the match key, compare each record
+    only to its ``window − 1`` successors, verify with edit distance.
+
+    The sort rank comes from :func:`aggregates.global_row_number`
+    (range partition + per-partition numbering + broadcast offsets), so
+    there is NO single-task global window at any scale; the neighbor
+    join is an equi-join on rank (each row explodes to its w−1 probe
+    ranks — candidate volume is exactly (w−1)·n, linear by
+    construction, vs LSH's data-dependent bucket sizes). Levenshtein
+    runs once per candidate.
+
+    Returns (name_a, name_b, dist) with rank(a) < rank(b), dist ≤
+    ``max_distance``. Deterministic: rank ties broken by ``key``.
+    """
+    from incubator_flink_old_spark.operators.aggregates import global_row_number
+
+    ranked = global_row_number(
+        df.select(F.col(key).alias("__k"), F.col(name).alias("__n")),
+        [F.col("__n"), F.col("__k")],
+        alias="__rn",
+    )
+    probes = ranked.select(
+        F.col("__n").alias("name_a"),
+        F.explode(
+            F.sequence(F.col("__rn") + 1, F.col("__rn") + (window - 1))
+        ).alias("__rn"),
+    )
+    cands = probes.join(
+        ranked.select(F.col("__n").alias("name_b"), "__rn"), on="__rn"
+    )
+    scored = cands.select(
+        "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
+    )
+    return scored.filter(F.col("dist") <= max_distance)

@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     "llm_ops4",
     "llm_ops5",
     "llm_ops6",
+    "llm_ops7",
     "analytics",
     "analytics2",
     "surfaces",

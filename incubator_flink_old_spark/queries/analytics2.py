@@ -308,3 +308,91 @@ def q_pmi_lang_source(spark, sf_dir):
         / (F.sum("n_ij").over(wl).cast("double") * F.sum("n_ij").over(ws))
     )
     return c.select("lang", "source", "n_ij", F.round(pmi, 6).alias("pmi"))
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """k-core peeling UNROLLED as one CTE per round (the fixed-iteration
+    oracle pattern of q_iterate_pagerank): each round keeps edges whose
+    BOTH endpoints have degree ≥ k in the previous round's edge set."""
+    sql = [
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}),",
+        "e0 AS MATERIALIZED (",
+        "  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst",
+        "  FROM edges WHERE src <> dst),",
+    ]
+    for i in range(rounds):
+        sql.append(
+            f"d{i} AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM ("
+            f"SELECT src AS id FROM e{i} UNION ALL SELECT dst FROM e{i}) "
+            f"GROUP BY id),"
+        )
+        sql.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e "
+            f"JOIN d{i} a ON e.src = a.id AND a.deg >= {k} "
+            f"JOIN d{i} b ON e.dst = b.id AND b.deg >= {k}),"
+        )
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT src, dst FROM e{rounds}")
+    return "\n".join(sql)
+
+
+@register("q_kcore", oracle=_kcore_oracle(k=3, rounds=8))
+def q_kcore(spark, sf_dir):
+    """3-core of the fixture graph (operators/graph.k_core): iterative
+    peeling — degree aggregation + broadcast-semi-join prune per round,
+    bulk_iterate lineage control — with the fixed-round unrolled-CTE
+    oracle (peeling is monotone, so rounds past the fixpoint are no-ops
+    and the unrolling is exact once stable)."""
+    from incubator_flink_old_spark.operators.graph import k_core
+
+    return k_core(edges_df(spark, sf_dir), k=3, rounds=8)
+
+
+@register(
+    "q_impute_mean",
+    oracle="""
+    WITH masked AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+        FROM events),
+    m AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(value) AS grp_mean
+        FROM masked GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND(COALESCE(e.value, m.grp_mean), 6) AS value_imputed,
+           e.value IS NULL AS was_imputed
+    FROM masked e JOIN m ON e.event_type = m.event_type
+    """,
+)
+def q_impute_mean(spark, sf_dir):
+    """Group-mean null imputation (the feature-cleaning step before
+    training): a deterministic mask (event_id % 13) simulates missing
+    measurements; each hole fills with its event-type mean computed
+    over the NON-null values, DECIMAL-staged so the fill value is
+    partition-order-independent. One combinable stats pass + a
+    broadcast join back — the event stream never shuffles."""
+    ev = t(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    m = masked.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count("value")
+        ).alias("grp_mean")
+    )
+    return (
+        masked.join(F.broadcast(m), on="event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.coalesce("value", "grp_mean"), 6).alias("value_imputed"),
+            F.col("value").isNull().alias("was_imputed"),
+        )
+    )

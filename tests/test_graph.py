@@ -138,3 +138,25 @@ def test_generic_pregel_max_propagation(spark, tiny_graph):
     )
     got = {r["id"]: r["value"] for r in out.collect()}
     assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 10: 11, 11: 11}
+
+
+def test_kcore_stable_and_min_degree(spark, sf_dir):
+    """8 peel rounds reach the fixpoint on the fixture (8 ≡ 10 rounds),
+    and the surviving subgraph genuinely has min degree ≥ k."""
+    from pyspark.sql import functions as F
+
+    from incubator_flink_old_spark.operators.graph import k_core
+    from incubator_flink_old_spark.queries.iterations import edges_df
+
+    edges = edges_df(spark, sf_dir)
+    e8 = k_core(edges, k=3, rounds=8)
+    rows8 = sorted(tuple(r) for r in e8.collect())
+    rows10 = sorted(tuple(r) for r in k_core(edges, k=3, rounds=10).collect())
+    assert rows8 == rows10, "fixture graph not stable within 8 peel rounds"
+    if rows8:
+        deg = (
+            e8.select(F.explode(F.array("src", "dst")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        assert deg.agg(F.min("deg")).first()[0] >= 3
