@@ -202,6 +202,14 @@ def heavy_hitters(
     scales beyond executor memory, lower ``threshold``'s dual (raise the
     local bar) by feeding pre-bucketed inputs, or cap with a SpaceSaving
     sketch — the pruning law is unchanged.
+
+    WHEN TO USE (measured, tools/sketch_probe.py): the prune only bites
+    when ``threshold >> P`` (the local bar is ceil(T/P); at T ≤ P it is
+    1 and nothing prunes) AND the value distribution is long-tailed
+    (the win is tail values never shuffling). On a small vocabulary a
+    plain groupBy+HAVING is already optimal — hash-agg map-side combine
+    collapses it before the exchange — so this operator is the
+    scale-path variant, not a default replacement.
     """
     if len(df.columns) != 1:
         raise ValueError("heavy_hitters expects a single value column")

@@ -24,11 +24,7 @@ from incubator_flink_old_spark.operators.sketches import (  # noqa: E402
     decontaminate_bloom,
     heavy_hitters,
 )
-from incubator_flink_old_spark.operators.text import (  # noqa: E402
-    decontaminate,
-    exploded_ngrams,
-    tokens,
-)
+from incubator_flink_old_spark.operators.text import decontaminate  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -51,27 +47,35 @@ def main() -> None:
         if fresh:
             last[0] = max(s["stageId"] for s in fresh)
         return {
-            "shuffle_write_mb": sum(s.get("shuffleWriteBytes", 0) for s in fresh)
-            >> 20,
-            "records_read": sum(s.get("shuffleReadRecords", 0) for s in fresh),
+            "shuffle_write_records": sum(
+                s.get("shuffleWriteRecords", 0) for s in fresh
+            ),
+            "shuffle_read_records": sum(
+                s.get("shuffleReadRecords", 0) for s in fresh
+            ),
         }
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-
-    grams = exploded_ngrams(
-        docs.select(tokens("text").alias("__tka")), 2, carry=(), hashed=False,
-        out="gram",
+    # --- heavy hitters: a deterministic long-tail + hot-key stream ------
+    # (the fixture's bigram vocabulary is tiny — plain hash-agg combine
+    # already collapses it, so the fixture cannot demonstrate the prune;
+    # see the operator docstring's WHEN TO USE)
+    n = 3_000_000
+    stream = spark.range(n).select(
+        F.when(F.col("id") % 3 == 0, F.col("id") % 10)
+        .otherwise(F.col("id") % 10_000_000 + 100)
+        .alias("v")
     )
     plain = (
-        grams.groupBy("gram")
+        stream.groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 30)
+        .filter(F.col("cnt") >= 1000)
     )
     plain.write.format("noop").mode("overwrite").save()
     m_plain = metrics()
-    heavy_hitters(grams, 30).write.format("noop").mode("overwrite").save()
+    heavy_hitters(stream, 1000).write.format("noop").mode("overwrite").save()
     m_hh = metrics()
 
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     decontaminate(docs, bench, n=8).write.format("noop").mode("overwrite").save()
     m_exact = metrics()
