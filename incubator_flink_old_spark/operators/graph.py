@@ -416,3 +416,56 @@ def k_core(
         )
 
     return bulk_iterate(canon, peel, max_iterations=rounds)
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Community detection by synchronous label propagation, made
+    deterministic: every node starts as its own label; each round it
+    adopts the most frequent label among its neighbors, ties broken by
+    SMALLEST label; isolated nodes keep their own. FIXED ``rounds`` —
+    LPA famously oscillates, so the operator contract is "the state
+    after exactly N synchronous rounds" (replayable by an unrolled SQL
+    oracle), not a fixpoint.
+
+    Each round is one neighbor-label join + one combinable (node, label)
+    count + one per-node arg-max window over the count frame — shuffle
+    keys are the node id throughout, so a by-node layout reuses one
+    partitioning; bulk_iterate materializes rounds and cuts lineage.
+    Returns (id, label).
+    """
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.operators.iterations import bulk_iterate
+
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                    F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    init = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        nbr = sym.join(
+            state.select(F.col("id").alias("b"), "label"), on="b"
+        ).select(F.col("a").alias("id"), "label")
+        cnt = nbr.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("label"))
+        return (
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "label")
+        )
+
+    return bulk_iterate(init, step, max_iterations=rounds)

@@ -396,3 +396,101 @@ def q_impute_mean(spark, sf_dir):
             F.col("value").isNull().alias("was_imputed"),
         )
     )
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Synchronous label propagation UNROLLED one CTE-pair per round
+    (neighbor-label counts → per-node arg-max, ties by smallest label)
+    — exact regardless of oscillation because both engines run the
+    identical fixed rounds."""
+    sql = [
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}),",
+        "sym AS MATERIALIZED (",
+        "  SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst",
+        "  UNION SELECT DISTINCT dst, src FROM edges WHERE src <> dst),",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM sym),",
+    ]
+    for i in range(rounds):
+        sql.append(
+            f"c{i} AS MATERIALIZED (SELECT s.a AS id, l.label, COUNT(*) AS c "
+            f"FROM sym s JOIN l{i} l ON s.b = l.id GROUP BY s.a, l.label),"
+        )
+        sql.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT id, label FROM ("
+            f"SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY c DESC, label) AS rn FROM c{i}) WHERE rn = 1),"
+        )
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT id, label FROM l{rounds}")
+    return "\n".join(sql)
+
+
+@register("q_label_propagation", oracle=_lpa_oracle(rounds=4))
+def q_label_propagation(spark, sf_dir):
+    """Community detection: 4 synchronous label-propagation rounds
+    (operators/graph.label_propagation) — deterministic arg-max label
+    adoption, unrolled-CTE oracle. The contract is the state after
+    exactly N rounds (LPA oscillates; a fixpoint contract would be
+    ill-defined), mirroring the fixed-iteration PageRank oracle."""
+    from incubator_flink_old_spark.operators.graph import label_propagation
+
+    return label_propagation(edges_df(spark, sf_dir), rounds=4)
+
+
+@register(
+    "q_trend_slope",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) AS DOUBLE) / 1e6 - 1704067200.0 AS x,
+               value AS y
+        FROM events),
+    s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+        FROM b GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND(1e9 * (n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS slope_per_gigasec
+    FROM s
+    """,
+)
+def q_trend_slope(spark, sf_dir):
+    """Per-group metric trend (least-squares slope of value over event
+    time) — the monitoring primitive behind "is this metric drifting?".
+    x is the MICROSECOND-exact epoch (ts cast to double / epoch_us —
+    whole-second truncation on one engine only shifts the slope in the
+    4th digit and hash-mismatches), centered on 2024-01-01 so the
+    DECIMAL-staged second moment cannot overflow; all raw moments are decimal-exact (the
+    q_correlation rule), the closed-form slope is plain IEEE
+    arithmetic, and the result is scaled to per-gigasecond so the
+    rounded output carries signal. One combinable aggregation pass."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+            - F.lit(1704067200.0)
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    d = lambda c: F.sum(c.cast("decimal(27,6)")).cast("double")  # noqa: E731
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        d(F.col("x")).alias("sx"),
+        d(F.col("y")).alias("sy"),
+        d(F.col("x") * F.col("y")).alias("sxy"),
+        d(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.lit(1e9)
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return s.select(
+        "event_type", "n", F.round(slope, 6).alias("slope_per_gigasec")
+    )

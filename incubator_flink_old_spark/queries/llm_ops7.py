@@ -81,15 +81,19 @@ def q_tfidf_top_terms(spark, sf_dir):
 
     tk = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
     tf = tk.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
-    m = tf.select(
-        "doc_id",
-        "w",
-        "c",
-        F.sum("c").over(Window.partitionBy("doc_id")).alias("doc_len"),
-        F.count(F.lit(1)).over(Window.partitionBy("w")).alias("df_t"),
-        F.size(
-            F.collect_set("doc_id").over(Window.partitionBy())
-        ).alias("n"),
+    # marginals WITHOUT a global window: doc_len rides a doc-keyed
+    # window; document frequency is a vocab-sized groupBy broadcast
+    # back; the corpus size N is a scalar aggregate cross-joined as a
+    # one-row broadcast. (A collect_set over an unpartitioned window
+    # here cost 28 s at sf0.1 — one task building a set per row.)
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df_t"))
+    n_row = tf.agg(F.count_distinct("doc_id").alias("n"))
+    m = (
+        tf.withColumn(
+            "doc_len", F.sum("c").over(Window.partitionBy("doc_id"))
+        )
+        .join(F.broadcast(df_t), on="w")
+        .crossJoin(F.broadcast(n_row))
     )
     tfidf = (F.col("c").cast("double") / F.col("doc_len")) * F.log(
         F.col("n").cast("double") / F.col("df_t")

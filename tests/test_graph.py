@@ -160,3 +160,21 @@ def test_kcore_stable_and_min_degree(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         assert deg.agg(F.min("deg")).first()[0] >= 3
+
+
+def test_label_propagation_deterministic_and_partition_invariant(spark, sf_dir):
+    """Fixed-round LPA must produce identical labels under any input
+    partitioning (arg-max ties broken by smallest label), and every
+    node keeps exactly one label per round."""
+    from incubator_flink_old_spark.operators.graph import label_propagation
+    from incubator_flink_old_spark.queries.iterations import edges_df
+
+    edges = edges_df(spark, sf_dir)
+    a = sorted(tuple(r) for r in label_propagation(edges, rounds=3).collect())
+    b = sorted(
+        tuple(r)
+        for r in label_propagation(edges.repartition(13), rounds=3).collect()
+    )
+    assert a == b
+    ids = [i for i, _ in a]
+    assert len(ids) == len(set(ids))  # one label per node
