@@ -145,3 +145,80 @@ def q_event_transitions(spark, sf_dir):
         Window.partitionBy("src_type")
     )
     return c.select("src_type", "dst_type", "n", F.round(p, 6).alias("p"))
+
+
+@register(
+    "q_feature_hashing",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+    b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 16 AS INTEGER)
+                   AS bucket
+        FROM tk)
+    SELECT doc_id, bucket, COUNT(*) AS c
+    FROM b GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hashing(spark, sf_dir):
+    """The hashing trick (vocabulary-free vectorization for ML
+    featurization): token counts folded into 16 hash buckets per
+    document — explode → bucket → one combinable (doc, bucket) count,
+    dimensionality fixed regardless of vocabulary growth. The bucket
+    hash is the engine-portable md5 idiom (conv of the first 15 hex
+    chars, mod buckets) rather than each engine's native hash —
+    xxhash64 and DuckDB's hash() disagree, so only a shared hash makes
+    the assignment oracle-replayable."""
+    from incubator_flink_old_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.encode(F.col("w"), "UTF-8")), 1, 15), 16, 10)
+        .cast("long")
+        % 16
+    ).cast("int")
+    return (
+        tk.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@register(
+    "q_dataset_split",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 AS b
+        FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM s
+    """,
+)
+def q_dataset_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by the portable
+    md5-Bernoulli bucket — the split is a PROPERTY of the row key, so
+    it is stable across runs, engines, partitionings and even dataset
+    versions (a document keeps its split when the corpus grows — the
+    leakage-safety property rand()-based splits lack). Map-only."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(
+            F.lit("test")
+        )
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
