@@ -299,3 +299,86 @@ def read_committed(spark: SparkSession, path: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no committed batches under {path}")
     return spark.read.parquet(*dirs)
+
+
+def stateful_heavy_hitters(
+    stream: DataFrame,
+    capacity: int = 64,
+    k: int = 5,
+    group: str = "event_type",
+    value: str = "user_id",
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state (applyInPandasWithState):
+    per group, a SpaceSaving summary of at most ``capacity`` counters
+    tracks the most frequent values across microbatches; each batch
+    emits the current top-``k`` (update semantics).
+
+    SpaceSaving's guarantees carry over exactly: every true count is ≤
+    its reported count ≤ true + max_err, and with ``capacity`` ≥ the
+    number of distinct values the summary is EXACT — the batch-parity
+    test drives a one-batch stream and compares against a plain
+    groupBy count. Eviction replaces the minimum counter
+    (deterministic: min count, then lexicographically greatest value
+    evicts first), so state is O(capacity) per group forever — the
+    property that makes per-key frequency tracking viable over
+    unbounded streams where exact maps would grow without limit.
+
+    Output: (group, value, cnt, err, batch_rank).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{group} string, {value} string, cnt long, err long, batch_rank int"
+    )
+    state_schema = "vals array<string>, cnts array<long>, errs array<long>"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd  # worker-side import
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        summary: dict[str, tuple[int, int]] = {}
+        if state.exists:
+            vals, cnts, errs = state.get
+            summary = {v: (int(c), int(e)) for v, c, e in zip(vals, cnts, errs)}
+        for pdf in pdfs:
+            for v, c in pdf[value].astype(str).value_counts().items():
+                if v in summary:
+                    cnt, err = summary[v]
+                    summary[v] = (cnt + int(c), err)
+                elif len(summary) < capacity:
+                    summary[v] = (int(c), 0)
+                else:
+                    # evict the minimum counter (ties: greatest value
+                    # goes, keeping the deterministic-replay contract)
+                    evict = min(summary.items(), key=lambda kv: (kv[1][0], [-ord(ch) for ch in kv[0]]))
+                    mcnt = evict[1][0]
+                    del summary[evict[0]]
+                    summary[v] = (mcnt + int(c), mcnt)
+        items = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [v for v, _ in items],
+                [c for _, (c, _) in items],
+                [e for _, (_, e) in items],
+            )
+        )
+        top = items[:k]
+        yield pd.DataFrame(
+            {
+                group: [key_tuple[0]] * len(top),
+                value: [v for v, _ in top],
+                "cnt": [c for _, (c, _) in top],
+                "err": [e for _, (_, e) in top],
+                "batch_rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return (
+        stream.select(group, F.col(value).cast("string").alias(value))
+        .groupBy(group)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
