@@ -494,3 +494,99 @@ def q_trend_slope(spark, sf_dir):
     return s.select(
         "event_type", "n", F.round(slope, 6).alias("slope_per_gigasec")
     )
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'orders_pk_duplicates' AS chk,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+           COUNT(*) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_fk_orphans',
+           CAST(COUNT(*) FILTER (c.c_custkey IS NULL) AS BIGINT), COUNT(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk_orphans',
+           CAST(COUNT(*) FILTER (o.o_orderkey IS NULL) AS BIGINT), COUNT(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_qty_nonpositive',
+           CAST(COUNT(*) FILTER (l_quantity <= 0) AS BIGINT), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'documents_null_text',
+           CAST(COUNT(*) FILTER (text IS NULL) AS BIGINT), COUNT(*)
+    FROM documents
+    """,
+)
+def q_dq_checks(spark, sf_dir):
+    """Data-contract validation (the dbt-style test suite run on every
+    ingest): primary-key uniqueness, two referential-integrity checks,
+    a range constraint, and a null-rate check — each a combinable
+    aggregate or a broadcast/shuffle left join counted map-side, all
+    emitted as one (check, violations, n_checked) frame. At 100 TB the
+    FK checks are the only shuffles and they key on the join column a
+    bucketed layout co-locates."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    docs = t(spark, sf_dir, "documents")
+
+    def row(name, violations, n):
+        return F.struct(
+            F.lit(name).alias("chk"),
+            violations.cast("bigint").alias("violations"),
+            n.alias("n_checked"),
+        )
+
+    pk = orders.agg(
+        row(
+            "orders_pk_duplicates",
+            F.count(F.lit(1)) - F.count_distinct("o_orderkey"),
+            F.count(F.lit(1)),
+        ).alias("r")
+    )
+    fk1 = (
+        orders.join(
+            cust.select(F.col("c_custkey")), orders["o_custkey"] == cust["c_custkey"],
+            "left",
+        )
+        .agg(
+            row(
+                "orders_custkey_fk_orphans",
+                F.count(F.when(F.col("c_custkey").isNull(), 1)),
+                F.count(F.lit(1)),
+            ).alias("r")
+        )
+    )
+    fk2 = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("__ok")),
+            li["l_orderkey"] == F.col("__ok"),
+            "left",
+        )
+        .agg(
+            row(
+                "lineitem_orderkey_fk_orphans",
+                F.count(F.when(F.col("__ok").isNull(), 1)),
+                F.count(F.lit(1)),
+            ).alias("r")
+        )
+    )
+    rng = li.agg(
+        row(
+            "lineitem_qty_nonpositive",
+            F.count(F.when(F.col("l_quantity") <= 0, 1)),
+            F.count(F.lit(1)),
+        ).alias("r")
+    )
+    nulls = docs.agg(
+        row(
+            "documents_null_text",
+            F.count(F.when(F.col("text").isNull(), 1)),
+            F.count(F.lit(1)),
+        ).alias("r")
+    )
+    return pk.union(fk1).union(fk2).union(rng).union(nulls).select("r.*")

@@ -196,3 +196,35 @@ def test_ivf_pq_results_come_from_probed_cells(spark, sf_dir):
         n_centroids=8, kmeans_iters=2,
     )
     assert got == _rows(out2.select("q_id", "vec_id"))
+
+
+def test_new_ops_empty_and_tiny_inputs(spark):
+    """Waves 13-15 degrade cleanly: empty edge sets, empty linkage
+    inputs, and a corpus smaller than the codebook size."""
+    from incubator_flink_old_spark.operators.graph import k_core, label_propagation
+    from incubator_flink_old_spark.operators.similarity import pq_topk
+    from incubator_flink_old_spark.operators.text import sorted_neighborhood_pairs
+
+    empty_edges = from_elements(spark, [(1, 2)], "src long, dst long").filter(
+        F.lit(False)
+    )
+    assert k_core(empty_edges, k=2, rounds=2).count() == 0
+    assert label_propagation(empty_edges, rounds=2).count() == 0
+
+    empty_names = from_elements(spark, [(1, "a")], "id long, nm string").filter(
+        F.lit(False)
+    )
+    assert (
+        sorted_neighborhood_pairs(empty_names, key="id", name="nm").count() == 0
+    )
+
+    tiny = from_elements(
+        spark,
+        [(i, [float(i + d) for d in range(8)]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    q = tiny.select(F.col("vec_id").alias("q_id"), "embedding")
+    out = pq_topk(q, tiny, k=5, m=4, n_centroids=16, kmeans_iters=1)
+    # corpus (3) < n_centroids (16): codebooks shrink to what exists,
+    # every query still retrieves all 3 corpus vectors
+    assert out.groupBy("q_id").count().agg(F.min("count")).first()[0] == 3
