@@ -590,3 +590,91 @@ def q_dq_checks(spark, sf_dir):
         ).alias("r")
     )
     return pk.union(fk1).union(fk2).union(rng).union(nulls).select("r.*")
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def q_skyline(spark, sf_dir):
+    """Skyline / Pareto-frontier query (classic OLAP operator): parts
+    not dominated on (minimize retail price, maximize size). The oracle
+    is the O(n²) NOT-EXISTS definition; the engine computes it in
+    O(n log n) shape — reduce to one (price → max size) row per
+    distinct price, prefix-max over that tiny frame ordered by price,
+    and join back: a point is dominated iff a strictly cheaper price
+    reaches its size, or its own price level holds a strictly larger
+    size. No self-join of the fact table at any scale."""
+    from pyspark.sql import Window
+
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("max_at_price")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    levels = per_price.withColumn(
+        "best_cheaper", F.max("max_at_price").over(w)
+    )
+    return (
+        part.join(F.broadcast(levels), on="p_retailprice")
+        .filter(
+            (
+                F.col("best_cheaper").isNull()
+                | (F.col("best_cheaper") < F.col("p_size"))
+            )
+            & (F.col("max_at_price") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+@register(
+    "q_mom_growth",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY date_trunc('month', o_orderdate))
+    SELECT month, ROUND(revenue, 2) AS revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 6) AS mom_growth
+    FROM m
+    """,
+)
+def q_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth (the reporting staple): monthly
+    DECIMAL-exact revenue, then a lag ratio over the months frame —
+    one combinable aggregation; the window runs over ~80 month rows,
+    so the single-partition ordering is bounded by the calendar, not
+    the data."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    growth = (F.col("revenue") - F.lag("revenue").over(w)) / F.lag(
+        "revenue"
+    ).over(w)
+    return m.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(growth, 6).alias("mom_growth"),
+    )
