@@ -318,23 +318,30 @@ def semantic_dedup(
         )
         .persist()
     )
-    a = assigned.select(F.col("__c").alias("__a"), F.col("cell"), F.col("__u").alias("__ua"))
-    b = assigned.select(F.col("__c").alias("__b"), F.col("cell"), F.col("__u").alias("__ub"))
-    dropped = (
-        a.join(b, on="cell")
-        .filter(F.col("__a") < F.col("__b"))
-        .filter(dot(F.col("__ua"), F.col("__ub")) >= threshold)
-        .select(F.col("__b").alias("__d"))
-        .distinct()
-    )
-    return (
-        assigned.join(dropped, assigned["__c"] == dropped["__d"], "left")
-        .select(
-            F.col("__c").alias(key),
-            "cell",
-            F.col("__d").isNull().alias("keep"),
+    try:
+        a = assigned.select(F.col("__c").alias("__a"), F.col("cell"), F.col("__u").alias("__ua"))
+        b = assigned.select(F.col("__c").alias("__b"), F.col("cell"), F.col("__u").alias("__ub"))
+        dropped = (
+            a.join(b, on="cell")
+            .filter(F.col("__a") < F.col("__b"))
+            .filter(dot(F.col("__ua"), F.col("__ub")) >= threshold)
+            .select(F.col("__b").alias("__d"))
+            .distinct()
         )
-    )
+        out = (
+            assigned.join(dropped, assigned["__c"] == dropped["__d"], "left")
+            .select(
+                F.col("__c").alias(key),
+                "cell",
+                F.col("__d").isNull().alias("keep"),
+            )
+        )
+        # Materialize the keep decision so the cache can be released
+        # before returning — the "no persist outlives its operator call"
+        # rule (same pattern as dedup_clusters).
+        return out.localCheckpoint(eager=True)
+    finally:
+        assigned.unpersist()
 
 
 def centroid_outliers(
@@ -473,6 +480,39 @@ def pq_codebooks(
         subs.unpersist()
 
 
+def _adc_dtab(qsubs, books, query_key: str, m: int, n_centroids: int):
+    """Per-query ADC distance table, densified to exactly m·n_centroids
+    slots. Codebooks may be SPARSE — a subspace trains fewer than
+    n_centroids centroids when the corpus is smaller than n_centroids, or
+    a centroid loses every member during Lloyd — so flattening by sorted
+    collect_list position would misalign every later subspace's lookups.
+    Instead build a (idx → d) map and project it onto the full grid;
+    missing slots default to 0.0 and are never referenced, because
+    pq_encode assigns codes by joining the same codebook frame (a code
+    for a nonexistent centroid cannot be emitted)."""
+    return (
+        qsubs.join(F.broadcast(books), on="sub")
+        .select(
+            query_key,
+            (F.col("sub") * n_centroids + F.col("cid") - 1)
+            .cast("int")
+            .alias("idx"),
+            dot(F.col("qsv"), F.col("cv")).alias("d"),
+        )
+        .groupBy(query_key)
+        .agg(F.map_from_entries(F.collect_list(F.struct("idx", "d"))).alias("dm"))
+        .select(
+            query_key,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m * n_centroids - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("dm"), i.cast("int")), F.lit(0.0)
+                ),
+            ).alias("dtab"),
+        )
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,
@@ -584,17 +624,7 @@ def pq_topk(
         "sub",
         F.slice(F.col("__qv"), F.col("sub") * d_over_m + 1, d_over_m).alias("qsv"),
     )
-    dtab = (
-        qsubs.join(F.broadcast(books), on="sub")
-        .select(
-            query_key,
-            (F.col("sub") * n_centroids + F.col("cid") - 1).alias("idx"),
-            dot(F.col("qsv"), F.col("cv")).alias("d"),
-        )
-        .groupBy(query_key)
-        .agg(F.array_sort(F.collect_list(F.struct("idx", "d"))).alias("id_"))
-        .select(query_key, F.transform("id_", lambda s: s["d"]).alias("dtab"))
-    )
+    dtab = _adc_dtab(qsubs, books, query_key, m, n_centroids)
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -700,17 +730,7 @@ def ivf_pq_topk(
                 "qsv"
             ),
         )
-        dtab = (
-            qsubs.join(F.broadcast(books), on="sub")
-            .select(
-                query_key,
-                (F.col("sub") * n_centroids + F.col("cid") - 1).alias("idx"),
-                dot(F.col("qsv"), F.col("cv")).alias("d"),
-            )
-            .groupBy(query_key)
-            .agg(F.array_sort(F.collect_list(F.struct("idx", "d"))).alias("id_"))
-            .select(query_key, F.transform("id_", lambda s: s["d"]).alias("dtab"))
-        )
+        dtab = _adc_dtab(qsubs, books, query_key, m, n_centroids)
         score = F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),
             F.lit(0.0),

@@ -216,7 +216,15 @@ def heavy_hitters(
     (c,) = df.columns
     if threshold < 1:
         raise ValueError("threshold must be ≥ 1")
-    p = num_partitions or df.rdd.getNumPartitions()
+    # Exactness needs P ≥ the partition count the mapInPandas pass
+    # actually runs with; df.rdd instantiates a SEPARATE plan, and AQE
+    # may coalesce differently between the two. Overestimating is always
+    # safe (lower bar → superset of candidates, still exact), so pad
+    # with the session's default parallelism.
+    p = num_partitions or max(
+        df.rdd.getNumPartitions(),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
     local_bar = max(1, math.ceil(threshold / max(1, p)))
 
     import pandas as pd  # noqa: PLC0415 — worker-side import

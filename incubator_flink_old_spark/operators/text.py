@@ -2147,6 +2147,11 @@ def sorted_neighborhood_pairs(
     """
     from incubator_flink_old_spark.operators.aggregates import global_row_number
 
+    if window < 2:
+        # window=1 would build F.sequence(rn+1, rn) — a DESCENDING
+        # two-element sequence in Spark, yielding bogus self/rank-rn
+        # candidates instead of the empty set the semantics demand.
+        raise ValueError("sorted_neighborhood_pairs requires window >= 2")
     ranked = global_row_number(
         df.select(F.col(key).alias("__k"), F.col(name).alias("__n")),
         [F.col("__n"), F.col("__k")],

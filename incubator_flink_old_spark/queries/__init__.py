@@ -83,83 +83,82 @@ LOAD_ERRORS: dict[str, str] = {}
 #: after the priority block. Purely an ordering hint — every query stays
 #: registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-3 rotation (VERDICT r02 items 1–3): the 24 queries with no
-    # --- driver row yet (union of CORRECTNESS_r01+r02), the 4 re-checks
-    # --- whose r02 rows were non-green, and the new S1 surface query.
-    # TPC-H completion (15) — registered r02, never driver-checked
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q11",
+    # --- round-4 rotation (VERDICT r03 items 1, 5): the only red r03 row
+    # --- (q12 — oracle HUGEINT typing, fixed by BIGINT cast) plus the 23
+    # --- queries with no driver row in the r01∪r02∪r03 union. ANN scale
+    # --- path (PQ / IVF+PQ) fronted per VERDICT item 5.
     "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # analytics / curation (9) — registered r02, never driver-checked
-    "q_time_rollup",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_approx_distinct",
-    "q_lm_score",
-    "q_gap_fill",
-    "q_data_mixture",
-    "q_vocab_topk_coverage",
-    "q_containment_pairs",
-    # re-checks: r02 rows were err (array canonicalization) or
-    # hash-mismatch (oracle HUGEINT typing) — fixed this round
-    "q_agg_collect",
-    "q_embed_quantize",
-    "q_csv_roundtrip",
-    "q_partition_invariance",
-    # new this round (no driver row yet)
-    "q_source_text",
-    "q_containment_exact",
-    "q_dup_spans",
-    "q_pack_sequences",
-    "q_incremental_dedup",
-    # new this session (wave 5 — no driver row yet)
-    "q_fuzzy_dedup",
-    "q_bpe_pairs",
-    "q_cluster_rep",
-    "q_embed_outliers",
-    "q_approx_quantile",
-    # new this session (wave 6 — no driver row yet)
-    "q_corpus_diff",
-    "q_source_overlap",
-    "q_tokenize_ids",
-    "q_data_card",
-    # new this session (wave 7 — no driver row yet)
-    "q_salted_join",
-    "q_global_rank",
-    "q_template_dedup",
-    "q_entity_resolve",
-    # new this session (wave 8 — no driver row yet)
-    "q_k_anonymity",
-    "q_negative_sampling",
-    # remaining slots: the round-3 session added 11 queries (waves 9-11)
-    # — more unchecked than the 50-slot window holds. The two flagship
-    # sketch ops take the last slots; the other 9 rotate into r04
-    # (tools/rotation.py recomputes from the CORRECTNESS_r* union). The
-    # r02-weak heavies (q_curate_full, q_dedup_minhash) no longer spend
-    # window slots: their r02 rows are hash-GREEN — the pending weakness
-    # is performance, which BENCH_r03 adjudicates, not the correctness
-    # window.
-    "q_heavy_hitters",
-    "q_bloom_decontaminate",
+    "q_sim_pq_topk",
+    "q_sim_ivfpq_topk",
+    "q_sorted_neighborhood",
+    "q_sample_weighted",
+    "q_temperature_mixture",
+    "q_distinctive_terms",
+    "q_tfidf_top_terms",
+    "q_event_transitions",
+    "q_feature_hashing",
+    "q_dataset_split",
+    "q_scd2_intervals",
+    "q_clustering_coeff",
+    "q_histogram",
+    "q_zscore_outliers",
+    "q_correlation",
+    "q_pmi_lang_source",
+    "q_kcore",
+    "q_impute_mean",
+    "q_label_propagation",
+    "q_trend_slope",
+    "q_dq_checks",
+    "q_skyline",
+    "q_mom_growth",
+    # re-checks on the regenerated sf fixture (VERDICT r03 item 6): these
+    # heavies were last driver-checked in round 2, before the near-dup
+    # corpus was regenerated 100× denser.
+    "q_curate_full",
+    "q_dedup_minhash",
 )
 
 
+def _pending_by_driver() -> list[str]:
+    """Names registered but lacking a green CORRECTNESS_r*.json row, in
+    registration order. Reads the driver artifacts at the repo root (two
+    levels above this package); missing/corrupt files are treated as
+    contributing no green rows, which only ever *fronts more* queries —
+    always safe for the rotation invariant."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False  # rows-only checks
+            ):
+                green.add(name)
+    return [n for n in QUERIES if n not in green]
+
+
 def _apply_driver_priority() -> None:
-    """Reorder QUERIES/ORACLES in place: DRIVER_PRIORITY names first (in the
-    listed order), everything else after (preserving registration order)."""
+    """Reorder QUERIES/ORACLES in place: DRIVER_PRIORITY names first (in
+    the listed order), then any other query lacking a green driver row
+    (auto-rotation — a newly registered query can never be stranded
+    outside the 50-slot window by a stale tuple again; VERDICT r03 item
+    2), then everything else in registration order."""
+    auto = _pending_by_driver()
     front = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    front += [n for n in auto if n not in set(front)]
     rest = [n for n in QUERIES if n not in set(front)]
     for mapping in (QUERIES, ORACLES):
         ordered = {n: mapping[n] for n in front + rest if n in mapping}

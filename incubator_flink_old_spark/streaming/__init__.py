@@ -350,9 +350,15 @@ def stateful_heavy_hitters(
                 elif len(summary) < capacity:
                     summary[v] = (int(c), 0)
                 else:
-                    # evict the minimum counter (ties: greatest value
-                    # goes, keeping the deterministic-replay contract)
-                    evict = min(summary.items(), key=lambda kv: (kv[1][0], [-ord(ch) for ch in kv[0]]))
+                    # evict the minimum counter (ties: lexicographically
+                    # greatest value goes — picked directly with max over
+                    # the min-count entries, since a per-char negation
+                    # key mis-orders prefix pairs like 'ab'/'abc')
+                    min_cnt = min(cv[0] for cv in summary.values())
+                    evict = max(
+                        (kv for kv in summary.items() if kv[1][0] == min_cnt),
+                        key=lambda kv: kv[0],
+                    )
                     mcnt = evict[1][0]
                     del summary[evict[0]]
                     summary[v] = (mcnt + int(c), mcnt)

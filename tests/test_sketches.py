@@ -157,6 +157,26 @@ def test_pq_codes_shape(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_pq_sparse_codebook_scores_non_null(spark, sf_dir):
+    """Corpus smaller than n_centroids → each subspace codebook has fewer
+    than n_centroids entries. The ADC distance table must stay aligned
+    (dense m·K grid), so every score is non-null and self-retrieval
+    ranks exactly (the r03 advisor finding: sorted-position flattening
+    returned all-NULL scores here)."""
+    from incubator_flink_old_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    out = pq_topk(q, emb, k=3, m=4, n_centroids=16, kmeans_iters=2).collect()
+    assert len(out) == 9  # 3 queries × 3 corpus vectors
+    assert all(r["score"] is not None for r in out)
+    # with codes == their own quantization, self must be top-1 by ADC
+    best = {}
+    for r in sorted(out, key=lambda r: (r["q_id"], -r["score"], r["vec_id"])):
+        best.setdefault(r["q_id"], r["vec_id"])
+    assert best == {0: 0, 1: 1, 2: 2}
+
+
 def test_ivf_pq_all_cells_equals_plain_pq(spark, sf_dir):
     """With n_probe = n_cells the IVF prune admits everything, so the
     composed ranking must equal plain PQ (same codebooks, same ADC)."""
