@@ -1,0 +1,146 @@
+"""Retrieval / language-model scoring operators (W7 family, SURVEY §2.11):
+BM25 ranked retrieval and bigram-LM document scoring.
+
+These are the classic text-retrieval companions to the TF-IDF keyword
+pass (`queries/llm_ops7.q_tfidf_top_terms`): BM25 ranks documents for a
+query term set (the standard relevance baseline every retrieval stack
+reports against), and the add-one-smoothed bigram LM assigns each
+document a mean log-probability under a corpus-trained model — the
+cheap, deterministic stand-in for perplexity-based quality filtering
+(KenLM-style) over a training corpus.
+
+Scale shape (both): the token stream is exploded and shuffled ONCE into
+vocabulary-sized count tables; everything afterwards is joins keyed by
+token/bigram (co-partitioned at scale, broadcast at test sf) plus
+one-row scalar broadcasts. No Python workers, no windows over the
+corpus, no global sorts — BM25's final top-k is a TakeOrdered.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.operators.text import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: score every document containing at least
+    one query term and return the ``top_k`` by total score.
+
+    idf(t) = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)  (the Lucene form —
+    always positive), tf saturation k1, length normalization b against
+    the corpus mean document length.
+
+    Determinism note: the per-document total is a sum over ≤|terms|
+    doubles, and float addition is fold-order dependent — so the sum is
+    assembled as one conditional aggregate PER TERM (each reduces over
+    at most one non-null value) combined left-to-right in the fixed
+    ``terms`` order, identical on any engine/partitioning. Rounded 6dp.
+
+    Output: (key, bm25) — the ``top_k`` rows by (bm25 desc, key), a
+    distributed TakeOrdered, never a single-partition window.
+    """
+    terms = tuple(terms)
+    tk = df.select(F.col(key), F.explode(tokens(text)).alias("w"))
+    tf = tk.groupBy(key, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(key).agg(F.sum("tf").alias("dl"))
+    scalars = (
+        df.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(tk.agg(F.count(F.lit(1)).alias("toks")))
+        .select("n", (F.col("toks").cast("double") / F.col("n")).alias("avgdl"))
+    )
+    qtf = tf.filter(F.col("w").isin(list(terms)))
+    dft = qtf.groupBy("w").agg(F.count(F.lit(1)).alias("dft"))
+    idf = F.log(
+        (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1.0
+    )
+    s = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        qtf.join(dl, on=key)
+        .join(F.broadcast(dft), on="w")
+        .crossJoin(F.broadcast(scalars))
+        .select(key, "w", s.alias("s"))
+    )
+    per_term = scored.groupBy(key).agg(
+        *[
+            F.sum(F.when(F.col("w") == t_, F.col("s"))).alias(f"__s{i}")
+            for i, t_ in enumerate(terms)
+        ]
+    )
+    total = reduce(
+        lambda acc, i: acc + F.coalesce(F.col(f"__s{i}"), F.lit(0.0)),
+        range(len(terms)),
+        F.lit(0.0),
+    )
+    return (
+        per_term.select(key, F.round(total, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(key))
+        .limit(top_k)
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model document scoring with add-one smoothing:
+    train c(w1,w2) / c(w1) / |V| on the corpus itself, then score each
+    document as the mean log-probability of its bigrams,
+
+        score(d) = avg over bigrams of ln((c(w1,w2)+1) / (c(w1)+|V|)).
+
+    The perplexity-filter stand-in: low scores flag documents whose
+    word transitions the corpus model finds surprising (gibberish,
+    wrong-language, template noise). Documents with fewer than two
+    tokens emit no row (they have no bigrams to score).
+
+    One explode feeds both the unigram and bigram count tables; the
+    scoring pass re-joins the document bigram stream against those
+    counts (token-keyed — co-partitioned at 100 TB, broadcast at test
+    sf) and folds with a combinable AVG. Rounded 6dp (double reorder
+    noise ~1e-14, the q_lm_score contract).
+
+    Output: (key, n_bigrams, lm_bigram_score).
+    """
+    staged = df.select(F.col(key), tokens(text).alias("__tka")).filter(
+        F.size("__tka") >= 2
+    )
+    # Explode start positions, index AFTER the Generate — sequence(1, 0)
+    # would be a descending trap on 1-token docs, hence the filter above.
+    bg = staged.select(
+        key,
+        F.explode(F.sequence(F.lit(1), F.size("__tka") - 1)).alias("i"),
+        "__tka",
+    ).select(
+        key,
+        F.element_at("__tka", F.col("i")).alias("w1"),
+        F.element_at("__tka", F.col("i") + 1).alias("w2"),
+    )
+    uni = df.select(F.explode(tokens(text)).alias("w"))
+    c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    logp = F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")))
+    return (
+        bg.join(c2, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("lm_bigram_score"),
+        )
+    )

@@ -247,3 +247,87 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return exact.filter(F.col("cnt") >= threshold)
+
+
+def count_min_estimates(
+    df: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-min sketch with an exact twin: build a ``depth × width``
+    CMS over the single value column, then report, for the ``top_n``
+    most frequent values (by exact count, ties by value), the exact
+    count next to the sketch's point estimate min_r cms[r][h_r(v)].
+
+    The sketch itself is the 100 TB object: ``depth × width`` counters
+    (here 4×256 = 1 KiB of longs) built with ONE combinable
+    (row, bucket) aggregation over a ``depth``-way explode — mergeable
+    across partitions/days by element-wise addition, the property that
+    lets a fleet of ingest jobs maintain one global frequency sketch
+    without re-scanning history. The estimate query is a broadcast-sized
+    join of the probe values against the counter table; `min` over depth
+    values is fold-order-free, so the output is deterministic on any
+    engine/partitioning (no float math anywhere).
+
+    Hash rows use the engine-portable md5 idiom (`'r|' || value`, first
+    15 hex digits mod width) — NOT xxhash64, which DuckDB lacks — so the
+    whole construction replays exactly in the SQL oracle.
+
+    Output: (value, exact_cnt, cms_est), cms_est ≥ exact_cnt always
+    (one-sided error: collisions only ever inflate a counter).
+    """
+    if len(df.columns) != 1:
+        raise ValueError("count_min_estimates expects a single value column")
+    (c,) = df.columns
+
+    def bucket(r: int) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{r}|"), F.col(c).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).cast("int")
+
+    stream = df.select(
+        F.col(c), F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    )
+    cms = (
+        stream.select(
+            "r",
+            F.element_at(
+                F.array(*[bucket(r) for r in range(depth)]), F.col("r") + 1
+            ).alias("b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        df.groupBy(c)
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col(c))
+        .limit(top_n)
+    )
+    probes = exact.select(
+        F.col(c),
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(r).alias("b"))
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(c, "exact_cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    return (
+        probes.join(F.broadcast(cms), on=["r", "b"])
+        .groupBy(c, "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -67,6 +67,7 @@ _QUERY_MODULES = (
     "llm_ops5",
     "llm_ops6",
     "llm_ops7",
+    "llm_ops8",
     "analytics",
     "analytics2",
     "surfaces",
