@@ -295,17 +295,21 @@ def count_min_estimates(
             % width
         ).cast("int")
 
-    stream = df.select(
-        F.col(c), F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
-    )
+    # Explode pre-built (r, bucket) structs — each row computes exactly
+    # ``depth`` hashes (an explode-then-pick formulation would evaluate
+    # the whole hash array once per exploded row: depth² per value).
     cms = (
-        stream.select(
-            "r",
-            F.element_at(
-                F.array(*[bucket(r) for r in range(depth)]), F.col("r") + 1
-            ).alias("b"),
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(r).alias("r"), bucket(r).alias("b"))
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rb")
         )
-        .groupBy("r", "b")
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     exact = (

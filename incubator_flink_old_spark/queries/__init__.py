@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "llm_ops6",
     "llm_ops7",
     "llm_ops8",
+    "llm_ops9",
     "analytics",
     "analytics2",
     "surfaces",
