@@ -52,6 +52,10 @@ def bm25_topk(
     distributed TakeOrdered, never a single-partition window.
     """
     terms = tuple(terms)
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    if len(set(terms)) != len(terms):
+        raise ValueError("bm25_topk terms must be distinct")
     tk = df.select(F.col(key), F.explode(tokens(text)).alias("w"))
     tf = tk.groupBy(key, "w").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy(key).agg(F.sum("tf").alias("dl"))

@@ -45,9 +45,16 @@ def brute_force_topk(
     query_key: str = "q_id",
     corpus_key: str = "vec_id",
     vec: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query side against the
     corpus, rank per query with deterministic tie-break on corpus key.
+
+    ``exclude_self`` drops corpus rows whose key equals the query key
+    BEFORE ranking — the kNN formulation. (Ranking first and dropping
+    self after is NOT equivalent: self's cosine is a computed float and
+    exact-duplicate vectors tie it, so self may sit below rank k and
+    the post-filter would then return one result too many.)
 
     Output: (q_id, vec_id, cos) — k rows per query.
     """
@@ -64,6 +71,8 @@ def brute_force_topk(
         F.col("__c").alias(corpus_key),
         cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
     )
+    if exclude_self:
+        scored = scored.filter(F.col(query_key) != F.col(corpus_key))
     w = Window.partitionBy(query_key).orderBy(F.col("cos").desc(), F.col(corpus_key))
     return (
         scored.withColumn("__rn", F.row_number().over(w))

@@ -219,11 +219,16 @@ def heavy_hitters(
     # Exactness needs P ≥ the partition count the mapInPandas pass
     # actually runs with; df.rdd instantiates a SEPARATE plan, and AQE
     # may coalesce differently between the two. Overestimating is always
-    # safe (lower bar → superset of candidates, still exact), so pad
-    # with the session's default parallelism.
+    # safe (lower bar → superset of candidates, still exact), so take
+    # the max over every count a task-producing plan can realize: the
+    # probe plan's own partitioning, the session's shuffle fan-out (a
+    # shuffle-bearing input runs with ≤ shuffle.partitions tasks — AQE
+    # only ever coalesces DOWN), and the core count.
+    spark = df.sparkSession
     p = num_partitions or max(
         df.rdd.getNumPartitions(),
-        df.sparkSession.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
     )
     local_bar = max(1, math.ceil(threshold / max(1, p)))
 
@@ -279,6 +284,8 @@ def count_min_estimates(
     """
     if len(df.columns) != 1:
         raise ValueError("count_min_estimates expects a single value column")
+    if depth < 1 or width < 1:
+        raise ValueError("count_min_estimates requires depth >= 1 and width >= 1")
     (c,) = df.columns
 
     def bucket(r: int) -> Column:

@@ -51,3 +51,31 @@ def sql_dsum(x: str) -> str:
 
 def sql_davg(x: str) -> str:
     return SQL_DAVG.format(x=x)
+
+
+def split_case_sql(key: str = "doc_id") -> str:
+    """DuckDB CASE expression for the md5-Bernoulli 80/10/10
+    train/val/test split — THE single source of the split law (the
+    Spark twin is :func:`split_col`). The split is a property of the
+    row key: stable across runs, engines, partitionings and dataset
+    versions. Consumers: q_dataset_split, q_split_leakage, q_ks_drift."""
+    b = f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT % 100"
+    return (
+        f"CASE WHEN {b} < 80 THEN 'train' "
+        f"WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+def split_col(key: str = "doc_id") -> Column:
+    """Spark twin of :func:`split_case_sql` — same md5 bucket, same
+    boundaries, byte-identical assignment."""
+    b = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

@@ -189,36 +189,26 @@ def q_feature_hashing(spark, sf_dir):
     )
 
 
-@register(
-    "q_dataset_split",
-    oracle="""
-    WITH s AS (
-        SELECT doc_id, lang,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                   % 100 AS b
-        FROM documents)
-    SELECT doc_id, lang,
-           CASE WHEN b < 80 THEN 'train'
-                WHEN b < 90 THEN 'val'
-                ELSE 'test' END AS split
-    FROM s
-    """,
-)
+def _dataset_split_oracle() -> str:
+    from incubator_flink_old_spark.queries._util import split_case_sql
+
+    return f"""
+    SELECT doc_id, lang, {split_case_sql()} AS split
+    FROM documents
+    """
+
+
+@register("q_dataset_split", oracle=_dataset_split_oracle())
 def q_dataset_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment by the portable
     md5-Bernoulli bucket — the split is a PROPERTY of the row key, so
     it is stable across runs, engines, partitionings and even dataset
     versions (a document keeps its split when the corpus grows — the
-    leakage-safety property rand()-based splits lack). Map-only."""
+    leakage-safety property rand()-based splits lack). Map-only. The
+    split law lives ONCE in _util.split_col/split_case_sql, shared with
+    the q_split_leakage and q_ks_drift audits so they can never drift
+    from the split the pipeline actually ships."""
+    from incubator_flink_old_spark.queries._util import split_col
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
-    b = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = (
-        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(
-            F.lit("test")
-        )
-    )
-    return docs.select("doc_id", "lang", split.alias("split"))
+    return docs.select("doc_id", "lang", split_col("doc_id").alias("split"))

@@ -15,31 +15,19 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from incubator_flink_old_spark.queries import register
-from incubator_flink_old_spark.queries._util import sql_dsum, t
+from incubator_flink_old_spark.queries._util import (
+    split_case_sql,
+    split_col as _split_col,
+    sql_dsum,
+    t,
+)
 
-#: DuckDB twin of the md5-Bernoulli 80/10/10 split (q_dataset_split).
-_SPLIT_SQL = """
-    SELECT doc_id,
-           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                     % 100 < 80 THEN 'train'
-                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                     % 100 < 90 THEN 'val'
-                ELSE 'test' END AS split
+#: DuckDB twin of the md5-Bernoulli 80/10/10 split (q_dataset_split);
+#: the split law itself lives ONCE in _util.split_case_sql/split_col.
+_SPLIT_SQL = f"""
+    SELECT doc_id, {split_case_sql()} AS split
     FROM documents
 """
-
-
-def _split_col(key):
-    b = (
-        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 100
-    )
-    return (
-        F.when(b < 80, F.lit("train"))
-        .when(b < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
 
 
 # --------------------------------------------------------------------------

@@ -68,23 +68,27 @@ def q_stream_dedup_parity(spark, sf_dir):
            CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
            CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_1h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def q_rolling_range_window(spark, sf_dir):
     """Time-interval rolling aggregates: per user, the count and
     decimal-exact sum of activity in the trailing hour of EVENT TIME —
-    a RANGE frame over epoch seconds, not a row frame (gaps and bursts
-    change the frame size; ties on the timestamp are all in-frame by
-    definition in both engines). The decimal-staged sum makes the
-    result bit-identical under any fold order (dsum contract). At
-    scale the window is shuffle-free under entity bucketing."""
+    a RANGE frame over epoch MICROSECONDS, not a row frame (gaps and
+    bursts change the frame size; ties are all in-frame by definition
+    in both engines). Microsecond keys matter: second-floored epochs
+    (Spark unix_timestamp) vs second-ROUNDED epochs (DuckDB
+    epoch()::BIGINT) flip frame membership for event pairs near the
+    3600 s boundary — found at sf0.1, 2 rows differed. The
+    decimal-staged sum makes the result bit-identical under any fold
+    order (dsum contract). At scale the window is shuffle-free under
+    entity bucketing."""
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
     )
     return ev.select(
         "event_id",
@@ -368,10 +372,10 @@ def q_knn_classify(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    # self is always rank 1 (cos = 1.0 with itself); ask for 6 and drop it
-    nbrs = brute_force_topk(queries, emb, k=6).filter(
-        F.col("vec_id") != F.col("q_id")
-    )
+    # self excluded BEFORE ranking (exact-duplicate vectors tie self's
+    # cosine, so rank-then-drop could diverge from the oracle's
+    # exclude-then-rank)
+    nbrs = brute_force_topk(queries, emb, k=5, exclude_self=True)
     labels = emb.select("vec_id", "label")
     truth = emb.select(
         F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
@@ -615,11 +619,11 @@ def q_rfm(spark, sf_dir):
     s AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x AS DECIMAL(38,12)) * CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(x AS DECIMAL(38,12)) * CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y AS DECIMAL(38,12)) * CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,6)) * CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38,6)) * CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6)) * CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS syy
         FROM l WHERE y IS NOT NULL GROUP BY event_type)
     SELECT event_type, n,
            ROUND((n * sxy - sx * sy)
@@ -632,9 +636,15 @@ def q_autocorr(spark, sf_dir):
     """Lag-1 autocorrelation of the hourly value series per event type —
     the burstiness/seasonality scalar behind anomaly baselines. The
     hourly series is decimal-exact (dsum contract); the correlation's
-    moment sums are ALSO decimal-staged (38,12) so every operand of the
-    final float formula is bit-identical across engines — no
-    fold-order hazard reaches the double math."""
+    moment sums are ALSO decimal-staged so every operand of the final
+    float formula is bit-identical across engines. Precision is chosen
+    so the product is LOSSLESS on both, which needs DIFFERENT widths:
+    Spark multiplies (18,6)² → (37,12) under its 38-digit cap (a
+    (38,12)² product would trip the precision-loss rule and round each
+    product to 6dp), while DuckDB 1.0 executes an (18,6)² product in
+    int64 physical and OVERFLOWS on real sums (~2e9 unscaled units) —
+    its side casts to (38,6) so the multiply runs in int128. Both
+    produce the exact rational, so the final doubles agree bitwise."""
     ev = t(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type", F.window("ts", "1 hour").getField("start").alias("hr")
@@ -648,8 +658,8 @@ def q_autocorr(spark, sf_dir):
             Window.partitionBy("event_type").orderBy("hr")
         ).alias("y"),
     ).filter(F.col("y").isNotNull())
-    dx = F.col("x").cast("decimal(38,12)")
-    dy = F.col("y").cast("decimal(38,12)")
+    dx = F.col("x").cast("decimal(18,6)")
+    dy = F.col("y").cast("decimal(18,6)")
     s = l.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dx).cast("double").alias("sx"),
