@@ -163,3 +163,24 @@ def test_stream_dedup_parity_reruns(spark, sf_dir):
     )
     assert _rows(QUERIES["q_stream_dedup_parity"](spark, sf_dir)) == batch
     assert _rows(QUERIES["q_stream_dedup_parity"](spark, sf_dir)) == batch
+
+
+def test_split_law_cross_engine(spark, duck):
+    """The md5-Bernoulli split is defined ONCE (_util.split_col /
+    split_case_sql); prove the Spark and DuckDB formulations assign the
+    identical split to every document — the invariant the leakage and
+    drift audits depend on."""
+    from incubator_flink_old_spark.queries._util import split_case_sql, split_col
+
+    sp = {
+        r["doc_id"]: r["split"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", split_col("doc_id").alias("split"))
+        .collect()
+    }
+    du = dict(
+        duck.execute(
+            f"SELECT doc_id, {split_case_sql()} AS split FROM documents"
+        ).fetchall()
+    )
+    assert sp == du and len(sp) > 0
