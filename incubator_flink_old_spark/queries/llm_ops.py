@@ -318,17 +318,20 @@ def q_sim_ivf_topk(spark, sf_dir):
     deterministic recall CONTRACT the oracle hash-checks: for each of 10
     query vectors, (a) the query itself is its own top-1 hit (it lives in
     the probed cell by construction) and (b) IVF's top-5 overlaps exact
-    brute-force top-5 in ≥ 3 of 5 slots. At sf0.01 the measured overlap is
-    5/5 for every query (0.88 recall@5 at sf0.1), so the booleans are
-    stable under any partitioning. The approximation itself is
-    deterministic: lowest-key seeds, fixed Lloyd iterations, tie-broken
-    rankings — see operators/similarity.ivf_topk for the 100 TB layout
-    (corpus written bucketed by cell → partition-pruned probes)."""
+    brute-force top-5 in ≥ 3 of 5 slots. Probe breadth is sized to the
+    contract ACROSS fixtures, not just the driver's sf: measured per-query
+    overlap at n_probe=4 is 5/5 everywhere at sf0.01 but min 2/5 at sf0.1
+    (denser neighbor structure splits true neighbors across cells); at
+    n_probe=6 the sf0.1 minimum is 4/5 — so 6 probes keep margin on both.
+    The approximation itself is deterministic: lowest-key seeds, fixed
+    Lloyd iterations, tie-broken rankings — see
+    operators/similarity.ivf_topk for the 100 TB layout (corpus written
+    bucketed by cell → partition-pruned probes)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    ivf = ivf_topk(queries, emb, k=5, n_cells=8, n_probe=4, kmeans_iters=3)
+    ivf = ivf_topk(queries, emb, k=5, n_cells=8, n_probe=6, kmeans_iters=3)
     brute = brute_force_topk(queries, emb, k=5)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     top1 = (

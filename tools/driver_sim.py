@@ -7,6 +7,10 @@ Usage: python tools/driver_sim.py [sf_dir]
 Probe flags:
   TZ_PROBE=1   build the session with a non-UTC session timezone to prove
                the engine's prep_session defense normalizes it.
+  SIM_ONLY=a,b run only the named queries (comma-separated substrings).
+  SIM_SKIP=a,b skip queries whose name contains any listed substring —
+               for chunked sf0.1 sweeps where DuckDB's single-threaded
+               pair oracles dominate wall time.
 """
 
 from __future__ import annotations
@@ -69,8 +73,14 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    only = [s for s in os.environ.get("SIM_ONLY", "").split(",") if s]
+    skip = [s for s in os.environ.get("SIM_SKIP", "").split(",") if s]
     n_match = n_fail = n_rows_only = 0
     for name in sorted(qs):
+        if only and not any(s in name for s in only):
+            continue
+        if skip and any(s in name for s in skip):
+            continue
         df = qs[name](spark, SF_DIR)
         out = df.collect()
         if name not in oracles:
