@@ -163,6 +163,7 @@ def minhash_bands(
     text: str = "text",
     key: str = "doc_id",
     _toksets: DataFrame | None = None,
+    _sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH band rows (key, __n, band, bucket) — the frame the candidate
     self-join runs on. Exposed so a 100 TB deployment can MATERIALIZE it
@@ -172,7 +173,11 @@ def minhash_bands(
     size-ratio prefilter."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    sigs = minhash_signature(df, num_hashes, text, key)
+    sigs = (
+        _sigs
+        if _sigs is not None
+        else minhash_signature(df, num_hashes, text, key)
+    )
     toksets = (
         _toksets
         if _toksets is not None
@@ -216,6 +221,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     text: str = "text",
     key: str = "doc_id",
+    _sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
@@ -235,7 +241,9 @@ def minhash_lsh_pairs(
         F.col(key).alias("__k"),
         _hashed_set(tokens(text, distinct=True)).alias("__toks"),
     )
-    bands = minhash_bands(df, num_hashes, band_size, text, key, _toksets=toksets)
+    bands = minhash_bands(
+        df, num_hashes, band_size, text, key, _toksets=toksets, _sigs=_sigs
+    )
 
     left = bands.select(F.col(key).alias("doc_a"), F.col("__n").alias("na"), "band", "bucket")
     right = bands.select(F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket")

@@ -176,8 +176,14 @@ def q_minhash_est_jaccard(spark, sf_dir):
     )
 
     docs = t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, band_size=4, jaccard_threshold=0.3)
-    sigs = minhash_signature(docs)
+    # One signature computation feeds all three consumers (band
+    # generation + both est-join sides): materialized eagerly — the
+    # frame is |docs| × 8 md5 strings, tiny — so the 8-hash pass over
+    # every distinct token runs once, not three times.
+    sigs = minhash_signature(docs).localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs(
+        docs, band_size=4, jaccard_threshold=0.3, _sigs=sigs
+    )
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)],
