@@ -101,7 +101,12 @@ def main() -> None:
     # compiled code takes over), and without this the alphabetically-first
     # heavy dedup query (q_cluster_rep) absorbs the entire family's JIT
     # cost — measured 34 s first-run vs 12 s warm on an identical plan.
-    for warm in ("q_tpch_q3", "q_dedup_minhash"):
+    # q_agg_cube additionally warms the Expand-family codegen: one ~8 s
+    # C2 compile hiccup lands on whichever Expand aggregate (cube /
+    # rollup / grouping sets) runs first in a session (roams between
+    # sessions with identical plans — PERF.md round-4 closing bench);
+    # paying it here keeps it out of every measured run.
+    for warm in ("q_tpch_q3", "q_dedup_minhash", "q_agg_cube"):
         QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
     metrics = StageMetrics(spark)
     metrics.advance()  # consume warmup stages
