@@ -767,3 +767,124 @@ def ivf_pq_topk(
         return out.localCheckpoint(eager=True)
     finally:
         c.unpersist()
+
+
+def embedding_covariance(
+    df: DataFrame, key: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Quantized-centered covariance of the embedding dimensions —
+    (i, j, cov) for every ordered dimension pair, decimal-exact and
+    therefore bit-identical on any engine/partitioning.
+
+    Determinism contract — everything lives on an INTEGER grid until
+    the single final division: components floor-quantize to micro-units
+    k = FLOOR(x·1e6) (floor of identical doubles is identical — unlike
+    round(), which disagrees across engines at half-way boundaries on
+    full-mantissa doubles; found at sf0.01: one boundary hit flipped a
+    6th decimal), centering happens WITHOUT division as
+    c' = n·k − Σk (exact BIGINTs), and each moment Σ c'_i·c'_j is a
+    sum of exact DECIMAL(19,0) products (int128 on both engines). The
+    only float op is the last CAST(Σ AS DOUBLE) / (n³·1e12) — identical
+    operands, identical IEEE result. Quantization perturbs the spectrum
+    by ≤1e-6 per component: the price of a hash-stable oracle.
+
+    Scale shape: one posexplode to (row, i, c'_i) KEEPING the centered
+    array in the row (no self-join), then a transform+posexplode to
+    (i, j, c'_i·c'_j) and a combinable (i, j) aggregation — shuffle
+    volume is d² per partition (map-side partials), never n·d². d=64
+    → 4,096 output rows regardless of corpus size.
+    """
+    e = df.select(
+        F.col(key),
+        F.transform(
+            as_double_array(vec),
+            lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
+        ).alias("__k"),
+    )
+    sums = (
+        e.select(F.posexplode("__k").alias("j", "k"))
+        .groupBy("j")
+        .agg(F.sum("k").alias("s"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("j", "s"))).alias("js"))
+        .select(F.transform("js", lambda s: s["s"]).alias("__s"))
+    )
+    n_row = e.count()
+    centered = e.crossJoin(F.broadcast(sums)).select(
+        F.col(key),
+        F.zip_with(
+            "__k", "__s", lambda k, s: F.lit(n_row) * k - s
+        ).alias("__c"),
+    )
+    denom = float(n_row) * float(n_row) * float(n_row) * 1e12
+    prods = (
+        centered.select("__c", F.posexplode("__c").alias("i", "ci"))
+        .select(
+            "i",
+            F.posexplode(
+                F.transform(
+                    "__c",
+                    lambda x: F.col("ci").cast("decimal(19,0)")
+                    * x.cast("decimal(19,0)"),
+                )
+            ).alias("j", "p"),
+        )
+        .groupBy("i", "j")
+        .agg((F.sum("p").cast("double") / F.lit(denom)).alias("cov"))
+    )
+    return prods
+
+
+def pca_top_component(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    iters: int = 20,
+) -> DataFrame:
+    """Dominant principal direction by power iteration over the
+    d×d covariance — the dimensionality-reduction workhorse for
+    embedding pipelines (whitening checks, 1-D curriculum ordering,
+    drift tracking along the top component).
+
+    The covariance collapses to d² = 4,096 rows
+    (:func:`embedding_covariance` — decimal-exact, corpus never
+    re-shuffled), which is a BOUNDED driver finish (same class as the
+    k-means centroid collect): the power iteration runs driver-side on
+    the tiny matrix, deterministically (fixed start 1/√d, fixed
+    iteration count, sign pinned by the first nonzero coordinate). The
+    resulting direction broadcasts back as a literal and the projection
+    is one map-side zip_with dot product per row.
+
+    Output: (key, pc1) — each vector's scalar projection onto the
+    dominant component, rounded 6dp. Not SQL-oracle-checkable (the
+    eigensolve is iterative); pytest covers the eigen-law Gv ≈ λv and
+    projection determinism, and the covariance feeding it IS
+    oracle-checked (q_embed_cov_profile).
+    """
+    import math
+
+    cov_rows = embedding_covariance(df, key, vec).collect()
+    d = max(r["i"] for r in cov_rows) + 1
+    g = [[0.0] * d for _ in range(d)]
+    for r in cov_rows:
+        g[r["i"]][r["j"]] = r["cov"]
+    v = [1.0 / math.sqrt(d)] * d
+    for _ in range(iters):
+        w = [sum(g[i][j] * v[j] for j in range(d)) for i in range(d)]
+        nrm = math.sqrt(sum(x * x for x in w)) or 1.0
+        v = [x / nrm for x in w]
+    # pin the sign so the direction is unique
+    lead = next((x for x in v if abs(x) > 1e-12), 1.0)
+    if lead < 0:
+        v = [-x for x in v]
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    e = df.select(
+        F.col(key),
+        F.transform(as_double_array(vec), lambda x: F.round(x, 6)).alias("__x"),
+    )
+    proj = F.aggregate(
+        F.zip_with("__x", vlit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(key, F.round(proj, 6).alias("pc1"))

@@ -176,3 +176,56 @@ def q_entropy_by_source(spark, sf_dir):
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+@register(
+    "q_embed_cov_profile",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
+        FROM embeddings),
+    n AS (SELECT COUNT(*) AS n FROM e),
+    s AS (
+        SELECT r.j, SUM(e.k[r.j]) AS s
+        FROM e, range(1, 65) r(j)
+        GROUP BY r.j),
+    c AS (
+        SELECT e.vec_id, r.j, n.n * e.k[r.j] - s.s AS c
+        FROM e, range(1, 65) r(j)
+        JOIN s ON s.j = r.j CROSS JOIN n)
+    SELECT CAST(a.j - 1 AS INTEGER) AS i,
+           CAST(b.j - 1 AS INTEGER) AS j,
+           ROUND(CAST(SUM(CAST(a.c AS DECIMAL(19,0))
+                          * CAST(b.c AS DECIMAL(19,0))) AS DOUBLE)
+                 / (CAST(MAX(n.n) AS DOUBLE) * MAX(n.n) * MAX(n.n) * 1e12),
+                 6) + 0.0 AS cov
+    FROM c a JOIN c b USING (vec_id) CROSS JOIN n
+    WHERE a.j <= b.j
+    GROUP BY a.j, b.j
+    """,
+)
+def q_embed_cov_profile(spark, sf_dir):
+    """Embedding covariance profile: the upper triangle of the d×d
+    dimension covariance (operators/similarity.embedding_covariance) —
+    the feature-correlation audit of an embedding space (anisotropy,
+    dead dimensions, redundant pairs) and the exact matrix the PCA
+    operator (pca_top_component) power-iterates. Integer-grid exact
+    (floor-quantized micro-units, division-free centering, DECIMAL
+    products; round() never touches a full-mantissa double — it
+    disagrees across engines at half-way boundaries), so the
+    4,096-entry matrix hash-matches across engines; shuffle volume is
+    d² per partition regardless of corpus size."""
+    from incubator_flink_old_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    cov = embedding_covariance(t(spark, sf_dir, "embeddings"))
+    # `+ 0.0` on BOTH sides flushes IEEE signed zero: a tiny negative
+    # covariance rounds to −0.0 in DuckDB but +0.0 through Spark's
+    # BigDecimal round, and the driver hashes their reprs differently
+    # (found at sf0.01, entry (5,9)).
+    return cov.filter(F.col("i") <= F.col("j")).select(
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
+    )

@@ -184,3 +184,50 @@ def test_split_law_cross_engine(spark, duck):
         ).fetchall()
     )
     assert sp == du and len(sp) > 0
+
+
+def test_pca_eigen_law_and_determinism(spark, sf_dir):
+    """Power iteration converges to a vector satisfying G v ≈ λ v with
+    λ = vᵀGv > 0 (dominant eigenpair of a PSD covariance), and the
+    per-row projections are deterministic under repartitioning."""
+    from incubator_flink_old_spark.operators.similarity import (
+        embedding_covariance,
+        pca_top_component,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(emb).collect()}
+    d = 64
+    import math
+
+    v = [1.0 / math.sqrt(d)] * d
+    for _ in range(20):
+        w = [sum(cov[(i, j)] * v[j] for j in range(d)) for i in range(d)]
+        nrm = math.sqrt(sum(x * x for x in w)) or 1.0
+        v = [x / nrm for x in w]
+    lam = sum(v[i] * sum(cov[(i, j)] * v[j] for j in range(d)) for i in range(d))
+    assert lam > 0
+    resid = math.sqrt(
+        sum(
+            (sum(cov[(i, j)] * v[j] for j in range(d)) - lam * v[i]) ** 2
+            for i in range(d)
+        )
+    )
+    assert resid < 0.05 * lam  # Gv ≈ λv within 5%
+    a = _rows(pca_top_component(emb))
+    b = _rows(pca_top_component(emb.repartition(7)))
+    assert a == b and len(a) > 0
+
+
+def test_embedding_covariance_is_symmetric_psd_diagonal(spark, sf_dir):
+    from incubator_flink_old_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(emb).collect()}
+    assert len(cov) == 64 * 64
+    for (i, j), v in cov.items():
+        assert cov[(j, i)] == v  # exact symmetry (decimal-exact sums)
+        if i == j:
+            assert v >= 0  # variances
