@@ -58,10 +58,27 @@ def _norm(v):
     return v
 
 
+def _assert_no_negative_zero(rows, side):
+    """Structural tripwire (round-4 finding): IEEE −0.0 in a result cell
+    hashes differently from +0.0 in the driver's canonicalizer (repr),
+    and the engines disagree on which they produce — DuckDB's ROUND
+    keeps the sign of a tiny negative, Spark's BigDecimal round yields
+    +0.0. Queries must flush signed zero (`+ 0.0` on both sides)."""
+    for row in rows:
+        for v in row:
+            if isinstance(v, float) and v == 0.0 and math.copysign(1, v) < 0:
+                raise AssertionError(
+                    f"{side} result contains IEEE -0.0 — normalize with "
+                    "`+ 0.0` on BOTH engine sides (driver hashes repr)"
+                )
+
+
 def assert_matches_oracle(spark_df, duck_con, sql, sort_cols=None):
     """Order-insensitive exact compare of a Spark DataFrame vs DuckDB SQL."""
     actual = [tuple(_norm(v) for v in row) for row in spark_df.collect()]
     expected = [tuple(_norm(v) for v in row) for row in duck_con.execute(sql).fetchall()]
+    _assert_no_negative_zero(actual, "spark")
+    _assert_no_negative_zero(expected, "duckdb")
     assert len(actual) == len(expected), (
         f"row count mismatch: spark={len(actual)} duckdb={len(expected)}"
     )
