@@ -114,6 +114,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dq_checks",
     "q_skyline",
     "q_mom_growth",
+    # Flagship wave-21 surface fronted ahead of the auto-pending order so
+    # the overflow (2 of 52 pending roll to r05) lands on simpler
+    # aggregations instead: the integer-grid covariance profile is the
+    # round's most novel cross-engine-exactness contract.
+    "q_embed_cov_profile",
     # The q_curate_full / q_dedup_minhash fixture re-checks (VERDICT r03
     # item 6, conditional on spare slots) were dropped when waves 19-21
     # filled the window with NEW coverage: both heavies were re-validated
