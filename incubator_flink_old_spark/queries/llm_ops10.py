@@ -17,32 +17,21 @@ from incubator_flink_old_spark.queries._util import sql_dsum, t
 _STREAM_SEQ = itertools.count()
 
 
-@register(
-    "q_stream_session_parity",
-    oracle=f"""
-    WITH flagged AS (
-        SELECT user_id, ts, value,
-               CASE WHEN ts - LAG(ts) OVER w > INTERVAL '5 minutes'
-                    OR LAG(ts) OVER w IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sessions AS (
-        SELECT user_id, ts, value,
-               SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING
-               ) AS session_id
-        FROM flagged
-    )
+def _stream_session_oracle() -> str:
+    from incubator_flink_old_spark.queries.windows import sessions_cte_sql
+
+    return f"""
+    {sessions_cte_sql("5 minutes")}
     SELECT MIN(ts) AS win_start,
            user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            {sql_dsum('value')} AS total_value
     FROM sessions
     GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@register("q_stream_session_parity", oracle=_stream_session_oracle())
 def q_stream_session_parity(spark, sf_dir):
     """Structured Streaming SESSION windows ⇄ batch parity (W3/W4): the
     events replayed through readStream, sessionized with Spark's
@@ -98,6 +87,7 @@ def q_stream_interval_join_parity(spark, sf_dir):
     Append mode, memory sink, hash-checked against the plain SQL
     twin."""
     from incubator_flink_old_spark.streaming import (
+        interval_join,
         read_events_stream,
         run_stream_to_memory,
         with_watermark,
@@ -116,19 +106,18 @@ def q_stream_interval_join_parity(spark, sf_dir):
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(
-            F.col("user_id").alias("r_user"),
+            "user_id",
             F.col("ts").alias("r_ts"),
             F.col("event_id").alias("purchase_id"),
         )
     )
     l = with_watermark(clicks, "l_ts", "10 minutes")
     r = with_watermark(purchases, "r_ts", "10 minutes")
-    cond = (
-        (l["user_id"] == r["r_user"])
-        & (r["r_ts"] >= l["l_ts"])
-        & (r["r_ts"] <= l["l_ts"] + F.expr("INTERVAL 10 minutes"))
+    # the interval-join law lives ONCE in streaming.interval_join (its
+    # pytest parity suite and this driver row share the same condition)
+    j = interval_join(l, r, "user_id", upper="10 minutes").select(
+        l["user_id"], "click_id", "purchase_id"
     )
-    j = l.join(r, cond, "inner").select("user_id", "click_id", "purchase_id")
     name = f"stream_ij_{next(_STREAM_SEQ)}"
     run_stream_to_memory(j, name, "append")
     return spark.table(name)

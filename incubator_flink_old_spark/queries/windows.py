@@ -73,24 +73,39 @@ def q_window_sliding(spark, sf_dir):
     )
 
 
-@register(
-    "q_session_window",
-    oracle="""
+def sessions_cte_sql(gap: str = "5 minutes") -> str:
+    """Gaps-and-islands sessionization CTE over ``events`` — THE single
+    SQL formulation of Spark's session_window semantics, shared by the
+    batch (q_session_window) and streaming-parity
+    (q_stream_session_parity) oracles so the two contracts cannot
+    drift. Ends with ``sessions (user_id, ts, value, session_id)``.
+    Both windows tie-break on event_id: with ORDER BY ts alone, rows
+    sharing (user_id, ts) could be ordered on either side of a
+    new-session flag row and land in different sessions — while
+    Spark's session_window always merges them (gap 0)."""
+    return f"""
     WITH flagged AS (
-        SELECT user_id, ts,
-               CASE WHEN ts - LAG(ts) OVER w > INTERVAL '5 minutes'
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL '{gap}'
                     OR LAG(ts) OVER w IS NULL
-                    THEN 1 ELSE 0 END AS new_session
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, value,
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING
                ) AS session_id
         FROM flagged
-    )
+    )"""
+
+
+@register(
+    "q_session_window",
+    oracle=f"""
+    {sessions_cte_sql("5 minutes")}
     SELECT MIN(ts) AS win_start,
            MAX(ts) + INTERVAL '5 minutes' AS win_end,
            user_id,

@@ -64,9 +64,16 @@ def _assert_no_negative_zero(rows, side):
     and the engines disagree on which they produce — DuckDB's ROUND
     keeps the sign of a tiny negative, Spark's BigDecimal round yields
     +0.0. Queries must flush signed zero (`+ 0.0` on both sides)."""
+    def has_negzero(v):
+        if isinstance(v, float):
+            return v == 0.0 and math.copysign(1, v) < 0
+        if isinstance(v, tuple):  # _norm preserves arrays/structs as tuples
+            return any(has_negzero(x) for x in v)
+        return False
+
     for row in rows:
         for v in row:
-            if isinstance(v, float) and v == 0.0 and math.copysign(1, v) < 0:
+            if has_negzero(v):
                 raise AssertionError(
                     f"{side} result contains IEEE -0.0 — normalize with "
                     "`+ 0.0` on BOTH engine sides (driver hashes repr)"

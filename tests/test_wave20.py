@@ -165,7 +165,7 @@ def test_stream_dedup_parity_reruns(spark, sf_dir):
     assert _rows(QUERIES["q_stream_dedup_parity"](spark, sf_dir)) == batch
 
 
-def test_split_law_cross_engine(spark, duck):
+def test_split_law_cross_engine(spark, duck, sf_dir):
     """The md5-Bernoulli split is defined ONCE (_util.split_col /
     split_case_sql); prove the Spark and DuckDB formulations assign the
     identical split to every document — the invariant the leakage and
@@ -174,7 +174,7 @@ def test_split_law_cross_engine(spark, duck):
 
     sp = {
         r["doc_id"]: r["split"]
-        for r in load_table(spark, "/root/testdata/sf0.001", "documents")
+        for r in load_table(spark, sf_dir, "documents")
         .select("doc_id", split_col("doc_id").alias("split"))
         .collect()
     }

@@ -22,7 +22,9 @@ def test_entropy_bounded_by_log_vocab(spark, sf_dir):
     out = QUERIES["q_entropy_by_source"](spark, sf_dir).collect()
     assert len(out) > 0
     for r in out:
-        assert 0.0 <= r["entropy"] <= math.log(r["vocab"]) + 1e-9
+        # 1e-6 slack: the query rounds entropy to 6dp, which can land up
+        # to 5e-7 above the exact bound for a near-uniform source
+        assert 0.0 <= r["entropy"] <= math.log(r["vocab"]) + 1e-6
 
 
 def test_bm25_scores_positive_and_tf_monotone(spark):

@@ -12,6 +12,7 @@ Usage: python tools/scale_probe_text.py [N]
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -46,8 +47,13 @@ def main() -> None:
     big = parts[0]
     for p in parts[1:]:
         big = big.unionByName(p)
-    big.write.mode("overwrite").parquet(f"{out}/documents")
-    big_docs = spark.read.parquet(f"{out}/documents")
+    # write BOTH scales through the same rewrite path so the ratio
+    # measures data volume, not codec/row-group layout differences
+    # between the fixture parquet and a fresh rewrite
+    docs.write.mode("overwrite").parquet(f"{out}/documents_1x")
+    big.write.mode("overwrite").parquet(f"{out}/documents_{n}x")
+    base_docs = spark.read.parquet(f"{out}/documents_1x")
+    big_docs = spark.read.parquet(f"{out}/documents_{n}x")
     print(f"scaled documents rows: {big_docs.count():,} (N={n})")
 
     def run(label, df):
@@ -55,16 +61,19 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         print(f"{label}: {time.perf_counter() - t0:.2f}s", flush=True)
 
-    for scale, d in (("1x", docs), (f"{n}x", big_docs)):
-        run(f"bm25_{scale}", bm25_topk(d, terms=("hash", "join", "scan")))
-        run(f"bigram_lm_{scale}", bigram_lm_scores(d))
-        run(
-            f"count_min_{scale}",
-            count_min_estimates(
-                d.select(F.explode(tokens("text")).alias("w"))
-            ),
-        )
-    spark.stop()
+    try:
+        for scale, d in (("1x", base_docs), (f"{n}x", big_docs)):
+            run(f"bm25_{scale}", bm25_topk(d, terms=("hash", "join", "scan")))
+            run(f"bigram_lm_{scale}", bigram_lm_scores(d))
+            run(
+                f"count_min_{scale}",
+                count_min_estimates(
+                    d.select(F.explode(tokens("text")).alias("w"))
+                ),
+            )
+    finally:
+        spark.stop()
+        shutil.rmtree(out, ignore_errors=True)
 
 
 if __name__ == "__main__":
