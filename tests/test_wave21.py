@@ -114,3 +114,16 @@ def test_pca_projection_spread_positive(spark, sf_dir):
     mean = sum(vals) / len(vals)
     var = sum((v - mean) ** 2 for v in vals) / len(vals)
     assert var > 0
+
+
+def test_embed_cov_profile_partition_invariant(spark, sf_dir):
+    """The integer-grid covariance is bit-identical under any input
+    partitioning (exact BIGINT/DECIMAL sums commute)."""
+    from incubator_flink_old_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = _rows(embedding_covariance(emb))
+    b = _rows(embedding_covariance(emb.repartition(13)))
+    assert a == b and len(a) == 64 * 64
