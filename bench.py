@@ -133,11 +133,21 @@ def main() -> None:
             # LESS than q_dedup_cluster — tools/prof notes in PERF.md).
             reran = t > 3.0
             if reran:
-                t2 = run_once(name)
-                eng2 = metrics.advance()
-                t = min(t, t2)
-                if eng2["executor_run_time_ms"] < eng["executor_run_time_ms"]:
-                    eng = eng2
+                # The rerun is an opportunistic refinement: if it throws
+                # (transient OOM, port hiccup), keep the first successful
+                # measurement instead of reporting the query as failed
+                # (ADVICE r04 item 1).
+                try:
+                    t2 = run_once(name)
+                    eng2 = metrics.advance()
+                except Exception as exc:
+                    metrics.advance()
+                    print(f"bench: {name} rerun failed (kept first run): {exc}",
+                          file=sys.stderr)
+                else:
+                    t = min(t, t2)
+                    if eng2["executor_run_time_ms"] < eng["executor_run_time_ms"]:
+                        eng = eng2
             timings[name] = round(t, 4)
             engine[name] = eng | {"n_runs": 2 if reran else 1}
         except Exception as exc:  # keep the bench line parseable on failure

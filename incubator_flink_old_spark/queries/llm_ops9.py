@@ -104,7 +104,12 @@ def q_rolling_range_window(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Sketch calibration: MinHash estimate vs exact jaccard
 # --------------------------------------------------------------------------
-def _est_jaccard_oracle(num_hashes: int = 8, band_size: int = 4,
+#: Signature width shared by the oracle SQL and the Spark column list of
+#: q_minhash_est_jaccard (ADVICE r04 item 2: one constant, both sides).
+_EST_NUM_HASHES = 8
+
+
+def _est_jaccard_oracle(num_hashes: int = _EST_NUM_HASHES, band_size: int = 4,
                         threshold: float = 0.3) -> str:
     mh_exprs = ",\n               ".join(
         f"list_aggregate(list_transform(tk, x -> md5('{j}|' || x)), 'min') AS mh{j}"
@@ -153,8 +158,8 @@ def _est_jaccard_oracle(num_hashes: int = 8, band_size: int = 4,
     )
     SELECT j.doc_a, j.doc_b,
            ROUND(j.jaccard, 6) AS jac_exact,
-           ({agree}) / 8.0 AS jac_est,
-           ROUND(ABS(({agree}) / 8.0 - j.jaccard), 6) AS est_err
+           ({agree}) / {num_hashes}.0 AS jac_est,
+           ROUND(ABS(({agree}) / {num_hashes}.0 - j.jaccard), 6) AS est_err
     FROM j
     JOIN sigs sa ON j.doc_a = sa.doc_id
     JOIN sigs sb ON j.doc_b = sb.doc_id
@@ -180,26 +185,27 @@ def q_minhash_est_jaccard(spark, sf_dir):
     # generation + both est-join sides): materialized eagerly — the
     # frame is |docs| × 8 md5 strings, tiny — so the 8-hash pass over
     # every distinct token runs once, not three times.
-    sigs = minhash_signature(docs).localCheckpoint(eager=True)
+    nh = _EST_NUM_HASHES
+    sigs = minhash_signature(docs, num_hashes=nh).localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(
-        docs, band_size=4, jaccard_threshold=0.3, _sigs=sigs
+        docs, num_hashes=nh, band_size=4, jaccard_threshold=0.3, _sigs=sigs
     )
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)],
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(nh)],
     )
     sb = sigs.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(8)],
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(nh)],
     )
     agree = sum(
         [
             F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-            for j in range(8)
+            for j in range(nh)
         ],
         F.lit(0),
     )
-    est = agree / F.lit(8.0)
+    est = agree / F.lit(float(nh))
     return (
         pairs.join(sa, on="doc_a")
         .join(sb, on="doc_b")
@@ -582,9 +588,19 @@ def q_rfm(spark, sf_dir):
     """RFM segmentation: per purchasing user, quartile ranks of recency
     (last purchase time), frequency and decimal-exact monetary value —
     the classic CRM cut. NTILE ties are pinned by user_id so the
-    bucketing replays identically on any engine. The windows run over
-    the |users|-sized aggregate, not the event stream (and would be
-    distributed-ranked at scale, the global_row_number pattern)."""
+    bucketing replays identically on any engine.
+
+    Scale path (VERDICT r04 item 4): each quartile rides the
+    distributed-rank pattern (``aggregates.global_row_number`` — range
+    partition + per-partition row_number + broadcast offsets) instead of
+    an empty-partitionBy NTILE window, so no |users|-sized total order
+    ever funnels through one task. NTILE(k) is then pure arithmetic on
+    the global rank: with n rows, q = n div k, r = n mod k, the first r
+    buckets hold q+1 rows — identical to the SQL-standard NTILE the
+    oracle runs. The three ranked passes join back on user_id
+    (hash-shuffle on the aggregate, distributed)."""
+    from incubator_flink_old_spark.operators.aggregates import global_row_number
+
     ev = t(spark, sf_dir, "events")
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -596,18 +612,41 @@ def q_rfm(spark, sf_dir):
             .cast("double")
             .alias("monetary"),
         )
+        # One materialization feeds all three ranked passes (and the
+        # row count) — tiny: one row per purchasing user.
+        .localCheckpoint(eager=True)
     )
-    return p.select(
-        "user_id",
-        F.ntile(4)
-        .over(Window.orderBy("last_purchase", "user_id"))
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy("frequency", "user_id"))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary", "user_id"))
-        .alias("m_quartile"),
+    n = p.count()
+    q, r = divmod(n, 4)
+
+    def ntile4(rn):
+        # SQL-standard NTILE(4): first r buckets of size q+1, rest q.
+        # Integer ceil-div keeps everything in longs (no float rounding);
+        # q == 0 (n < 4) degenerates to bucket = rn via the first branch.
+        head = F.lit(r * (q + 1))
+        ceil_head = F.floor((rn + F.lit(q)).cast("long") / F.lit(q + 1))
+        if q == 0:
+            return rn.cast("int")
+        ceil_tail = F.lit(r) + F.floor(
+            (rn - head + F.lit(q - 1)).cast("long") / F.lit(q)
+        )
+        return (
+            F.when(rn <= head, ceil_head).otherwise(ceil_tail).cast("int")
+        )
+
+    def quartile_of(order_col, alias):
+        ranked = global_row_number(
+            p, [F.col(order_col), F.col("user_id")], alias="__rn"
+        )
+        return ranked.select(
+            "user_id", ntile4(F.col("__rn")).alias(alias)
+        )
+
+    return (
+        quartile_of("last_purchase", "r_quartile")
+        .join(quartile_of("frequency", "f_quartile"), "user_id")
+        .join(quartile_of("monetary", "m_quartile"), "user_id")
+        .select("user_id", "r_quartile", "f_quartile", "m_quartile")
     )
 
 
