@@ -187,6 +187,95 @@ def ivf_topk(
     return out
 
 
+def grid_ivf(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    grid: float = 1_000_000.0,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Integer-grid IVF coarse quantizer — the cross-engine-REPLAYABLE
+    twin of ``ivf_topk``'s float k-means, built so the full Lloyd
+    iteration can be value-checked by an unrolled SQL oracle (the
+    ``q_embed_cov_profile`` integer-grid exactness recipe, extended from
+    one aggregation to a whole iterative algorithm):
+
+    - vectors are floor-quantized to a micro-unit integer grid
+      (``floor(x · grid)`` as longs — floor, never round: round on a
+      full-mantissa double disagrees across engines at half-way points);
+    - centroids are integer TRUNCATED means (``sum div count`` on longs
+      — both Spark's ``div`` and DuckDB's ``//`` truncate toward zero),
+      never float averages, so no fold-order or rounding divergence can
+      accumulate across iterations;
+    - assignment ranks by cosine over the integer vectors cast to
+      double: every dot/norm sum is a sum of integer-valued doubles
+      < 2^53, hence EXACT under any fold order, and sqrt/division are
+      correctly-rounded IEEE ops — cosines are bit-identical across
+      engines, ties broken by cell id.
+
+    Returns ``(cells, centers)``: cells = (key, cell) after the final
+    assignment, centers = (cell, cv array<long>) the assignment used.
+
+    Scale shape: identical to ``ivf_topk``'s trainer — assignment is one
+    broadcast join (n_cells rows broadcast; the corpus never shuffles),
+    centroid recompute shuffles d·n_cells partial sums per partition
+    (map-side combine over posexplode), and the final (key, cell) frame
+    is the by-cell layout the corpus is written partitioned on.
+    """
+    from pyspark.sql import Window
+
+    e = corpus.select(
+        F.col(key).alias("__c"),
+        F.transform(
+            as_double_array(vec),
+            lambda x: F.floor(x * F.lit(grid)).cast("long"),
+        ).alias("__k"),
+    )
+
+    def assign(centers: DataFrame) -> DataFrame:
+        return (
+            e.crossJoin(F.broadcast(centers))
+            .select(
+                "__c",
+                "__k",
+                "cell",
+                cosine(as_double_array("__k"), as_double_array("cv")).alias("__sim"),
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__c").orderBy(F.col("__sim").desc(), "cell")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("__c", "__k", "cell")
+        )
+
+    centers = (
+        e.orderBy("__c")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy("__c")).alias("cell"),
+            F.col("__k").alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign(centers)
+        centers = (
+            assigned.select("cell", F.posexplode("__k").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .select("cell", "pos", F.expr("s div cnt").alias("v"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select("cell", F.transform("pv", lambda st: st["v"]).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    cells = assign(centers).select(F.col("__c").alias(key), "cell")
+    return cells, centers
+
+
 def lsh_bucket(vec: Column | str, num_bits: int = 4) -> Column:
     """Sign-bit LSH bucket: bit i = (element_i > 0). Deterministic and
     SQL-portable; a production engine would use seeded random hyperplanes

@@ -214,6 +214,43 @@ def minhash_bands(
     ).select(key, "__n", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def band_candidates(
+    bands: DataFrame,
+    jaccard_threshold: float,
+    key: str = "doc_id",
+    join_hint: str | None = None,
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from a band-row frame — the
+    self-equi-join on (band, bucket) plus the size-ratio prefilter.
+
+    Size-ratio prefilter: jac(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B|, and since
+    |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), min/max ≥ t — pairs
+    failing it CANNOT pass verify, so dropping them before the distinct
+    shuffle + array intersect is result-identical and cheap (int math).
+
+    ``join_hint="merge"`` forces a sort-merge join: over a band table
+    MATERIALIZED bucketed by (band, bucket) (`q_dedup_minhash_layout`),
+    that join is zero-exchange — the 100 TB probe shape where re-running
+    near-dup search costs O(candidates), not a corpus shuffle.
+    """
+    left = bands.select(F.col(key).alias("doc_a"), F.col("__n").alias("na"), "band", "bucket")
+    right = bands.select(F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket")
+    if join_hint:
+        left = left.hint(join_hint)
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("na", "nb").cast("double") / F.greatest("na", "nb")
+                >= jaccard_threshold
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 8,
@@ -245,24 +282,7 @@ def minhash_lsh_pairs(
         df, num_hashes, band_size, text, key, _toksets=toksets, _sigs=_sigs
     )
 
-    left = bands.select(F.col(key).alias("doc_a"), F.col("__n").alias("na"), "band", "bucket")
-    right = bands.select(F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket")
-    # Size-ratio prefilter: jac(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B|, and since
-    # |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), min/max ≥ t — pairs
-    # failing it CANNOT pass verify, so dropping them before the distinct
-    # shuffle + array intersect is result-identical and cheap (int math).
-    cands = (
-        left.join(right, on=["band", "bucket"])
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (
-                F.least("na", "nb").cast("double") / F.greatest("na", "nb")
-                >= jaccard_threshold
-            )
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = band_candidates(bands, jaccard_threshold, key=key)
     return _jaccard_verify(cands, toksets, toksets, jaccard_threshold)
 
 

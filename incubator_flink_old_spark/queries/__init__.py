@@ -70,6 +70,7 @@ _QUERY_MODULES = (
     "llm_ops8",
     "llm_ops9",
     "llm_ops10",
+    "llm_ops11",
     "analytics",
     "analytics2",
     "surfaces",

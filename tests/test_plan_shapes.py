@@ -219,3 +219,45 @@ def test_pq_scoring_broadcasts_distance_tables(spark, sf_dir):
     )
     plan = _executed_plan(pq_topk(q, emb, k=3, m=8, n_centroids=4, kmeans_iters=1))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_layout_probe_candidate_join_is_zero_exchange(spark, sf_dir):
+    """The q_dedup_minhash_layout contract (VERDICT r04 item 7): over the
+    band table materialized bucketed by (band, bucket), the candidate
+    self-join is a sort-merge join fed by the bucketed scan with NO
+    Exchange — the only shuffle in the whole candidate subtree is the
+    pair distinct, which is O(candidates), not O(corpus). A broadcast
+    join would also show no exchange but proves nothing at scale, so the
+    join operator itself is asserted too."""
+    import tempfile
+
+    from incubator_flink_old_spark.operators.text import (
+        band_candidates,
+        minhash_bands,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bands = minhash_bands(docs, num_hashes=8, band_size=4)
+    spark.sql("DROP TABLE IF EXISTS t2_layout_bands_test")
+    (
+        bands.repartition(4, "band", "bucket")
+        .write.bucketBy(4, "band", "bucket")
+        .sortBy("band", "bucket")
+        .option("path", tempfile.mkdtemp(prefix="t2_layout_test_") + "/bands")
+        .mode("overwrite")
+        .saveAsTable("t2_layout_bands_test")
+    )
+    cands = band_candidates(
+        spark.table("t2_layout_bands_test"), 0.7, join_hint="merge"
+    )
+    cands.write.format("noop").mode("overwrite").save()
+    plan = _executed_plan(cands)
+    assert "SortMergeJoin" in plan
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "ReusedExchange" not in l]
+    for line in exchanges:
+        assert "band" not in line and "bucket" not in line, (
+            "candidate join shuffled on the bucket key — the bucketed "
+            "layout was not used:\n" + line
+        )
+    # exactly the one pair-distinct shuffle survives
+    assert len(exchanges) <= 1, "\n".join(exchanges)
