@@ -87,45 +87,65 @@ LOAD_ERRORS: dict[str, str] = {}
 #: after the priority block. Purely an ordering hint — every query stays
 #: registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-4 rotation (VERDICT r03 items 1, 5): the only red r03 row
-    # --- (q12 — oracle HUGEINT typing, fixed by BIGINT cast) plus the 23
-    # --- queries with no driver row in the r01∪r02∪r03 union. ANN scale
-    # --- path (PQ / IVF+PQ) fronted per VERDICT item 5.
-    "q_tpch_q12",
-    "q_sim_pq_topk",
-    "q_sim_ivfpq_topk",
-    "q_sorted_neighborhood",
-    "q_sample_weighted",
-    "q_temperature_mixture",
-    "q_distinctive_terms",
-    "q_tfidf_top_terms",
-    "q_event_transitions",
-    "q_feature_hashing",
-    "q_dataset_split",
-    "q_scd2_intervals",
-    "q_clustering_coeff",
-    "q_histogram",
-    "q_zscore_outliers",
-    "q_correlation",
-    "q_pmi_lang_source",
-    "q_kcore",
-    "q_impute_mean",
-    "q_label_propagation",
-    "q_trend_slope",
-    "q_dq_checks",
-    "q_skyline",
-    "q_mom_growth",
-    # Flagship wave-21 surface fronted ahead of the auto-pending order so
-    # the overflow (2 of 52 pending roll to r05) lands on simpler
-    # aggregations instead: the integer-grid covariance profile is the
-    # round's most novel cross-engine-exactness contract.
-    "q_embed_cov_profile",
-    # The q_curate_full / q_dedup_minhash fixture re-checks (VERDICT r03
-    # item 6, conditional on spare slots) were dropped when waves 19-21
-    # filled the window with NEW coverage: both heavies were re-validated
-    # on the CURRENT sf0.01 fixture this round via tools/driver_sim.py —
-    # the driver's own hash-compare algorithm — so the slots buy more as
-    # first driver rows for new operators than as re-confirmations.
+    # --- round-5 rotation (VERDICT r04 items 1-2). Exactly 50 slots:
+    # --- first the 6 queries with no driver row yet (the 2 r04 overflow
+    # --- rows + the 4 wave-22 additions — the auto-rotation fronts these
+    # --- regardless; listing them pins the order), then the two heavies
+    # --- last driver-checked r02 on a since-regenerated fixture
+    # --- (q_curate_full, q_dedup_minhash — r03 item 6 / r04 item 2),
+    # --- then the oldest greens (last checked r01) in registration
+    # --- order. 8 r01 greens do not fit (window exactly full); they are
+    # --- the named residue for r06: q_window_tumbling, q_window_sliding, q_session_window, q_event_dedup, q_window_rank, q_window_running_sum, q_window_lag, q_iterate_cc.
+    "q_stream_interval_join_parity",
+    "q_entropy_by_source",
+    "q_dedup_minhash_layout",
+    "q_ivf_cell_purity",
+    "q_ann_recall_ivf",
+    "q_ann_recall_lsh",
+    "q_curate_full",
+    "q_dedup_minhash",
+    "q_tpch_q3",
+    "q_tpch_q1",
+    "q_tpch_q10",
+    "q_source_range",
+    "q_map_project_arith",
+    "q_flatmap_explode",
+    "q_filter_pred",
+    "q_project",
+    "q_distinct",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_sink_global_sort",
+    "q_topk_global",
+    "q_map_pandas",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_left_outer",
+    "q_cogroup_outer",
+    "q_cross_theta",
+    "q_weblog_antijoin",
+    "q_cogroup_pandas",
+    "q_groupby_reduce_sum",
+    "q_agg_sum_min_max",
+    "q_agg_count_avg",
+    "q_agg_global",
+    "q_agg_distinct_count",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_groupreduce_topk_per_group",
+    "q_secondary_sort",
+    "q_accumulator_histogram",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_conditional",
+    "q_fn_array",
+    "q_fn_json",
 )
 
 
