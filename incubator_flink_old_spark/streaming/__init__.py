@@ -213,19 +213,45 @@ def stateful_session_stats(
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str):
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    state_partitions: int | None = 8,
+):
     """Drive a bounded streaming query to completion synchronously
     (memory sink; for tests/smoke — production sinks are files/kafka via
-    writeStream with checkpointLocation)."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return q
+    writeStream with checkpointLocation).
+
+    ``state_partitions`` sizes the stateful-operator partitioning
+    (Structured Streaming pins ``spark.sql.shuffle.partitions`` into the
+    checkpoint at query start, so this is a per-query constant anyway —
+    never inherited batch tuning). Stateful-operator cost here is
+    dominated by PER-STORE fixed work (each partition carries its own
+    state stores with delta-file commits and maintenance snapshots):
+    measured on the sf0.1 interval join, 32 partitions = 142 executor
+    CPU-s for 46 output rows, 8 partitions = 9.1 CPU-s, identical
+    results (PERF.md round-5). Size it to state volume — hundreds at
+    100 TB state, single digits for fixture-scale state. ``None`` keeps
+    the session's current width. The session conf is restored after the
+    run (start() has already captured it)."""
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return q
+    finally:
+        spark.conf.set(key, prev)
 
 
 def interval_join(
