@@ -10,6 +10,7 @@ algorithm), plus per-cell label purity over that IVF layout.
 
 from __future__ import annotations
 
+import itertools
 import tempfile
 
 from pyspark.sql import Window
@@ -424,3 +425,90 @@ def q_ann_recall_lsh(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Custom-state streaming operator ⇄ batch parity (the applyInPandasWithState
+# surface gets a driver row)
+# --------------------------------------------------------------------------
+_STREAM_SEQ = itertools.count()
+
+#: Session gap and watermark of the custom-state parity row, shared by
+#: the Spark call and every constant in the oracle below.
+_CS_GAP_S = 300
+_CS_WM_MS = 600_000
+
+_CUSTOM_STATE_ORACLE = f"""
+    WITH ev AS (
+        SELECT user_id, event_id, value,
+               CAST(epoch(ts) AS DOUBLE) AS ep
+        FROM events),
+    wm AS (SELECT (epoch_us(MAX(ts)) // 1000) - {_CS_WM_MS} AS wm_ms
+           FROM events),
+    flagged AS (
+        SELECT user_id, ep, value, event_id,
+               CASE WHEN ep - LAG(ep) OVER w > {_CS_GAP_S}.0
+                    OR LAG(ep) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+    s AS (
+        SELECT user_id, ep, value, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ep, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM flagged),
+    agg AS (
+        SELECT user_id, sid,
+               MIN(ep) AS session_start,
+               MAX(ep) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               list_reduce(list(value ORDER BY ep, event_id),
+                           (acc, x) -> acc + x) AS total_value
+        FROM s GROUP BY user_id, sid),
+    ranked AS (
+        SELECT a.*, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY sid DESC) AS rnk,
+               wm.wm_ms
+        FROM agg a CROSS JOIN wm)
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM ranked
+    WHERE rnk > 1
+       OR CAST(FLOOR(session_end * 1000) AS BIGINT) + {_CS_GAP_S * 1000}
+          < wm_ms
+    """
+
+
+@register("q_stream_custom_state_parity", oracle=_CUSTOM_STATE_ORACLE)
+def q_stream_custom_state_parity(spark, sf_dir):
+    """CUSTOM stateful streaming operator ⇄ batch parity — the
+    applyInPandasWithState surface (user-managed per-key state, the
+    extension point for operators Spark's built-ins can't express) gets
+    an oracle-checked driver row, upgrading it from pytest-only
+    coverage. streaming.stateful_session_stats replays the events as a
+    stream and emits (a) every session CLOSED by a later same-user event
+    and (b) open sessions whose event-time timeout fired — i.e. whose
+    ms-truncated last-event time + gap fell strictly below the final
+    watermark (max event ms − 10 min). The oracle replays both rules in
+    batch SQL with IDENTICALLY-STAGED arithmetic: session boundaries
+    compare the same micros/1e6 DOUBLE epochs the Arrow worker sees (not
+    exact interval arithmetic — a ±2e-7 s ulp near the gap boundary
+    would otherwise diverge), the timeout threshold floors the same
+    double product the worker's int(last*1000) truncates, and
+    total_value is a strict left fold in (epoch, event_id) order on both
+    sides (list_reduce ⇄ the worker's sequential accumulation — the
+    q_ewma precedent). Scale: state is one row per open session per
+    user, watermark-bounded."""
+    from incubator_flink_old_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_session_stats,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = stateful_session_stats(
+        ev, gap_seconds=_CS_GAP_S, watermark="10 minutes"
+    )
+    name = f"stream_cs_{next(_STREAM_SEQ)}"
+    run_stream_to_memory(out, name, "append")
+    return spark.table(name)
