@@ -214,8 +214,14 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Dat
                             "media_id": mid,
                             "frame_idx": idx,
                             "frame_ms": ms,
+                            # text-friendly frame seed (not raw idx
+                            # bytes): _fake_features' portability rule —
+                            # every step SQL-expressible — requires a
+                            # VARCHAR-safe payload suffix (md5 in SQL
+                            # engines takes strings, and NUL bytes from
+                            # to_bytes would not survive a VARCHAR).
                             "features": _fake_features(
-                                (payload or b"") + idx.to_bytes(4, "big")
+                                (payload or b"") + f"|frame{idx}".encode()
                             ),
                         }
                     )

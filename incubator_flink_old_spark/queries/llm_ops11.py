@@ -512,3 +512,49 @@ def q_stream_custom_state_parity(spark, sf_dir):
     name = f"stream_cs_{next(_STREAM_SEQ)}"
     run_stream_to_memory(out, name, "append")
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame sampling ⇄ SQL twin (W7 multimodal surface, 2nd row)
+# --------------------------------------------------------------------------
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT d.doc_id AS media_id,
+           v.i AS frame_idx,
+           CAST(v.i * 1000 AS BIGINT) AS frame_ms,
+           ROUND(('0x' || substr(
+               md5(md5(d.text || '|frame' || v.i)), 1, 2))::INT / 255.0,
+               9) AS f1
+    FROM documents d
+    CROSS JOIN (VALUES (0), (1), (2)) v(i)
+    """,
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Multimodal frame-sampling plumbing end-to-end (the 1→N media
+    explode): every payload becomes duration/every_ms frame rows
+    (frame_idx, frame_ms, per-frame features) through the Arrow-batched
+    worker — the contract a video pipeline runs per clip. The
+    deterministic fake featurizer is the md5 hex chain over
+    payload|frame<idx>, so the whole path INCLUDING the Python/Arrow
+    boundary and the per-frame seed derivation is value-checked against
+    a DuckDB twin (the q_multimodal_pipeline recipe, extended to the
+    exploded shape); a real codec plugs into the same path
+    (operators/multimodal.sample_frames). Scale: mapInPandas, map-only —
+    no shuffle; frames inherit the payload partitioning."""
+    from incubator_flink_old_spark.operators.multimodal import (
+        attach_media,
+        sample_frames,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    media = attach_media(
+        docs, F.encode("text", "UTF-8"), "video", "video/fake", "doc_id"
+    )
+    frames = sample_frames(media, every_ms=1000, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        F.round(F.element_at("features", 1), 9).alias("f1"),
+    )
