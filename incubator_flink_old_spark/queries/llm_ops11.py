@@ -253,6 +253,85 @@ def _recall_tail_sql(cand_cte: str) -> str:
     """
 
 
+def _grid_probes(queries, centers):
+    """Top-``_N_PROBE`` cells per query vector by integer-grid cosine —
+    the probe set both IVF recall rows (plain and by-cell layout) share."""
+    from incubator_flink_old_spark.operators.similarity import (
+        as_double_array,
+        cosine,
+    )
+
+    qg = queries.select(
+        "q_id",
+        F.transform(
+            as_double_array("embedding"),
+            lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long"),
+        ).alias("qk"),
+    )
+    return (
+        F.broadcast(qg)
+        .crossJoin(F.broadcast(centers))
+        .select(
+            "q_id",
+            "cell",
+            cosine(as_double_array("qk"), as_double_array("cv")).alias("__sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), "cell")
+            ),
+        )
+        .filter(F.col("rn") <= _N_PROBE)
+        .select("q_id", "cell")
+    )
+
+
+def _recall_vs_brute(cand, queries, emb):
+    """Rank candidate (q_id, vec_id) pairs by raw-double cosine, take
+    top-k, count the overlap with brute-force top-k → (q_id, hits,
+    recall). The Spark twin of ``_recall_tail_sql``."""
+    from incubator_flink_old_spark.operators.similarity import (
+        as_double_array,
+        brute_force_topk,
+        cosine,
+    )
+
+    qv = queries.select("q_id", as_double_array("embedding").alias("qv"))
+    cvec = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    approx_top = (
+        cand.select("q_id", "vec_id")
+        .join(qv, on="q_id")
+        .join(cvec, on="vec_id")
+        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("cos").desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    brute = brute_force_topk(queries, emb, k=_TOPK).select("q_id", "vec_id")
+    return (
+        brute.join(
+            approx_top.withColumn("__hit", F.lit(1)),
+            on=["q_id", "vec_id"],
+            how="left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("__hit").alias("hits"),
+            (F.count("__hit").cast("double") / F.lit(float(_TOPK))).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 def _recall_ivf_oracle() -> str:
     ctes, last_centers = _grid_ivf_ctes()
     return f"""
@@ -286,72 +365,19 @@ def q_ann_recall_ivf(spark, sf_dir):
     brute-force ranking use raw double cosine (the q_sim_topk fold-order
     precedent). The query vector itself counts as a (trivial) hit in
     both rankings, consistently on both sides. Scale: probe pruning is
-    an equi-join on cell — partition-pruned under a by-cell layout."""
-    from incubator_flink_old_spark.operators.similarity import (
-        as_double_array,
-        brute_force_topk,
-        cosine,
-        grid_ivf,
-    )
+    an equi-join on cell — partition-pruned under a by-cell layout
+    (q_ann_recall_ivf_layout driver-checks exactly that)."""
+
+    from incubator_flink_old_spark.operators.similarity import grid_ivf
 
     emb = t(spark, sf_dir, "embeddings")
     cells, centers = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    qg = queries.select(
-        "q_id",
-        F.transform(
-            as_double_array("embedding"),
-            lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long"),
-        ).alias("qk"),
-    )
-    probes = (
-        F.broadcast(qg)
-        .crossJoin(F.broadcast(centers))
-        .select(
-            "q_id",
-            "cell",
-            cosine(as_double_array("qk"), as_double_array("cv")).alias("__sim"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), "cell")
-            ),
-        )
-        .filter(F.col("rn") <= _N_PROBE)
-        .select("q_id", "cell")
-    )
+    probes = _grid_probes(queries, centers)
     cand = probes.join(cells, on="cell").select("q_id", "vec_id")
-    qv = queries.select("q_id", as_double_array("embedding").alias("qv"))
-    cvec = emb.select("vec_id", as_double_array("embedding").alias("v"))
-    ivf_top = (
-        cand.join(qv, on="q_id")
-        .join(cvec, on="vec_id")
-        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(
-                    F.col("cos").desc(), "vec_id"
-                )
-            ),
-        )
-        .filter(F.col("rn") <= _TOPK)
-        .select("q_id", "vec_id")
-    )
-    brute = brute_force_topk(queries, emb, k=_TOPK).select("q_id", "vec_id")
-    return (
-        brute.join(ivf_top.withColumn("__hit", F.lit(1)), on=["q_id", "vec_id"], how="left")
-        .groupBy("q_id")
-        .agg(
-            F.count("__hit").alias("hits"),
-            (F.count("__hit").cast("double") / F.lit(float(_TOPK))).alias(
-                "recall"
-            ),
-        )
-    )
+    return _recall_vs_brute(cand, queries, emb)
 
 
 def _recall_lsh_oracle() -> str:
@@ -558,3 +584,37 @@ def q_multimodal_frames(spark, sf_dir):
         "frame_ms",
         F.round(F.element_at("features", 1), 9).alias("f1"),
     )
+
+
+@register("q_ann_recall_ivf_layout", oracle=_recall_ivf_oracle())
+def q_ann_recall_ivf_layout(spark, sf_dir):
+    """The ANN 100 TB POSTURE as a driver row — the by-cell twin of
+    q_dedup_minhash_layout: the corpus is WRITTEN partitioned by its IVF
+    cell (`partitionBy("cell")` parquet — at scale, the one-time layout
+    build), and the probe joins the tiny (q_id, cell) probe set against
+    that layout so Spark's dynamic partition pruning turns the scan into
+    a probed-cells-only read (`PartitionFilters: [dynamicpruning...]` —
+    tests/test_plan_shapes.py asserts it on this plan). Result ≡
+    q_ann_recall_ivf (same oracle): the layout is a physical change
+    only; a billion-vector deployment re-runs queries at O(probed
+    cells), never a corpus scan."""
+    import tempfile
+
+    from incubator_flink_old_spark.operators.similarity import grid_ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    cells, centers = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
+    path = tempfile.mkdtemp(prefix="t2_ivf_layout_") + "/by_cell"
+    (
+        emb.join(cells, on="vec_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    stored = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    probes = _grid_probes(queries, centers)
+    cand = stored.join(probes, on="cell").select("q_id", "vec_id")
+    return _recall_vs_brute(cand, queries, emb)

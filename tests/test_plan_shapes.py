@@ -261,3 +261,37 @@ def test_layout_probe_candidate_join_is_zero_exchange(spark, sf_dir):
         )
     # exactly the one pair-distinct shuffle survives
     assert len(exchanges) <= 1, "\n".join(exchanges)
+
+
+def test_ivf_layout_probe_scan_is_partition_pruned(spark, sf_dir):
+    """The q_ann_recall_ivf_layout contract: over the corpus written
+    partitionBy(cell), the probe join must reach the scan as a DYNAMIC
+    PARTITION PRUNING filter — the layout read is probed-cells-only,
+    not a corpus scan."""
+    import tempfile
+
+    from incubator_flink_old_spark.operators.similarity import (
+        as_double_array,
+        grid_ivf,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import _grid_probes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells, centers = grid_ivf(emb, n_cells=8, iters=2)
+    path = tempfile.mkdtemp(prefix="t2_ivf_plan_") + "/by_cell"
+    emb.join(cells, on="vec_id").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+    stored = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cand = stored.join(_grid_probes(queries, centers), on="cell").select(
+        "q_id", "vec_id", as_double_array("embedding").alias("v")
+    )
+    cand.write.format("noop").mode("overwrite").save()
+    plan = _executed_plan(cand)
+    assert "dynamicpruning" in plan.lower(), (
+        "by-cell layout scan is not partition-pruned:\n"
+        + "\n".join(l for l in plan.splitlines() if "FileScan" in l)
+    )

@@ -123,3 +123,15 @@ def test_layout_probe_equals_plain_minhash(spark, sf_dir):
     b = QUERIES["q_dedup_minhash"](spark, sf_dir)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_ivf_layout_recall_equals_plain(spark, sf_dir):
+    """The by-cell layout is a physical change only: its recall row must
+    equal q_ann_recall_ivf's row-for-row."""
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    a = QUERIES["q_ann_recall_ivf_layout"](spark, sf_dir)
+    b = QUERIES["q_ann_recall_ivf"](spark, sf_dir)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
