@@ -276,6 +276,117 @@ def grid_ivf(
     return cells, centers
 
 
+def grid_sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two integer-grid vectors (as double
+    arrays) via the dot-product identity ||a−b||² = a·a − 2a·b + b·b.
+    Every operand is an exact integer-valued double (grid products stay
+    far below 2^53), so the result is the exact integer distance on any
+    engine under any fold order."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def grid_pq(
+    corpus: DataFrame,
+    m: int = 4,
+    n_centroids: int = 8,
+    iters: int = 1,
+    dim: int = 64,
+    grid: float = 1_000_000.0,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Integer-grid PRODUCT quantizer — the cross-engine-replayable twin
+    of ``pq_codebooks``/``pq_encode``, extending the ``grid_ivf`` recipe
+    to per-subspace k-means: vectors are floor-quantized to the integer
+    grid, split into ``m`` subvectors of dim/m, and each subspace trains
+    its own codebook (lowest-key seeds, exact-integer squared-L2
+    assignment tie-broken by centroid id, truncated-mean centroids).
+    Every arithmetic step is integer-exact on both engines, so the FULL
+    trainer + encoder replays value-level in an unrolled SQL oracle
+    (q_ann_recall_pq) — including ADC search, whose distance tables and
+    lookup sums are again exact integers.
+
+    Returns ``(codes, books)``: codes = (key, j, code) — m rows per
+    vector, the 64×-compressed representation; books = (j, cid, bv
+    array<long>) — m·n_centroids rows, always broadcast-sized.
+
+    Scale shape: training never shuffles the corpus (broadcast books,
+    map-side subvector split); encoding is a map-only rewrite; ADC scans
+    codes (m small ints per vector instead of the d-float payload) with
+    a broadcast distance table — the compressed-domain linear scan that
+    makes billion-vector rerank tiers memory-resident.
+    """
+    from pyspark.sql import Window
+
+    assert dim % m == 0
+    sub = dim // m
+    e = corpus.select(
+        F.col(key).alias("__c"),
+        F.transform(
+            as_double_array(vec),
+            lambda x: F.floor(x * F.lit(grid)).cast("long"),
+        ).alias("__k"),
+    )
+    # long-format subvectors: one row per (vector, subspace)
+    subs = e.select(
+        "__c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("__k", j * sub + 1, sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("js"),
+    ).select("__c", F.col("js.j").alias("j"), F.col("js.sv").alias("sv"))
+
+    def assign(books: DataFrame) -> DataFrame:
+        return (
+            subs.join(F.broadcast(books), on="j")
+            .select(
+                "__c",
+                "j",
+                "sv",
+                "cid",
+                grid_sqdist(as_double_array("sv"), as_double_array("bv")).alias(
+                    "__d"
+                ),
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__c", "j").orderBy("__d", "cid")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("__c", "j", "sv", F.col("cid").alias("code"))
+        )
+
+    seed_w = Window.partitionBy("j").orderBy("__c")
+    books = (
+        subs.withColumn("__rn", F.row_number().over(seed_w))
+        .filter(F.col("__rn") <= n_centroids)
+        .select("j", F.col("__rn").alias("cid"), F.col("sv").alias("bv"))
+    )
+    for _ in range(iters):
+        assigned = assign(books)
+        books = (
+            assigned.select("j", F.col("code").alias("cid"), F.posexplode("sv").alias("pos", "v"))
+            .groupBy("j", "cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .select("j", "cid", "pos", F.expr("s div cnt").alias("v"))
+            .groupBy("j", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select("j", "cid", F.transform("pv", lambda st: st["v"]).alias("bv"))
+            .localCheckpoint(eager=True)
+        )
+    codes = assign(books).select(F.col("__c").alias(key), "j", "code")
+    return codes, books
+
+
 def lsh_bucket(vec: Column | str, num_bits: int = 4) -> Column:
     """Sign-bit LSH bucket: bit i = (element_i > 0). Deterministic and
     SQL-portable; a production engine would use seeded random hyperplanes

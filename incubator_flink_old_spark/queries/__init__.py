@@ -88,14 +88,15 @@ LOAD_ERRORS: dict[str, str] = {}
 #: registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- round-5 rotation (VERDICT r04 items 1-2). Exactly 50 slots:
-    # --- first the 9 queries with no driver row yet (the 2 r04 overflow
-    # --- rows + the 7 wave-22/23 additions — the auto-rotation fronts
-    # --- these regardless; listing them pins the order), then the two
-    # --- heavies last driver-checked r02 on a since-regenerated fixture
-    # --- (q_curate_full, q_dedup_minhash — r03 item 6 / r04 item 2),
-    # --- then the oldest greens (last checked r01) in registration
-    # --- order. 11 r01 greens do not fit (window exactly full); they
-    # --- are the named residue for r06: q_fn_conditional, q_fn_array, q_fn_json, q_window_tumbling, q_window_sliding, q_session_window, q_event_dedup, q_window_rank, q_window_running_sum, q_window_lag, q_iterate_cc.
+    # --- first the 10 queries with no driver row yet (the 2 r04
+    # --- overflow rows + the 8 wave-22/23 additions — the
+    # --- auto-rotation fronts these regardless; listing them pins the
+    # --- order), then the two heavies last driver-checked r02 on a
+    # --- since-regenerated fixture (q_curate_full, q_dedup_minhash —
+    # --- r03 item 6 / r04 item 2), then the oldest greens (last checked
+    # --- r01) in registration order. 12 r01 greens do not fit
+    # --- (window exactly full); they are the named residue for r06:
+    # --- q_fn_math, q_fn_conditional, q_fn_array, q_fn_json, q_window_tumbling, q_window_sliding, q_session_window, q_event_dedup, q_window_rank, q_window_running_sum, q_window_lag, q_iterate_cc.
     "q_stream_interval_join_parity",
     "q_entropy_by_source",
     "q_dedup_minhash_layout",
@@ -105,6 +106,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_custom_state_parity",
     "q_multimodal_frames",
     "q_ann_recall_ivf_layout",
+    "q_ann_recall_pq",
     "q_curate_full",
     "q_dedup_minhash",
     "q_tpch_q3",
@@ -145,7 +147,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_accumulator_histogram",
     "q_fn_string",
     "q_fn_date",
-    "q_fn_math",
 )
 
 

@@ -618,3 +618,215 @@ def q_ann_recall_ivf_layout(spark, sf_dir):
     probes = _grid_probes(queries, centers)
     cand = stored.join(probes, on="cell").select("q_id", "vec_id")
     return _recall_vs_brute(cand, queries, emb)
+
+
+# --------------------------------------------------------------------------
+# Integer-grid PQ: SQL-unrolled per-subspace k-means + ADC search
+# --------------------------------------------------------------------------
+_PQ_M = 4
+_PQ_SUB = _DIM // _PQ_M
+_PQ_CENTROIDS = 8
+_PQ_ITERS = 1
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    """Exact integer squared-L2 via the dot identity (grid_sqdist's SQL
+    twin): every operand is an integer-valued double < 2^53."""
+    da = f"list_transform({a}, x -> CAST(x AS DOUBLE))"
+    db = f"list_transform({b}, x -> CAST(x AS DOUBLE))"
+    return (
+        f"(list_dot_product({da}, {da}) - 2 * list_dot_product({da}, {db})"
+        f" + list_dot_product({db}, {db}))"
+    )
+
+
+def _recall_pq_oracle() -> str:
+    def assign(aname: str, bname: str) -> str:
+        return f"""
+    {aname} AS (
+        SELECT vec_id, j, sv, cid AS code FROM (
+            SELECT vec_id, j, sv, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+            FROM (
+                SELECT s.vec_id, s.j, s.sv, b.cid,
+                       {_sql_sqdist('s.sv', 'b.bv')} AS d
+                FROM subs s JOIN {bname} b ON s.j = b.j) t0) t1
+        WHERE rn = 1)"""
+
+    parts = [
+        f"""
+    e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
+        FROM embeddings),
+    subs AS (
+        SELECT vec_id, r.j AS j,
+               list_slice(k, r.j * {_PQ_SUB} + 1, r.j * {_PQ_SUB} + {_PQ_SUB}) AS sv
+        FROM e, range(0, {_PQ_M}) r(j)),
+    b0 AS (
+        SELECT j, CAST(rn AS INTEGER) AS cid, sv AS bv FROM (
+            SELECT j, sv,
+                   ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+            FROM subs) t
+        WHERE rn <= {_PQ_CENTROIDS})"""
+    ]
+    prev = "b0"
+    for i in range(_PQ_ITERS):
+        parts.append(assign(f"a{i}", prev))
+        parts.append(
+            f"""
+    b{i + 1} AS (
+        SELECT j, code AS cid, r.p AS p,
+               CAST(CAST(SUM(a.sv[r.p]) AS BIGINT)
+                    // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS v
+        FROM a{i} a, range(1, {_PQ_SUB + 1}) r(p)
+        GROUP BY j, code, r.p),
+    b{i + 1}l AS (
+        SELECT j, cid, list(v ORDER BY p) AS bv
+        FROM b{i + 1} GROUP BY j, cid)"""
+        )
+        prev = f"b{i + 1}l"
+    parts.append(assign("codes", prev))
+    ctes = ",".join(parts)
+    return f"""
+    WITH {ctes},
+    qsubs AS (SELECT vec_id AS q_id, j, sv FROM subs
+              WHERE vec_id < {_N_QUERIES}),
+    dtab AS (
+        SELECT q.q_id, q.j, b.cid, {_sql_sqdist('q.sv', 'b.bv')} AS d
+        FROM qsubs q JOIN {prev} b ON q.j = b.j),
+    adist AS (
+        SELECT d.q_id, c.vec_id, SUM(d.d) AS ad
+        FROM codes c JOIN dtab d ON c.j = d.j AND c.code = d.cid
+        GROUP BY d.q_id, c.vec_id),
+    it AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY ad, vec_id) AS rn
+            FROM adist) t
+        WHERE rn <= {_TOPK}),
+    bt AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_sqdist('q.k', 'c.k')}, c.vec_id) AS rn
+            FROM e q CROSS JOIN e c WHERE q.vec_id < {_N_QUERIES}) t
+        WHERE rn <= {_TOPK})
+    SELECT b.q_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(i.vec_id) AS DOUBLE) / {_TOPK}.0 AS recall
+    FROM bt b
+    LEFT JOIN it i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+    GROUP BY b.q_id
+    """
+
+
+@register("q_ann_recall_pq", oracle=_recall_pq_oracle())
+def q_ann_recall_pq(spark, sf_dir):
+    """MEASURED PQ recall@5 — the compression-accuracy trade of
+    product-quantized search as a value: each vector is reduced to m=4
+    subspace codes (64× smaller than the float payload), queries scan
+    the compressed codes via ADC (per-subspace distance tables, lookup
+    sums), and the row reports how many of the exact top-5 survive. The
+    ENTIRE pipeline — per-subspace k-means training, encoding, distance
+    tables, ADC sums, and the exact-L2 baseline — is integer-grid exact
+    (squared L2 on floor-quantized vectors; truncated-mean centroids),
+    so the SQL oracle replays it value-level, extending the grid_ivf
+    recipe to the operators/similarity.grid_pq product quantizer. The
+    exact baseline ranks by full-dimension integer squared L2, so both
+    rankings live in the same metric. Scale: ADC is a broadcast-dtab
+    scan over m small ints per vector — the memory-resident rerank tier
+    at billion scale."""
+    from incubator_flink_old_spark.operators.similarity import (
+        as_double_array,
+        grid_pq,
+        grid_sqdist,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    codes, books = grid_pq(
+        emb, m=_PQ_M, n_centroids=_PQ_CENTROIDS, iters=_PQ_ITERS, dim=_DIM
+    )
+    eg = emb.select(
+        "vec_id",
+        F.transform(
+            as_double_array("embedding"),
+            lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long"),
+        ).alias("k"),
+    )
+    qg = eg.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("k").alias("qk")
+    )
+    qsubs = qg.select(
+        "q_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("qk", j * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("js"),
+    ).select("q_id", F.col("js.j").alias("j"), F.col("js.sv").alias("sv"))
+    dtab = qsubs.join(F.broadcast(books), on="j").select(
+        "q_id",
+        "j",
+        "cid",
+        grid_sqdist(as_double_array("sv"), as_double_array("bv")).alias("d"),
+    )
+    adist = (
+        codes.join(
+            F.broadcast(dtab),
+            on=[codes["j"] == dtab["j"], codes["code"] == dtab["cid"]],
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("ad"))
+    )
+    approx_top = (
+        adist.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("ad", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    exact_top = (
+        F.broadcast(qg)
+        .crossJoin(eg)
+        .select(
+            "q_id",
+            "vec_id",
+            grid_sqdist(as_double_array("qk"), as_double_array("k")).alias("d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("d", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    return (
+        exact_top.join(
+            approx_top.withColumn("__hit", F.lit(1)),
+            on=["q_id", "vec_id"],
+            how="left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("__hit").alias("hits"),
+            (F.count("__hit").cast("double") / F.lit(float(_TOPK))).alias(
+                "recall"
+            ),
+        )
+    )

@@ -135,3 +135,86 @@ def test_ivf_layout_recall_equals_plain(spark, sf_dir):
     b = QUERIES["q_ann_recall_ivf"](spark, sf_dir)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_grid_pq_bounds_and_codes(spark, sf_dir):
+    """Structural PQ laws: every vector gets exactly m codes; codes lie
+    in [1, n_centroids]; recall row has hits ∈ [0, 5] (self-retrieval is
+    NOT guaranteed under quantization error, unlike cell probing)."""
+    from incubator_flink_old_spark.operators.similarity import grid_pq
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+
+    emb = _emb(spark, sf_dir)
+    codes, books = grid_pq(emb, m=4, n_centroids=8, iters=1, dim=64)
+    n = emb.count()
+    assert codes.count() == 4 * n
+    bad = codes.filter((F.col("code") < 1) | (F.col("code") > 8)).count()
+    assert bad == 0
+    load_all_queries()
+    rows = QUERIES["q_ann_recall_pq"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["hits"] <= 5
+        assert r["recall"] == r["hits"] / 5.0
+
+
+def test_grid_pq_saturated_codebook_is_exact(spark, sf_dir):
+    """Law: with n_centroids ≥ corpus size every vector becomes its own
+    centroid, ADC distances equal exact distances, and PQ top-k must
+    equal the exact ranking — the compression → exactness limit."""
+    from incubator_flink_old_spark.operators.similarity import (
+        as_double_array,
+        grid_pq,
+        grid_sqdist,
+    )
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 40)
+    n = emb.count()
+    codes, books = grid_pq(emb, m=4, n_centroids=n, iters=1, dim=64)
+    eg = emb.select(
+        "vec_id",
+        F.transform(
+            as_double_array("embedding"),
+            lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long"),
+        ).alias("k"),
+    )
+    qg = eg.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("k").alias("qk")
+    )
+    qsubs = qg.select(
+        "q_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("qk", j * 16 + 1, 16).alias("sv"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("js"),
+    ).select("q_id", F.col("js.j").alias("j"), F.col("js.sv").alias("sv"))
+    dtab = qsubs.join(F.broadcast(books), on="j").select(
+        "q_id", "j", "cid",
+        grid_sqdist(as_double_array("sv"), as_double_array("bv")).alias("d"),
+    )
+    adist = (
+        codes.join(
+            F.broadcast(dtab),
+            on=[codes["j"] == dtab["j"], codes["code"] == dtab["cid"]],
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("ad"))
+    )
+    exact = (
+        F.broadcast(qg)
+        .crossJoin(eg)
+        .select(
+            "q_id", "vec_id",
+            grid_sqdist(as_double_array("qk"), as_double_array("k")).alias("d"),
+        )
+    )
+    joined = adist.join(exact, on=["q_id", "vec_id"])
+    assert joined.filter(F.col("ad") != F.col("d")).count() == 0
