@@ -71,6 +71,7 @@ _QUERY_MODULES = (
     "llm_ops9",
     "llm_ops10",
     "llm_ops11",
+    "llm_ops12",
     "analytics",
     "analytics2",
     "surfaces",
@@ -191,15 +192,20 @@ def _driver_green() -> frozenset:
 
 
 def _apply_driver_priority() -> None:
-    """Reorder QUERIES/ORACLES in place: DRIVER_PRIORITY names first (in
-    the listed order), then any other query lacking a green driver row
-    (auto-rotation — a newly registered query can never be stranded
-    outside the 50-slot window by a stale tuple again; VERDICT r03 item
-    2), then everything else in registration order."""
+    """Reorder QUERIES/ORACLES in place: every query lacking a green
+    driver row first — DRIVER_PRIORITY's un-green names in their listed
+    order, then other un-green queries in registration order — and only
+    THEN DRIVER_PRIORITY's green re-check names, then everything else.
+    Un-green-before-re-checks is structural: a newly registered query
+    can never be stranded outside the 50-slot window by a tuple padded
+    with re-confirmations (VERDICT r03 item 2, tightened in r05 when
+    exactly that happened with a full window)."""
     green = _driver_green()
-    front = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    front = [n for n in DRIVER_PRIORITY if n in QUERIES and n not in green]
     seen = set(front)
     front += [n for n in QUERIES if n not in green and n not in seen]
+    seen.update(front)
+    front += [n for n in DRIVER_PRIORITY if n in QUERIES and n not in seen]
     front_set = set(front)
     rest = [n for n in QUERIES if n not in front_set]
     for mapping in (QUERIES, ORACLES):
