@@ -215,3 +215,82 @@ def global_row_number(
         .withColumn(alias, F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local"))
         .drop("__pid", "__local", "__offset")
     )
+
+
+def global_prefix_agg(
+    df: DataFrame,
+    order: list[Column],
+    values: dict[str, tuple[Column, str]],
+    strict: bool = False,
+) -> DataFrame:
+    """Distributed RUNNING aggregate (max / sum) over a total order — the
+    prefix-scan sibling of :func:`global_row_number`, closing the last
+    "window with no partitionBy" class in the engine (VERDICT r04): an
+    empty-partitionBy running frame funnels the whole frame through one
+    task; this keeps it range-partitioned.
+
+    ``values`` maps output alias -> (column, "max" | "sum"); every alias
+    is computed in ONE pass over the same order. ``strict=True`` makes
+    the frame end at the previous row (the skyline "strictly cheaper"
+    prefix) — the first global row is then NULL.
+
+    Shape: range-partition on the order keys; per-partition running
+    aggregate via a window keyed on the physical partition id; one
+    bounded collect of per-partition TOTALS (one row per partition —
+    the global_row_number precedent); a broadcast join adds each
+    partition's exclusive prefix of those totals, combined with the
+    local running value (null-skipping ``greatest`` for max; null-aware
+    addition for sum). Deterministic for any tie-broken ``order``
+    regardless of where range boundaries land, because max/sum are
+    reorder-safe combines of disjoint prefixes.
+    """
+    from incubator_flink_old_spark.sources import local_rows
+
+    fns = {"max": F.max, "sum": F.sum}
+    end = -1 if strict else 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    indexed = df.repartitionByRange(*order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    for alias, (col, how) in values.items():
+        indexed = indexed.withColumn(alias, fns[how](col).over(w))
+    # Materialize before the totals collect: the prefix join must see the
+    # SAME pid assignment the totals were measured on.
+    indexed = indexed.localCheckpoint(eager=True)
+    totals = {
+        r["__pid"]: r
+        for r in indexed.groupBy("__pid")
+        .agg(*[fns[how](col).alias(a) for a, (col, how) in values.items()])
+        .collect()
+    }
+    acc: dict[str, object] = {a: None for a in values}
+    prevs = []
+    for pid in sorted(totals):
+        prevs.append((pid, *[acc[a] for a in values]))
+        for a, (_, how) in values.items():
+            v = totals[pid][a]
+            if v is not None:
+                if acc[a] is None:
+                    acc[a] = v
+                else:
+                    acc[a] = max(acc[a], v) if how == "max" else acc[a] + v
+    dtypes = dict(indexed.dtypes)
+    schema = "__pid int, " + ", ".join(
+        f"__prev_{a} {dtypes[a]}" for a in values
+    )
+    prev_df = local_rows(df.sparkSession, prevs or [(0, *[None] * len(values))], schema)
+    out = indexed.join(F.broadcast(prev_df), "__pid", "left")
+    for a, (_, how) in values.items():
+        prev = F.col(f"__prev_{a}")
+        if how == "max":
+            comb = F.greatest(prev, F.col(a))  # greatest skips nulls
+        else:
+            comb = F.when(F.col(a).isNull(), prev).otherwise(
+                F.coalesce(prev, F.lit(0).cast(dtypes[a])) + F.col(a)
+            )
+        out = out.withColumn(a, comb).drop(f"__prev_{a}")
+    return out.drop("__pid")

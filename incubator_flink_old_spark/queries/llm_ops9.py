@@ -761,10 +761,12 @@ def q_ks_drift(spark, sf_dir):
     """Kolmogorov–Smirnov drift gate between the train and test splits'
     document-length distributions: max over the length grid of
     |CDF_train − CDF_test| (plus the length where it occurs) — the
-    release check that a hash split didn't skew a covariate. Cumulative
-    sums ride a window over the |distinct lengths|-sized histogram
-    (never the corpus); the CDF ratios are exact integer/integer
-    divisions, identical on any engine."""
+    release check that a hash split didn't skew a covariate. Both
+    cumulative sums ride ONE distributed prefix pass over the
+    |distinct lengths|-sized histogram (aggregates.global_prefix_agg —
+    range-partitioned, no unpartitioned window, never the corpus); the
+    CDF ratios are exact integer/integer divisions, identical on any
+    engine."""
     docs = t(spark, sf_dir, "documents")
     d = docs.select(
         "n_chars", _split_col("doc_id").alias("split")
@@ -777,14 +779,15 @@ def q_ks_drift(spark, sf_dir):
         F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("cs"),
     )
-    w = Window.orderBy("n_chars").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from incubator_flink_old_spark.operators.aggregates import (
+        global_prefix_agg,
     )
-    c = g.select(
-        "n_chars",
-        F.sum("ct").over(w).alias("cum_t"),
-        F.sum("cs").over(w).alias("cum_s"),
-    )
+
+    c = global_prefix_agg(
+        g,
+        [F.col("n_chars")],
+        {"cum_t": (F.col("ct"), "sum"), "cum_s": (F.col("cs"), "sum")},
+    ).select("n_chars", "cum_t", "cum_s")
     diff = c.crossJoin(F.broadcast(tot)).select(
         "n_chars",
         F.round(

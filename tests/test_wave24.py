@@ -152,3 +152,64 @@ def test_zorder_files_are_clustered_on_both_dims(spark):
         f"files not 2-D clustered: mean span fractions "
         f"user={mean_u:.3f} time={mean_t:.3f}"
     )
+
+
+def test_global_prefix_agg_matches_window(spark):
+    """global_prefix_agg must equal the single-partition running
+    aggregate for max (strict + inclusive) and sum, across partition
+    boundaries and with a forced multi-partition range split."""
+    from incubator_flink_old_spark.operators.aggregates import (
+        global_prefix_agg,
+    )
+    from incubator_flink_old_spark.sources import local_rows
+
+    rows = [(i, (i * 7919) % 101, (i % 13) - 6) for i in range(200)]
+    df = local_rows(spark, rows, "k long, v long, s long")
+    out = global_prefix_agg(
+        df.repartition(7),
+        [F.col("k")],
+        {
+            "run_max": (F.col("v"), "max"),
+            "run_sum": (F.col("s"), "sum"),
+        },
+    ).collect()
+    got = {r.k: (r.run_max, r.run_sum) for r in out}
+    vmax, ssum = None, 0
+    for k, v, s in sorted(rows):
+        vmax = v if vmax is None else max(vmax, v)
+        ssum += s
+        assert got[k] == (vmax, ssum), f"at k={k}"
+
+
+def test_global_prefix_agg_strict_first_row_null(spark):
+    from incubator_flink_old_spark.operators.aggregates import (
+        global_prefix_agg,
+    )
+    from incubator_flink_old_spark.sources import local_rows
+
+    rows = [(i, i * 2) for i in range(50)]
+    df = local_rows(spark, rows, "k long, v long")
+    out = global_prefix_agg(
+        df, [F.col("k")], {"m": (F.col("v"), "max")}, strict=True
+    ).collect()
+    got = {r.k: r.m for r in out}
+    assert got[0] is None
+    for k in range(1, 50):
+        assert got[k] == (k - 1) * 2
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="no testdata")
+def test_skyline_and_ks_drift_have_no_unpartitioned_window(spark):
+    """The r04 'same class' residue: no window over a corpus-growable
+    frame without a partition key may survive in these plans."""
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    for name in ("q_skyline", "q_ks_drift"):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "__pid" in line, (
+                    f"{name}: unpartitioned window survived:\n{line}"
+                )
