@@ -640,7 +640,15 @@ def _sql_sqdist(a: str, b: str) -> str:
     )
 
 
-def _recall_pq_oracle() -> str:
+def _grid_pq_ctes(include_e: bool = True) -> tuple[str, str]:
+    """CTE chain replaying operators/similarity.grid_pq exactly: ``subs``
+    (per-vector subspace slices) → seeds ``b0`` → per round an
+    assignment and truncated-mean codebooks → final ``codes``. Returns
+    (ctes, final_codebook_cte). ``include_e=False`` omits the ``e``
+    grid CTE so the chain composes with _grid_ivf_ctes' richer ``e``
+    (same vec_id/k columns plus label) in one WITH — the IVF+PQ
+    composition query rides exactly that."""
+
     def assign(aname: str, bname: str) -> str:
         return f"""
     {aname} AS (
@@ -654,13 +662,14 @@ def _recall_pq_oracle() -> str:
                 FROM subs s JOIN {bname} b ON s.j = b.j) t0) t1
         WHERE rn = 1)"""
 
-    parts = [
-        f"""
+    e_cte = """
     e AS (
         SELECT vec_id,
                list_transform(embedding::DOUBLE[],
                               x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
-        FROM embeddings),
+        FROM embeddings),"""
+    parts = [
+        f"""{e_cte if include_e else ''}
     subs AS (
         SELECT vec_id, r.j AS j,
                list_slice(k, r.j * {_PQ_SUB} + 1, r.j * {_PQ_SUB} + {_PQ_SUB}) AS sv
@@ -674,14 +683,14 @@ def _recall_pq_oracle() -> str:
     ]
     prev = "b0"
     for i in range(_PQ_ITERS):
-        parts.append(assign(f"a{i}", prev))
+        parts.append(assign(f"pa{i}", prev))
         parts.append(
             f"""
     b{i + 1} AS (
         SELECT j, code AS cid, r.p AS p,
                CAST(CAST(SUM(a.sv[r.p]) AS BIGINT)
                     // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS v
-        FROM a{i} a, range(1, {_PQ_SUB + 1}) r(p)
+        FROM pa{i} a, range(1, {_PQ_SUB + 1}) r(p)
         GROUP BY j, code, r.p),
     b{i + 1}l AS (
         SELECT j, cid, list(v ORDER BY p) AS bv
@@ -689,7 +698,11 @@ def _recall_pq_oracle() -> str:
         )
         prev = f"b{i + 1}l"
     parts.append(assign("codes", prev))
-    ctes = ",".join(parts)
+    return ",".join(parts), prev
+
+
+def _recall_pq_oracle() -> str:
+    ctes, prev = _grid_pq_ctes()
     return f"""
     WITH {ctes},
     qsubs AS (SELECT vec_id AS q_id, j, sv FROM subs

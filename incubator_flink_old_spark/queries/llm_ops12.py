@@ -114,3 +114,206 @@ def q_zorder_layout(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         dsum("value", "total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ composition: coarse-prune to probed cells, rank pruned set by ADC
+# --------------------------------------------------------------------------
+def _recall_ivfpq_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _N_PROBE,
+        _N_QUERIES,
+        _TOPK,
+        _grid_ivf_ctes,
+        _grid_pq_ctes,
+        _sql_cos,
+        _sql_sqdist,
+    )
+
+    ivf_ctes, last_centers = _grid_ivf_ctes()
+    pq_ctes, books = _grid_pq_ctes(include_e=False)
+    return f"""
+    WITH {ivf_ctes},
+    {pq_ctes},
+    qg AS (SELECT vec_id AS q_id, k AS qk FROM e WHERE vec_id < {_N_QUERIES}),
+    pr AS (
+        SELECT q_id, cell FROM (
+            SELECT q.q_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_sql_cos('q.qk', 'c.cv')} DESC, c.cell
+                   ) AS rn
+            FROM qg q CROSS JOIN {last_centers} c) t
+        WHERE rn <= {_N_PROBE}),
+    ic AS (
+        SELECT p.q_id, a.vec_id
+        FROM pr p JOIN af a ON p.cell = a.cell),
+    qsubs AS (SELECT vec_id AS q_id, j, sv FROM subs
+              WHERE vec_id < {_N_QUERIES}),
+    dtab AS (
+        SELECT q.q_id, q.j, b.cid, {_sql_sqdist('q.sv', 'b.bv')} AS d
+        FROM qsubs q JOIN {books} b ON q.j = b.j),
+    adist AS (
+        SELECT d.q_id, c.vec_id, SUM(d.d) AS ad
+        FROM codes c
+        JOIN ic ON ic.vec_id = c.vec_id
+        JOIN dtab d ON c.j = d.j AND c.code = d.cid AND d.q_id = ic.q_id
+        GROUP BY d.q_id, c.vec_id),
+    it AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY ad, vec_id) AS rn
+            FROM adist) t
+        WHERE rn <= {_TOPK}),
+    bt AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_sqdist('q.k', 'c.k')}, c.vec_id) AS rn
+            FROM e q CROSS JOIN e c WHERE q.vec_id < {_N_QUERIES}) t
+        WHERE rn <= {_TOPK})
+    SELECT b.q_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(i.vec_id) AS DOUBLE) / {_TOPK}.0 AS recall
+    FROM bt b
+    LEFT JOIN it i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+    GROUP BY b.q_id
+    """
+
+
+@register("q_ann_recall_ivfpq", oracle=_recall_ivfpq_oracle())
+def q_ann_recall_ivfpq(spark, sf_dir):
+    """MEASURED recall@5 for the COMPOSED IVF+PQ pipeline — the actual
+    billion-scale ANN configuration (coarse quantizer prunes the corpus
+    to probed cells; product-quantized ADC ranks only the pruned set
+    from compressed codes; exact full-dimension L2 is the ground truth).
+    q_sim_ivfpq_topk drove this composition under a pass/fail contract;
+    this row reports the per-query recall NUMBER the n_probe /
+    codebook-size trade is tuned by. Every stage — IVF Lloyd rounds, PQ
+    per-subspace k-means, encoding, distance tables, ADC sums, exact
+    baseline — is integer-grid exact, so the full composition replays
+    value-level in one SQL WITH-chain (the _grid_ivf_ctes and
+    _grid_pq_ctes builders composed; they share the grid CTE ``e``).
+    Scale: the cell probe is an equi-join (partition-pruned under the
+    by-cell layout, q_ann_recall_ivf_layout), ADC is a broadcast-dtab
+    lookup over m small ints per candidate — memory-resident at any
+    corpus size; nothing rescans the full corpus but the one-time
+    training/encoding pass."""
+    from incubator_flink_old_spark.operators.similarity import (
+        as_double_array,
+        grid_ivf,
+        grid_pq,
+        grid_sqdist,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _DIM,
+        _ITERS,
+        _N_CELLS,
+        _N_QUERIES,
+        _PQ_CENTROIDS,
+        _PQ_ITERS,
+        _PQ_M,
+        _PQ_SUB,
+        _TOPK,
+        _grid_probes,
+    )
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    cells, centers = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
+    codes, books = grid_pq(
+        emb, m=_PQ_M, n_centroids=_PQ_CENTROIDS, iters=_PQ_ITERS, dim=_DIM
+    )
+    eg = emb.select(
+        "vec_id",
+        F.transform(
+            as_double_array("embedding"),
+            lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long"),
+        ).alias("k"),
+    )
+    qg = eg.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("k").alias("qk")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    # coarse prune: candidates = vectors in the probed cells
+    probes = _grid_probes(queries, centers)
+    cand = probes.join(cells, on="cell").select("q_id", "vec_id")
+    # ADC over the pruned set only
+    qsubs = qg.select(
+        "q_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("qk", j * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("js"),
+    ).select("q_id", F.col("js.j").alias("j"), F.col("js.sv").alias("sv"))
+    dtab = qsubs.join(F.broadcast(books), on="j").select(
+        "q_id",
+        "j",
+        "cid",
+        grid_sqdist(as_double_array("sv"), as_double_array("bv")).alias("d"),
+    )
+    adist = (
+        codes.join(F.broadcast(cand), on="vec_id")
+        .join(
+            F.broadcast(dtab),
+            on=[
+                codes["j"] == dtab["j"],
+                codes["code"] == dtab["cid"],
+                cand["q_id"] == dtab["q_id"],
+            ],
+        )
+        .groupBy(cand["q_id"].alias("q_id"), "vec_id")
+        .agg(F.sum("d").alias("ad"))
+    )
+    approx_top = (
+        adist.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("ad", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    exact_top = (
+        F.broadcast(qg)
+        .crossJoin(eg)
+        .select(
+            "q_id",
+            "vec_id",
+            grid_sqdist(as_double_array("qk"), as_double_array("k")).alias("d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("d", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    return (
+        exact_top.join(
+            approx_top.withColumn("__hit", F.lit(1)),
+            on=["q_id", "vec_id"],
+            how="left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("__hit").alias("hits"),
+            (F.count("__hit").cast("double") / F.lit(float(_TOPK))).alias(
+                "recall"
+            ),
+        )
+    )

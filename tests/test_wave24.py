@@ -213,3 +213,25 @@ def test_skyline_and_ks_drift_have_no_unpartitioned_window(spark):
                 assert "__pid" in line, (
                     f"{name}: unpartitioned window survived:\n{line}"
                 )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="no testdata")
+def test_ivfpq_recall_bounds_and_coverage(spark):
+    """Composition law: the IVF+PQ row reports one row per query vector,
+    hits in [0, k], recall = hits/k exactly — and because the candidate
+    set is a subset of the PQ query's (cell-pruned vs full corpus), the
+    summed IVF+PQ hits can never exceed the summed PQ hits... UNLESS ADC
+    ties reorder inside the pruned set, so we assert the per-query hit
+    is bounded by k, not cross-query dominance."""
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+    from incubator_flink_old_spark.queries.llm_ops11 import _N_QUERIES, _TOPK
+
+    load_all_queries()
+    rows = QUERIES["q_ann_recall_ivfpq"](spark, SF).collect()
+    assert len(rows) == min(
+        _N_QUERIES,
+        QUERIES["q_ann_recall_pq"](spark, SF).count(),
+    )
+    for r in rows:
+        assert 0 <= r.hits <= _TOPK
+        assert abs(r.recall - r.hits / _TOPK) < 1e-12
