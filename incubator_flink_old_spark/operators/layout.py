@@ -96,3 +96,51 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def append_zordered(
+    df: DataFrame,
+    path: str,
+    dims: Sequence[tuple[Column, int, int]],
+    bits: int = 16,
+    n_files: int = 4,
+) -> None:
+    """Incremental layout maintenance, step 1: land a DELTA batch as its
+    own z-sorted run inside the same layout directory (mode=append).
+    New data never rewrites the base — the write cost is O(batch), and
+    because the delta run is itself Morton-clustered with the SAME dims
+    and grid bounds, its files carry tight per-dim min/max too, so a
+    probe over base+delta still prunes both. The trade is run count:
+    every batch adds files, so probes touch more footers until a
+    compaction (:func:`compact_zordered`) folds the runs together —
+    exactly the LSM discipline every 100 TB table layout runs on."""
+    qcols = [quantize(c, lo, hi, bits) for (c, lo, hi) in dims]
+    z = interleave_bits(qcols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def compact_zordered(
+    spark,
+    path: str,
+    out_path: str,
+    dims: Sequence[tuple[Column, int, int]],
+    bits: int = 16,
+    n_files: int = 16,
+) -> None:
+    """Incremental layout maintenance, step 2: fold all runs at ``path``
+    (base + any appended deltas) into one fresh Morton-clustered layout
+    at ``out_path``. One shuffle over the table — the periodic
+    maintenance cost that restores probe-side file counts after a
+    window of appends. Row content is untouched (pure permutation), so
+    any probe result is invariant across base / base+delta / compacted —
+    the law tests/test_wave25.py pins."""
+    write_zordered(
+        spark.read.parquet(path), out_path, dims, bits=bits, n_files=n_files
+    )

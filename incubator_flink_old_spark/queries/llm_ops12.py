@@ -317,3 +317,63 @@ def q_ann_recall_ivfpq(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental z-order maintenance: base + delta runs, probe-invariant
+# --------------------------------------------------------------------------
+@register("q_zorder_incremental", oracle=_ZORDER_ORACLE)
+def q_zorder_incremental(spark, sf_dir):
+    """Layout MAINTENANCE as a driver row — the LSM discipline that makes
+    the z-order posture operable at 100 TB: the initial 80% of events
+    (deterministic event_id hash-mod split) is written as the base
+    Morton layout; the remaining 20% lands later as an APPENDED z-sorted
+    delta run in the same directory (operators/layout.append_zordered —
+    O(batch) write, base untouched); the probe answers the same 2-D
+    rectangle over base+delta with both predicates still pushed to every
+    run's footers. Result ≡ q_zorder_layout's oracle (the plain
+    full-table filter) because the two runs partition the table exactly
+    — a probe is invariant across base / base+delta / compacted layouts
+    (the compaction law is pinned in tests/test_wave25.py). Scale: a
+    firehose appends z-sorted runs per batch and compacts on a cadence;
+    probes never wait for a full-table rewrite."""
+    from incubator_flink_old_spark.operators.layout import (
+        append_zordered,
+        write_zordered,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_type",
+        "value",
+    )
+    minu, maxu, mint, maxt = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("t_us"), F.max("t_us")
+    ).collect()[0]
+    dims = [(F.col("user_id"), minu, maxu), (F.col("t_us"), mint, maxt)]
+    base = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) < 8)
+    delta = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) >= 8)
+    path = tempfile.mkdtemp(prefix="t2_zorder_inc_") + "/events_z"
+    write_zordered(base, path, dims, bits=16, n_files=12)
+    append_zordered(delta, path, dims, bits=16, n_files=4)
+    lo_u = minu + (maxu - minu) * _U_LO // 100
+    hi_u = minu + (maxu - minu) * _U_HI // 100
+    lo_t = mint + (maxt - mint) * _T_LO // 100
+    hi_t = mint + (maxt - mint) * _T_HI // 100
+    stored = spark.read.parquet(path)
+    return (
+        stored.filter(
+            (F.col("user_id") >= F.lit(lo_u))
+            & (F.col("user_id") <= F.lit(hi_u))
+            & (F.col("t_us") >= F.lit(lo_t))
+            & (F.col("t_us") <= F.lit(hi_t))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+    )
