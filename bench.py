@@ -131,7 +131,11 @@ def main() -> None:
             # absorb the whole family's JIT cost (r03's q_cluster_rep read
             # 472 CPU-s while an isolated steady-state run measures ~30 —
             # LESS than q_dedup_cluster — tools/prof notes in PERF.md).
-            reran = t > 3.0
+            # CPU trigger too: a 32-thread box hides a cold 30-CPU-s JIT
+            # behind a sub-3s wall (q_bloom_decontaminate read 37 CPU-s
+            # in a round-5 run vs 7 steady-state), so wall alone misses
+            # exactly the attribution noise the rerun exists to remove.
+            reran = t > 3.0 or eng["executor_run_time_ms"] > 8000
             if reran:
                 # The rerun is an opportunistic refinement: if it throws
                 # (transient OOM, port hiccup), keep the first successful
