@@ -48,19 +48,34 @@ def main() -> None:
         "event_type",
         "value",
     )
+    # SCALE=16 replicates the table (shifted event_ids, same user/time
+    # density) to show the pruning RATIO improves as row-group count
+    # grows — the property the 100 TB claim rests on: finer curve
+    # regions converge the bytes-read fraction to the probe's area
+    # fraction, while a natural layout stays at ~1.0. N_FILES sizes the
+    # layout (more files = finer pruning granularity).
+    scale = int(os.environ.get("SCALE", "1"))
+    n_files = int(os.environ.get("N_FILES", "16"))
+    if scale > 1:
+        n = ev.count()
+        ev = (
+            ev.crossJoin(spark.range(scale).withColumnRenamed("id", "__r"))
+            .withColumn("event_id", F.col("event_id") + F.col("__r") * n)
+            .drop("__r")
+        )
     minu, maxu, mint, maxt = ev.agg(
         F.min("user_id"), F.max("user_id"), F.min("t_us"), F.max("t_us")
     ).collect()[0]
     base = tempfile.mkdtemp(prefix="t2_zprobe_")
     nat_path, z_path = base + "/natural", base + "/zorder"
     # natural layout: same file count, arrival order
-    ev.repartition(16).write.mode("overwrite").parquet(nat_path)
+    ev.repartition(n_files).write.mode("overwrite").parquet(nat_path)
     write_zordered(
         ev,
         z_path,
         dims=[(F.col("user_id"), minu, maxu), (F.col("t_us"), mint, maxt)],
         bits=16,
-        n_files=16,
+        n_files=n_files,
     )
     lo_u = minu + (maxu - minu) * _U_LO // 100
     hi_u = minu + (maxu - minu) * _U_HI // 100
@@ -104,7 +119,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "sf_dir": sf_dir,
+                "sf_dir": sf_dir, "scale": scale, "n_files": n_files,
                 "natural": results["natural"],
                 "zorder": results["zorder"],
                 "bytes_ratio": round(z_b / nat_b, 4) if nat_b else None,
