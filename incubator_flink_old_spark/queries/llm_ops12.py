@@ -69,6 +69,8 @@ def _zorder_write_and_probe(spark, sf_dir):
     minu, maxu, mint, maxt = ev.agg(
         F.min("user_id"), F.max("user_id"), F.min("t_us"), F.max("t_us")
     ).collect()[0]
+    if minu is None:  # empty table: degrade, never throw (house law)
+        minu = maxu = mint = maxt = 0
     path = tempfile.mkdtemp(prefix="t2_zorder_") + "/events_z"
     write_zordered(
         ev,
@@ -352,6 +354,8 @@ def q_zorder_incremental(spark, sf_dir):
     minu, maxu, mint, maxt = ev.agg(
         F.min("user_id"), F.max("user_id"), F.min("t_us"), F.max("t_us")
     ).collect()[0]
+    if minu is None:  # empty table: degrade, never throw (house law)
+        minu = maxu = mint = maxt = 0
     dims = [(F.col("user_id"), minu, maxu), (F.col("t_us"), mint, maxt)]
     base = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) < 8)
     delta = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) >= 8)

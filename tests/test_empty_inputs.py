@@ -180,3 +180,39 @@ def test_null_name_rows_drop_from_linkage(spark):
     )
     pairs = fuzzy_pairs(df, max_dist=4).collect()
     assert {(r["name_a"], r["name_b"]) for r in pairs} == {("acme x", "acme y")}
+
+
+def test_empty_zorder_layout_ops(spark):
+    """write/append/compact on an empty frame must produce an empty,
+    readable layout (degenerate 0-span grid), and the probe shape must
+    survive it."""
+    import glob
+    import tempfile
+
+    from incubator_flink_old_spark.operators.layout import (
+        append_zordered,
+        compact_zordered,
+        write_zordered,
+    )
+
+    e = _empty(spark, "event_id long, user_id long, t_us long, value double")
+    dims = [(F.col("user_id"), 0, 0), (F.col("t_us"), 0, 0)]
+    d = tempfile.mkdtemp(prefix="t2_empty_z_") + "/layout"
+    write_zordered(e, d, dims, n_files=2)
+    assert spark.read.parquet(d).count() == 0
+    append_zordered(e, d, dims, n_files=2)
+    assert spark.read.parquet(d).count() == 0
+    c = tempfile.mkdtemp(prefix="t2_empty_z_") + "/compacted"
+    compact_zordered(spark, d, c, dims, n_files=2)
+    assert spark.read.parquet(c).count() == 0
+
+
+def test_empty_global_prefix_agg(spark):
+    from incubator_flink_old_spark.operators.aggregates import (
+        global_prefix_agg,
+    )
+
+    e = _empty(spark, "k long, v long")
+    out = global_prefix_agg(e, [F.col("k")], {"m": (F.col("v"), "max")})
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v", "m"}
