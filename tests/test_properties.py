@@ -401,3 +401,113 @@ def test_bloom_never_rejects_inserted_values(spark, present, probes):
         ).collect()
     }
     assert present <= hits
+
+
+# --------------------------------------------------------------------------
+# Layout primitives (wave 24): grid + Morton laws
+# --------------------------------------------------------------------------
+@given(
+    lo=st.integers(min_value=-(10**12), max_value=10**12),
+    span=st.integers(min_value=0, max_value=10**13),
+    fracs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=2,
+        max_size=12,
+    ),
+    bits=st.sampled_from([4, 8, 16]),
+)
+@settings(max_examples=8, deadline=None)
+def test_quantize_laws(spark, lo, span, fracs, bits):
+    """Monotone, on-grid, and — the stretch law — the top of the span
+    always lands in the UPPER HALF of the grid (so no dimension's bits
+    can be starved out of the curve by a narrow span; the degenerate
+    1-D-sort failure mode caught at sf0.001)."""
+    from incubator_flink_old_spark.operators.layout import quantize
+
+    hi = lo + span
+    xs = sorted({lo + int(f * span) for f in fracs} | {lo, hi})
+    df = from_elements(spark, [(x,) for x in xs], "x long")
+    rows = (
+        df.select("x", quantize(F.col("x"), lo, hi, bits).alias("q"))
+        .orderBy("x")
+        .collect()
+    )
+    qs = [r.q for r in rows]
+    assert qs == sorted(qs)
+    assert all(0 <= q < (1 << bits) for q in qs)
+    assert qs[0] == 0
+    if span >= 1:
+        assert qs[-1] >= (1 << bits) // 2 - 1, (
+            f"stretch law violated: top of span maps to {qs[-1]}"
+        )
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=2,
+        max_size=16,
+        unique=True,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_interleave_laws(spark, pairs):
+    """Injective on the grid, and strictly monotone in each coordinate
+    with the other fixed — the property per-dimension min/max pruning
+    of a z-range file needs."""
+    from incubator_flink_old_spark.operators.layout import interleave_bits
+
+    df = from_elements(spark, pairs, "a long, b long")
+    rows = df.select(
+        "a", "b", interleave_bits([F.col("a"), F.col("b")], bits=8).alias("z")
+    ).collect()
+    zmap = {(r.a, r.b): r.z for r in rows}
+    assert len(set(zmap.values())) == len(zmap)
+    by_b: dict[int, list] = {}
+    by_a: dict[int, list] = {}
+    for (a, b), z in zmap.items():
+        by_b.setdefault(b, []).append((a, z))
+        by_a.setdefault(a, []).append((b, z))
+    for grp in list(by_b.values()) + list(by_a.values()):
+        grp.sort()
+        zs = [z for _, z in grp]
+        assert zs == sorted(zs)
+
+
+@given(
+    rows=st.dictionaries(
+        st.integers(min_value=-1000, max_value=1000),
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(max_examples=6, deadline=None)
+def test_global_prefix_agg_law(spark, rows):
+    """Equals the sequential prefix over the sorted (tie-broken) order,
+    for max and sum simultaneously, on any partitioning."""
+    from incubator_flink_old_spark.operators.aggregates import (
+        global_prefix_agg,
+    )
+
+    data = [(k, v, s) for k, (v, s) in rows.items()]
+    df = from_elements(spark, data, "k long, v long, s long").repartition(5)
+    got = {
+        r.k: (r.m, r.t)
+        for r in global_prefix_agg(
+            df,
+            [F.col("k")],
+            {"m": (F.col("v"), "max"), "t": (F.col("s"), "sum")},
+        ).collect()
+    }
+    vmax, ssum = None, 0
+    for k, v, s in sorted(data):
+        vmax = v if vmax is None else max(vmax, v)
+        ssum += s
+        assert got[k] == (vmax, ssum)
