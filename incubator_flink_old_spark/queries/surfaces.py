@@ -268,3 +268,115 @@ def q_global_rank(spark, sf_dir):
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     out = global_row_number(ev, [F.col("ts"), F.col("event_id")], alias="rn")
     return out.select("event_id", F.col("rn").cast("bigint").alias("rn"))
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    WITH gen AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE CAST(o_totalprice AS DECIMAL(27,6)) END AS tp,
+               CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS is_v1
+        FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(is_v1) AS BIGINT) AS n_v1,
+           CAST(SUM(tp) AS DOUBLE) AS total_v2_price
+    FROM gen
+    GROUP BY o_orderpriority
+    """,
+)
+def q_schema_evolution(spark, sf_dir):
+    """S4/S7 at 100 TB, driver-checked: one logical table from parquet
+    files written at DIFFERENT schema versions — a v1 generation
+    (o_orderkey % 3 = 0) written WITHOUT the o_totalprice column, and a
+    v2 generation with it — read back as one frame via
+    sources.load_table_evolved (mergeSchema): v1 rows surface the added
+    column as NULL, exactly the posture years of accumulated data
+    demand when rewriting old files is off the table. The aggregate
+    counts v1 rows per priority and decimal-sums the price over v2 rows
+    only (SUM skips NULLs on both engines), so a dropped row, a
+    mis-merged column, or a default other than NULL hash-mismatches.
+    Scale: the merged read is two file listings; Spark unions field
+    sets at planning time — no data rewrite, no shuffle."""
+    from incubator_flink_old_spark.sources import load_table_evolved
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="t2_evo_")
+    v1 = os.path.join(base, "gen=v1")
+    v2 = os.path.join(base, "gen=v2")
+    orders.filter(F.col("o_orderkey") % 3 == 0).drop(
+        "o_totalprice"
+    ).write.mode("overwrite").parquet(v1)
+    orders.filter(F.col("o_orderkey") % 3 != 0).write.mode(
+        "overwrite"
+    ).parquet(v2)
+    merged = load_table_evolved(spark, [v1, v2])
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("o_totalprice").isNull(), 1).otherwise(0).cast("long")
+        ).alias("n_v1"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_v2_price"),
+    )
+
+
+@register(
+    "q_csv_quarantine",
+    oracle="""
+    WITH cls AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 17 = 3 THEN 1 ELSE 0 END AS bad
+        FROM customer)
+    SELECT CAST(SUM(1 - bad) AS BIGINT) AS n_clean,
+           CAST(SUM(bad) AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN bad = 0 THEN c_custkey END) AS BIGINT)
+               AS clean_key_sum
+    FROM cls
+    """,
+)
+def q_csv_quarantine(spark, sf_dir):
+    """S2's lenient-parse flag driver-checked: a CSV landing zone where
+    a deterministic subset of lines (c_custkey % 17 = 3) is written
+    MALFORMED (wrong arity / unparseable number), read back with
+    sources.read_csv_robust (PERMISSIVE + quarantine column): bad lines
+    must land whole in the corrupt column with typed fields NULL, clean
+    lines must parse exactly. The oracle derives the same clean /
+    quarantined partition from the parquet truth by the corruption law,
+    so a swallowed bad row, a mis-parsed good row, or a fail-the-job
+    parser hash-mismatches. At scale one bad record must never kill a
+    million-task ingest — this row pins the quarantine contract."""
+    from incubator_flink_old_spark.sources import read_csv_robust
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = os.path.join(tempfile.mkdtemp(prefix="t2_quar_"), "landing_csv")
+    lines = cust.select(
+        F.when(
+            F.col("c_custkey") % 17 == 3,
+            F.concat(F.lit("corrupt;"), F.col("c_name"), F.lit(";x;y")),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("c_custkey"), F.length("c_name"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    df = read_csv_robust(spark, out, "c_custkey long, name_len long")
+    res = df.agg(
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)
+        ).alias("n_clean"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), 0).otherwise(1)
+        ).alias("n_quarantined"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("c_custkey"))
+        ).alias("clean_key_sum"),
+    )
+    df.unpersist()
+    return res
