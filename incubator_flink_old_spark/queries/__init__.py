@@ -72,6 +72,7 @@ _QUERY_MODULES = (
     "llm_ops10",
     "llm_ops11",
     "llm_ops12",
+    "llm_ops13",
     "analytics",
     "analytics2",
     "surfaces",

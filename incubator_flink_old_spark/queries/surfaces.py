@@ -380,3 +380,114 @@ def q_csv_quarantine(spark, sf_dir):
     )
     df.unpersist()
     return res
+
+
+@register(
+    "q_rich_open_close",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 250 // 10000)
+                AS BIGINT) AS discount_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_rich_open_close(spark, sf_dir):
+    """P6 driver-checked: the rich-function lifecycle (open/close +
+    withParameters) carrying REAL work — the discount rate arrives only
+    through the open(config) hook (the reference's
+    withParameters(Configuration) → open(Configuration) contract), so
+    if open() were skipped or the config not shipped, map() would have
+    no rate and the job would fail rather than silently fall back. The
+    per-row math is integer (price→cents half-even-rounds the same on
+    both engines since price*100 is within 1e-9 of an integer, then
+    floor-divided basis points), so the oracle replays it exactly.
+    Scale: mapInPandas map-only — no shuffle; the aggregate after it is
+    digest-sized."""
+    import pandas as pd
+
+    from incubator_flink_old_spark.functions import (
+        RichMapFunction,
+        apply_rich,
+    )
+
+    class DiscountFn(RichMapFunction):
+        def open(self, config):
+            self.rate_bp = config["rate_bp"]
+
+        def map(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cents = (batch["o_totalprice"] * 100).round().astype("int64")
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": batch["o_orderpriority"],
+                    "discount_cents": cents * self.rate_bp // 10000,
+                }
+            )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    mapped = apply_rich(
+        orders,
+        DiscountFn(),
+        "o_orderpriority string, discount_cents long",
+        config={"rate_bp": 250},
+    )
+    return mapped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("discount_cents").alias("discount_cents"),
+    )
+
+
+@register(
+    "q_distributed_cache",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    WHERE c_nationkey % 5 = 0
+    GROUP BY c_nationkey
+    """,
+)
+def q_distributed_cache(spark, sf_dir):
+    """F3 driver-checked: the DistributedCache contract — a side FILE
+    (not a broadcast variable) shipped to every worker and opened
+    worker-side by path (SparkFiles.get), the reference's
+    registerCachedFile → getDistributedCache().getFile flow. The file
+    carries the allowed nation keys (every 5th); the Arrow worker reads
+    it on first batch and filters customers against it, so a file that
+    failed to ship, shipped stale, or was read driver-side-only would
+    change the aggregate and hash-mismatch. The oracle replays the
+    membership law (n_nationkey % 5 = 0) relationally. Scale: the cache
+    file is bytes-per-worker, the filter map-side; only the digest
+    aggregate shuffles."""
+    from pyspark import SparkFiles
+
+    from incubator_flink_old_spark.functions import distributed_cache_file
+
+    nat = t(spark, sf_dir, "nation").select("n_nationkey")
+    keys = sorted(
+        r[0] for r in nat.collect() if r[0] % 5 == 0
+    )  # 25-row dim: bounded driver finish
+    base = tempfile.mkdtemp(prefix="t2_dcache_")
+    fname = "allowed_nations.txt"
+    with open(os.path.join(base, fname), "w") as f:
+        f.write("\n".join(str(k) for k in keys))
+    distributed_cache_file(spark, os.path.join(base, fname))
+
+    def _filter(batches):
+        import pandas as pd  # noqa: F401 - worker-side import parity
+
+        with open(SparkFiles.get(fname)) as fh:
+            allowed = {int(line) for line in fh.read().split() if line}
+        for pdf in batches:
+            yield pdf[pdf["c_nationkey"].isin(allowed)]
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    kept = cust.mapInPandas(_filter, schema="c_custkey long, c_nationkey long")
+    return kept.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("c_custkey").alias("key_sum"),
+    )

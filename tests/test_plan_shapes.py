@@ -295,3 +295,20 @@ def test_ivf_layout_probe_scan_is_partition_pruned(spark, sf_dir):
         "by-cell layout scan is not partition-pruned:\n"
         + "\n".join(l for l in plan.splitlines() if "FileScan" in l)
     )
+
+
+def test_bucketed_join_layout_is_exchange_free(spark, sf_dir):
+    """q_bucketed_join_layout's probe join must zip co-located buckets:
+    no Exchange on either join input (the layout's whole point), both
+    scans bucketed, and the only exchange in the plan the digest-sized
+    final aggregation."""
+    from incubator_flink_old_spark.queries.llm_ops13 import (
+        _bucketed_join_probe,
+    )
+
+    df = _bucketed_join_probe(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:2000]
+    assert plan.count("Bucketed: true") == 2, plan[:2000]
+    assert "SortMergeJoin" in plan, plan[:2000]
