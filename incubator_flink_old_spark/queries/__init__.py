@@ -73,6 +73,7 @@ _QUERY_MODULES = (
     "llm_ops11",
     "llm_ops12",
     "llm_ops13",
+    "llm_ops14",
     "analytics",
     "analytics2",
     "surfaces",
@@ -96,8 +97,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- order), then the two heavies last driver-checked r02 on a
     # --- since-regenerated fixture (q_curate_full, q_dedup_minhash —
     # --- r03 item 6 / r04 item 2), then the oldest greens (last checked
-    # --- r01) in registration order. 12 r01 greens do not fit
-    # --- (window exactly full); they are the named residue for r06:
+    # --- r01) in registration order. With wave 27's three new un-green
+    # --- queries auto-fronted, the last 3 listed re-checks
+    # --- (q_accumulator_histogram, q_fn_string, q_fn_date) fall out of
+    # --- the 50 window; r06 residue is therefore those 3 plus the 12
+    # --- r01 greens that never fit:
     # --- q_fn_math, q_fn_conditional, q_fn_array, q_fn_json, q_window_tumbling, q_window_sliding, q_session_window, q_event_dedup, q_window_rank, q_window_running_sum, q_window_lag, q_iterate_cc.
     "q_stream_interval_join_parity",
     "q_entropy_by_source",
