@@ -12,9 +12,11 @@ hash.
 
 from __future__ import annotations
 
+import datetime
 import itertools
 import os
 import tempfile
+import time
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -173,6 +175,160 @@ def q_stream_eos_sink_parity(spark, sf_dir):
     return read_committed(spark, out).select(
         "event_id", "user_id", "event_type", "value", "ep"
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark late-data DROP ⇄ batch replica of the drop rule (W4 made
+# driver-visible: the watermark actually discards rows here)
+# --------------------------------------------------------------------------
+_LATE_ORACLE = """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    b AS (
+        SELECT event_id, ts, value,
+               time_bucket(INTERVAL '1 hour', ts) AS ws,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we
+        FROM events)
+    SELECT ws AS win_start, we AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM b CROSS JOIN mx
+    WHERE we <= m - INTERVAL '10 minutes'
+      AND NOT (event_id % 10 = 7 AND we <= m - INTERVAL '15 minutes')
+    GROUP BY 1, 2
+    """
+
+
+@register("q_stream_late_drop_parity", oracle=_LATE_ORACLE)
+def q_stream_late_drop_parity(spark, sf_dir):
+    """Watermark LATE-DATA DROP ⇄ batch parity — W4's defining behavior
+    (discarding data that arrives beyond the lateness bound) finally
+    produces different-from-batch output, and the oracle replays the
+    drop rule exactly. Arrival order is engineered as THREE batches:
+    batch 0 is the non-late rows in finalizable windows (window end ≤
+    max_ts − 10 min), batch 1 is the non-late rows in the trailing
+    windows (end > max_ts − 10 min — the freshest rows, including
+    max_ts itself; in append mode those windows never finalize, so the
+    split cannot change the emitted output), batch 2 is an EMPTY file
+    (a pure batch boundary), and batch 3 replays ONLY the late set
+    (event_id%10==7 with window end ≤ max_ts − 15 min). The empty
+    batch matters: Spark commits the data-derived watermark at a
+    batch boundary but applies it to input filtering one-to-two
+    batches later (measured on 4.1: a late row one batch after the
+    rows that advance the watermark is admitted and even emitted;
+    with a boundary in between, numRowsDroppedByWatermark counts
+    it) — so by batch 3 the filter watermark is exactly
+    max_ts − 10 min under either lag, and every late row targets an
+    already-finalized window and is dropped by the watermark, never
+    by luck. The 5-minute margin between the
+    late bound and the watermark keeps every decision strictly inside
+    the rule (window ends are hour-aligned, the boundary is
+    max_ts − 10 min). Append mode emits exactly the finalized windows
+    (end ≤ final watermark) — the oracle's emission filter. File
+    mtimes are forced apart so the file-replay source orders the
+    batches deterministically.
+    Scale: this is the state-reclamation contract that bounds window
+    state at 100 TB/day — state for a window lives only until the
+    watermark passes its end."""
+    from incubator_flink_old_spark.queries._util import dsum
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+        .withColumn(
+            "we", F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")
+        )
+    )
+    m = ev.agg(F.max("ts")).collect()[0][0]
+    late_bound = m - datetime.timedelta(minutes=15)
+    wm_bound = m - datetime.timedelta(minutes=10)
+    late = (F.col("event_id") % 10 == 7) & (F.col("we") <= F.lit(late_bound))
+    trailing = F.col("we") > F.lit(wm_bound)
+    src = tempfile.mkdtemp(prefix="t2_late_src_")
+    cols = ["event_id", "ts", "value"]
+    batches = (
+        ev.filter(~late & ~trailing),
+        ev.filter(~late & trailing),
+        ev.limit(0),  # empty batch: lets the committed watermark apply
+        ev.filter(late),
+    )
+    for i, b in enumerate(batches):
+        before = {f for f in os.listdir(src)} if i else set()
+        b.select(cols).repartition(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+        if i:
+            bump = time.time() + 1800 * i
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in before:
+                    os.utime(os.path.join(src, f), (bump, bump))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_late_{next(_SEQ)}"
+    run_stream_to_memory(agg, name, "append", state_partitions=4)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment join (dimension broadcast under a stream)
+# --------------------------------------------------------------------------
+_ENRICH_ORACLE = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """
+
+
+@register("q_stream_enrich_parity", oracle=_ENRICH_ORACLE)
+def q_stream_enrich_parity(spark, sf_dir):
+    """Stream-static enrichment join ⇄ batch parity — the production
+    shape where an event stream is joined to a slowly-changing
+    dimension (here customer → market segment) BEFORE aggregation. The
+    static side is broadcast and re-resolved per microbatch (no join
+    state at all — only the aggregation holds state), which is exactly
+    why enrichment joins scale where stream-stream joins need
+    watermarked buffers. The events replay file-at-a-time; complete-
+    mode aggregation over the joined stream must equal the batch
+    join+groupBy bit-for-bit (count + decimal sum). Scale: dimension
+    broadcast ≤ tens of MB; the stream side never shuffles before the
+    keyed aggregation."""
+    from incubator_flink_old_spark.queries._util import dsum
+    from incubator_flink_old_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")
+    )
+    name = f"stream_enrich_{next(_SEQ)}"
+    run_stream_to_memory(agg, name, "complete")
+    return spark.table(name)
 
 
 # --------------------------------------------------------------------------

@@ -33,7 +33,8 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 
 
-def _sample_sql(k: int) -> tuple[str, str]:
+def _sample_sql(k: int) -> tuple[str, str, str]:
+    from incubator_flink_old_spark.queries._util import split_case_sql
     from incubator_flink_old_spark.queries.llm_ops import _minhash_oracle
 
     pairs_sql = _minhash_oracle(band_size=4).strip()
@@ -95,7 +96,14 @@ def _sample_sql(k: int) -> tuple[str, str]:
     FROM r
     """
     )
-    return cluster_sql, rep_sql
+    split_sql = (
+        base
+        + f"""
+    SELECT doc_id, cluster_id, {split_case_sql("cluster_id")} AS split
+    FROM cl
+    """
+    )
+    return cluster_sql, rep_sql, split_sql
 
 
 def main() -> int:
@@ -106,6 +114,7 @@ def main() -> int:
         dedup_clusters,
         minhash_lsh_pairs,
     )
+    from incubator_flink_old_spark.queries._util import split_col as _split_col
     from incubator_flink_old_spark.session import get_spark
     from pyspark.sql import functions as F
 
@@ -130,16 +139,27 @@ def main() -> int:
         "cluster_rep_sample": cluster_representatives(
             sample, pairs=pairs, band_size=4
         ),
+        # q_cluster_safe_split's closure + split-law composition over the
+        # same restricted subgraph (the split law itself is engine-proven
+        # in q_dataset_split; what this adds is split-keyed-by-closure).
+        "cluster_safe_split_sample": dedup_clusters(
+            sample, pairs=pairs, band_size=4
+        ).select(
+            "doc_id",
+            "cluster_id",
+            _split_col("cluster_id").alias("split"),
+        ),
     }
 
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
     )
-    cluster_sql, rep_sql = _sample_sql(K)
+    cluster_sql, rep_sql, split_sql = _sample_sql(K)
     oracle_sides = {
         "dedup_cluster_sample": cluster_sql,
         "cluster_rep_sample": rep_sql,
+        "cluster_safe_split_sample": split_sql,
     }
 
     rc = 0
