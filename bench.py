@@ -35,6 +35,14 @@ class StageMetrics:
 
     FIELDS = {
         "executorRunTime": "executor_run_time_ms",
+        # Task-clock vs CPU-clock: executorRunTime includes GC pauses,
+        # shuffle-fetch waits and spill IO; executorCpuTime (ns→ms below)
+        # is pure compute and jvmGcTime isolates collector pressure —
+        # a runtime swing with flat cpuTime is scheduling/GC noise, not
+        # a plan change (round-5 adjudication of the cluster family's
+        # 35↔190 s runtime swings: cpuTime stayed ~27 s throughout).
+        "executorCpuTime": "executor_cpu_time_ns",
+        "jvmGcTime": "jvm_gc_time_ms",
         "shuffleReadBytes": "shuffle_read_bytes",
         "shuffleWriteBytes": "shuffle_write_bytes",
         "inputBytes": "input_bytes",

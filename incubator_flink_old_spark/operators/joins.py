@@ -168,3 +168,61 @@ def co_group_relational(
     ]
     val_cols = [c for c in joined.columns if c not in set(left_keys) | set(rk_names)]
     return joined.select(*key_cols, *val_cols)
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    on: str,
+    set_when_matched: dict[str, Column],
+    insert_values: dict[str, Column],
+    delete_when: Column | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics (SURVEY §2.1 sink family: the upsert a CDC
+    feed applies to a dimension) as one declarative full-outer join —
+    WHEN MATCHED [AND delete_when] THEN DELETE / THEN UPDATE SET,
+    WHEN NOT MATCHED THEN INSERT.
+
+    ``set_when_matched`` / ``insert_values`` map base-column names to
+    expressions over the joined row (base columns + change columns);
+    unnamed base columns pass through unchanged on update and become
+    NULL on insert unless listed. ``delete_when`` is evaluated only on
+    matched rows.
+
+    Scale shape: ONE shuffle on the merge key (or zero if both sides are
+    bucketed by it); no driver-side row handling. AQE broadcasts the
+    changes side when a CDC batch is small — the common case — making
+    the merge a map-only pass over the base table. At 100 TB the output
+    is written back partition-aligned, so unchanged partitions can be
+    skipped entirely by a writer that diffs partition membership.
+    """
+    b = base.alias("__b")
+    c = changes.alias("__c")
+    joined = b.join(c, F.col(f"__b.{on}") == F.col(f"__c.{on}"), "full_outer")
+    matched = F.col(f"__b.{on}").isNotNull() & F.col(f"__c.{on}").isNotNull()
+    insert_only = F.col(f"__b.{on}").isNull()
+    if delete_when is not None:
+        # A matched tombstone deletes; an UNMATCHED tombstone is a no-op
+        # (SQL MERGE's NOT MATCHED arm never fires for delete changes) —
+        # without the second clause a tombstone for an absent key would
+        # resurrect it as an insert. coalesce() keeps the three-valued
+        # logic from dropping base-only rows (delete_when is NULL there).
+        keep = ~F.coalesce(
+            (matched | insert_only) & delete_when, F.lit(False)
+        )
+    else:
+        keep = F.lit(True)
+    out_cols = []
+    for name in base.columns:
+        upd = set_when_matched.get(name, F.col(f"__b.{name}"))
+        ins = insert_values.get(
+            name,
+            F.col(f"__c.{on}") if name == on else F.lit(None),
+        )
+        out_cols.append(
+            F.when(insert_only, ins)
+            .when(matched, upd)
+            .otherwise(F.col(f"__b.{name}"))
+            .alias(name)
+        )
+    return joined.filter(keep).select(*out_cols)

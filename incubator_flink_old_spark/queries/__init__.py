@@ -74,6 +74,7 @@ _QUERY_MODULES = (
     "llm_ops12",
     "llm_ops13",
     "llm_ops14",
+    "llm_ops15",
     "analytics",
     "analytics2",
     "surfaces",

@@ -261,6 +261,7 @@ def interval_join(
     left_ts: str = "l_ts",
     right_ts: str = "r_ts",
     upper: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch-batch — same expression) interval join:
     rows pair when keys match and right_ts ∈ [left_ts, left_ts + upper].
@@ -270,13 +271,20 @@ def interval_join(
     watermark + upper instead of buffering the streams forever — the
     only state-bounded way to join two streams. The identical function
     applied to batch frames is the parity oracle.
+
+    ``how="leftOuter"`` adds the late-decision semantics: a left row
+    that found no match is emitted null-padded only when the global
+    watermark passes ``left_ts + upper`` (its match window is provably
+    closed); until then it stays buffered and produces nothing. The
+    batch twin of the outer form must therefore filter its unmatched
+    rows by the same final-watermark rule.
     """
     cond = (
         (left[key] == right[key])
         & (right[right_ts] >= left[left_ts])
         & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return left.join(right, cond, "inner")
+    return left.join(right, cond, how)
 
 
 def idempotent_parquet_sink(path: str):
