@@ -75,6 +75,7 @@ _QUERY_MODULES = (
     "llm_ops13",
     "llm_ops14",
     "llm_ops15",
+    "llm_ops16",
     "analytics",
     "analytics2",
     "surfaces",

@@ -79,8 +79,12 @@ def get_spark(app_name: str = "incubator_flink_old_spark") -> SparkSession:
         # stage per query; at the default 240 MB the JVM code cache fills
         # after ~100 queries, HotSpot stops JIT-compiling, and hot verify
         # loops drop to the interpreter (measured 2-4× wall / ~40× CPU on
-        # the dedup queries mid-bench). 1 GB + explicit flushing keeps
-        # steady-state JIT'd for a 125-query session.
+        # the dedup queries mid-bench). 1 GB + explicit flushing kept
+        # steady-state JIT'd for a 125-query session; at 223 registered
+        # queries the sweeper starts evicting mid-bench again (round-5
+        # recurrence: q_dedup_cluster 28 → 220 CPU-s on an identical
+        # plan, flat GC, roaming between family members) — 2 GB restores
+        # headroom proportional to the doubled query count.
         # DontCompileHugeMethods is OFF because whole-stage codegen for the
         # pair-verify stages (signature md5s + banded join + intersect)
         # emits methods past HotSpot's 8000-bytecode-byte compile limit;
@@ -91,7 +95,7 @@ def get_spark(app_name: str = "incubator_flink_old_spark") -> SparkSession:
         # so the one flag covers the whole engine.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing "
             "-XX:-DontCompileHugeMethods",
         )
     )
