@@ -76,6 +76,8 @@ _QUERY_MODULES = (
     "llm_ops14",
     "llm_ops15",
     "llm_ops16",
+    "llm_ops17",
+    "llm_ops18",
     "analytics",
     "analytics2",
     "surfaces",
