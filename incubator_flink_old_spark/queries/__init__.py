@@ -78,6 +78,7 @@ _QUERY_MODULES = (
     "llm_ops16",
     "llm_ops17",
     "llm_ops18",
+    "llm_ops19",
     "analytics",
     "analytics2",
     "surfaces",
