@@ -79,6 +79,7 @@ _QUERY_MODULES = (
     "llm_ops17",
     "llm_ops18",
     "llm_ops19",
+    "llm_ops20",
     "analytics",
     "analytics2",
     "surfaces",
