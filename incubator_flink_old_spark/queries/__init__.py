@@ -80,6 +80,7 @@ _QUERY_MODULES = (
     "llm_ops18",
     "llm_ops19",
     "llm_ops20",
+    "llm_ops21",
     "analytics",
     "analytics2",
     "surfaces",
