@@ -81,6 +81,7 @@ _QUERY_MODULES = (
     "llm_ops19",
     "llm_ops20",
     "llm_ops21",
+    "llm_ops22",
     "analytics",
     "analytics2",
     "surfaces",
