@@ -82,6 +82,7 @@ _QUERY_MODULES = (
     "llm_ops20",
     "llm_ops21",
     "llm_ops22",
+    "llm_ops23",
     "analytics",
     "analytics2",
     "surfaces",
