@@ -83,6 +83,7 @@ _QUERY_MODULES = (
     "llm_ops21",
     "llm_ops22",
     "llm_ops23",
+    "llm_ops24",
     "analytics",
     "analytics2",
     "surfaces",
