@@ -70,8 +70,29 @@ def q_recursive_rollup(spark, sf_dir):
     geometrically; the final group-by is an ordinary hash aggregate.
     At 100 TB-scale hierarchies (billing orgs, category trees) depth
     is log-bounded and the same plan holds."""
-    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(RECURSIVE_ROLLUP_SQL)
+    cust = t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    # The tree recursion accumulates Σ depth(node) ≈ n·log2(n) rows,
+    # which crosses the build's default 1,000,000-row recursion budget
+    # (spark.sql.cteRecursionRowLimit — probed: RECURSION_ROW_LIMIT_
+    # EXCEEDED fires at 1M accumulated rows) somewhere around n ≈ 60k
+    # customers. Budget the limit from the actual row count (n·(log2+2),
+    # floor 1M) and restore the conf after pinning the result eagerly —
+    # same conf-hygiene pattern as q_bloom_runtime_join.
+    import math
+
+    n = cust.count()
+    budget = max(1_000_000, int(n * (math.log2(max(n, 2)) + 2)))
+    key = "spark.sql.cteRecursionRowLimit"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(budget))
+    try:
+        return spark.sql(RECURSIVE_ROLLUP_SQL).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 _UDTF_CHUNK_ORACLE = r"""

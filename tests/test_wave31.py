@@ -115,3 +115,33 @@ def test_variant_get_type_and_nulls(spark):
         F.try_variant_get(v, "$.k", "int").alias("k")
     ).schema.fields]
     assert field.dataType.simpleString() == "int"
+
+
+def test_recursive_rollup_budget_survives_large_n(spark):
+    """The rollup's row budget (n·(log2(n)+2), q_recursive_rollup) must
+    carry the recursion past the build's 1M default accumulation cap:
+    n = 200k halving chains accumulate ~3.6M rows, which FAILS under
+    the default conf and must succeed under the budget."""
+    import math
+
+    key = "spark.sql.cteRecursionRowLimit"
+    sql = """
+        WITH RECURSIVE anc(node, anc) AS (
+            SELECT id AS node, id + 1 AS anc FROM range(200000)
+            UNION ALL
+            SELECT a.node, CAST(FLOOR(a.anc / 2.0) AS BIGINT) AS anc
+            FROM anc a WHERE a.anc > 1
+        )
+        SELECT COUNT(*) AS c FROM anc
+    """
+    n = 200_000
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(int(n * (math.log2(n) + 2))))
+    try:
+        out = spark.sql(sql).collect()[0].c
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert out > 1_000_000  # genuinely past the default cap
