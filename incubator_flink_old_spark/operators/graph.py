@@ -469,3 +469,151 @@ def label_propagation(
         )
 
     return bulk_iterate(init, step, max_iterations=rounds)
+
+
+def _reach_from(frontier: DataFrame, edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Multi-source reachability: fixpoint of labelled frontier expansion.
+
+    ``frontier``: (id, pivot) seed pairs; ``edges``: (src, dst). Returns
+    every (id, pivot) with a directed path pivot →* id. Delta-iterated:
+    each round expands only the NEW pairs (frontier join), so per-round
+    work is proportional to the growing wavefront, not the closure —
+    the shape that scales (state ≤ |V| pairs per pivot generation,
+    never the all-pairs closure)."""
+    from incubator_flink_old_spark.operators.iterations import _materialize
+
+    reached = _materialize(frontier)
+    cur = reached
+    for _ in range(max_iterations):
+        nxt = (
+            cur.join(edges, cur.id == edges.src)
+            .select(F.col("dst").alias("id"), "pivot")
+            .distinct()
+            .join(reached, on=["id", "pivot"], how="left_anti")
+        )
+        nxt = _materialize(nxt)
+        if nxt.count() == 0:
+            break
+        reached = _materialize(reached.union(nxt))
+        cur = nxt
+    return reached
+
+
+def scc_forward_backward(
+    edges: DataFrame,
+    max_pivot_rounds: int = 30,
+    max_iterations: int = DEFAULT_GRAPH_MAX_ITER,
+) -> DataFrame:
+    """STRONGLY connected components by TRIM + multi-pivot
+    FORWARD-BACKWARD decomposition — the form that scales to graphs
+    whose transitive closure is untouchable (the closure-based
+    construction behind q_scc is exact but O(reachable pairs); this one
+    never materializes a closure).
+
+    Per round:
+    1. TRIM to fixpoint: any active vertex missing an in-edge or an
+       out-edge in the active subgraph is a singleton SCC — removed
+       immediately (a DAG fully decomposes by trimming alone).
+    2. One PIVOT per weakly connected component of what remains (min
+       id); forward and backward reachability from all pivots run as
+       two multi-source delta iterations; F ∩ B (+ the pivot) is the
+       pivot's SCC — assigned and removed. Pivots live in disjoint weak
+       components, so the per-round work parallelizes across them.
+
+    Rounds are bounded by the longest chain of SCCs in any weak
+    component; a residual past ``max_pivot_rounds`` falls back to the
+    exact closure construction on the (by then small) remainder — the
+    same guarantee-of-exactness-with-bounded-rounds pattern as
+    dedup_clusters' union-find finish.
+
+    Output: (id, scc_id) with scc_id = min member id (the q_scc
+    convention — labels are relabelled at the end, since a pivot is the
+    min of its weak component, not necessarily of its SCC)."""
+    from incubator_flink_old_spark.operators.iterations import _materialize
+
+    e0 = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e0 = _materialize(e0)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    spark = edges.sparkSession
+    assigned = spark.createDataFrame([], "id long, lbl long")
+    active = _materialize(verts.select(F.col("id").cast("long").alias("id")))
+    ae = e0
+
+    for _ in range(max_pivot_rounds):
+        if active.count() == 0:
+            break
+        ae = _materialize(
+            ae.join(active.select(F.col("id").alias("src")), on="src", how="left_semi")
+            .join(active.select(F.col("id").alias("dst")), on="dst", how="left_semi")
+            .select("src", "dst")
+        )
+        # trim to fixpoint
+        while True:
+            has_out = ae.select(F.col("src").alias("id")).distinct()
+            has_in = ae.select(F.col("dst").alias("id")).distinct()
+            nontrivial = _materialize(
+                active.join(has_out, on="id", how="left_semi").join(
+                    has_in, on="id", how="left_semi"
+                )
+            )
+            n_trim = active.count() - nontrivial.count()
+            if n_trim == 0:
+                break
+            trimmed = active.join(nontrivial, on="id", how="left_anti")
+            assigned = _materialize(
+                assigned.union(trimmed.select("id", F.col("id").alias("lbl")))
+            )
+            active = nontrivial
+            ae = _materialize(
+                ae.join(
+                    active.select(F.col("id").alias("src")), on="src", how="left_semi"
+                )
+                .join(active.select(F.col("id").alias("dst")), on="dst", how="left_semi")
+                .select("src", "dst")
+            )
+        if active.count() == 0:
+            break
+        # one pivot per weak component of the remaining subgraph
+        cc = connected_components(ae, max_iterations=max_iterations)
+        pivots = cc.groupBy("component").agg(F.min("id").alias("pivot"))
+        frontier = pivots.select(F.col("pivot").alias("id"), "pivot")
+        fwd = _reach_from(frontier, ae, max_iterations)
+        bwd = _reach_from(
+            frontier,
+            ae.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            max_iterations,
+        )
+        members = _materialize(fwd.join(bwd, on=["id", "pivot"]))
+        assigned = _materialize(
+            assigned.union(members.select("id", F.col("pivot").alias("lbl")))
+        )
+        active = _materialize(
+            active.join(members.select("id"), on="id", how="left_anti")
+        )
+
+    if active.count() > 0:  # bounded-rounds fallback: exact closure form
+        ae = (
+            ae.join(active.select(F.col("id").alias("src")), on="src", how="left_semi")
+            .join(active.select(F.col("id").alias("dst")), on="dst", how="left_semi")
+            .select("src", "dst")
+        )
+        tc = transitive_closure(ae, max_iterations=max_iterations)
+        rev = tc.select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"))
+        mutual = tc.join(
+            rev, (tc.src == F.col("r_src")) & (tc.dst == F.col("r_dst"))
+        ).select(F.col("src").alias("id"), F.col("dst").alias("other"))
+        mutual = mutual.union(active.select("id", F.col("id").alias("other")))
+        residual = mutual.groupBy("id").agg(F.min("other").alias("lbl"))
+        assigned = assigned.union(residual)
+
+    # relabel: scc_id = min member id of each group
+    relabel = assigned.groupBy("lbl").agg(F.min("id").alias("scc_id"))
+    return assigned.join(relabel, on="lbl").select("id", "scc_id")

@@ -192,3 +192,26 @@ def q_stream_restart_recovery(spark, sf_dir):
     finally:
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
+
+
+@register("q_scc_fb", oracle=_SCC_ORACLE)
+def q_scc_fb(spark, sf_dir):
+    """SCC by TRIM + multi-pivot FORWARD-BACKWARD decomposition
+    (operators/graph.scc_forward_backward) — the SCALABLE path q_scc's
+    docstring positions against the closure form, now driver-checked
+    against the same oracle. No transitive closure is ever
+    materialized: singleton SCCs fall out of iterative trimming (a DAG
+    decomposes entirely this way), the rest via per-weak-component
+    pivots whose forward/backward reachability runs as multi-source
+    delta iterations (state = labelled wavefront pairs, bounded by |V|
+    per pivot generation). Equality with the closure construction is
+    also law-tested on random digraphs (tests/test_scc_fb.py).
+
+    Scale: rounds ≤ trim passes + the longest SCC chain per weak
+    component; per-round cost is frontier equi-joins — the
+    web/citation-graph shape where closures are untouchable."""
+    from incubator_flink_old_spark.operators.graph import scc_forward_backward
+
+    scc = scc_forward_backward(edges_df(spark, sf_dir))
+    sizes = scc.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return scc.join(sizes, on="scc_id").select("id", "scc_id", "scc_size")
