@@ -88,18 +88,78 @@ class StageMetrics:
         return out
 
 
+#: Max queries measured per JVM. ReservedCodeCacheSize hard-caps at 2 GiB
+#: ("Must be at most 2048M"), which JIT-holds ~230 queries' codegen
+#: modules; past that the sweeper evicts hot kernels MID-BENCH and small
+#: queries read 2-6x CPU with flat GC (PERF.md round-5, twice). The fix
+#: that scales is architectural: the orchestrator runs the registry in
+#: chunks, each in a FRESH subprocess JVM (a real deployment is a session
+#: per job anyway) — warmups are paid per chunk, measurements stay
+#: steady-state by construction.
+CHUNK_MAX = 128
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    chunk_arg = None
+    out_path = None
+    argv = sys.argv[1:]
+    if "--chunk" in argv:
+        chunk_arg = argv[argv.index("--chunk") + 1]  # "i:k"
+        out_path = argv[argv.index("--out") + 1]
+
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    names = sorted(QUERIES)
+
+    if chunk_arg is None:
+        import math
+        import subprocess
+        import tempfile
+
+        k = max(1, math.ceil(len(names) / CHUNK_MAX))
+        timings: dict[str, float] = {}
+        engine: dict[str, dict[str, int]] = {}
+        for i in range(k):
+            with tempfile.NamedTemporaryFile(
+                mode="r", suffix=".json", delete=False
+            ) as tf:
+                part_path = tf.name
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__),
+                 "--chunk", f"{i}:{k}", "--out", part_path],
+                stdout=sys.stderr,  # keep THE one JSON line ours alone
+            )
+            try:
+                with open(part_path) as f:
+                    part = json.load(f)
+                timings.update(part["timings"])
+                engine.update(part["engine"])
+                os.unlink(part_path)
+            except Exception as exc:
+                print(f"bench: chunk {i}/{k} unreadable (rc={rc}): {exc}",
+                      file=sys.stderr)
+                lo = (len(names) * i) // k
+                hi = (len(names) * (i + 1)) // k
+                for name in names[lo:hi]:
+                    timings.setdefault(name, -1.0)
+        _emit(timings, engine, sf, sf_dir)
+        return
+
+    i, k = (int(x) for x in chunk_arg.split(":"))
+    lo = (len(names) * i) // k
+    hi = (len(names) * (i + 1)) // k
+    chunk_names = names[lo:hi]
+
     # Bench wants the UI REST endpoint for stage metrics (tests keep it off).
     os.environ.setdefault("SPARK_GRAFT_UI", "1")
 
     from incubator_flink_old_spark import get_spark
-    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
 
-    load_all_queries()
     spark = get_spark("engine-bench")
 
     # Warm the JVM + file listing once so per-query numbers measure steady
@@ -144,7 +204,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     engine: dict[str, dict[str, int]] = {}
-    for name in sorted(QUERIES):
+    for name in chunk_names:
         try:
             t = run_once(name)
             eng = metrics.advance()
@@ -200,6 +260,17 @@ def main() -> None:
             metrics.advance()  # don't attribute failed stages to the next query
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
+    with open(out_path, "w") as f:
+        json.dump({"timings": timings, "engine": engine}, f)
+    spark.stop()
+
+
+def _emit(
+    timings: dict[str, float],
+    engine: dict[str, dict[str, int]],
+    sf: float,
+    sf_dir: str,
+) -> None:
     ok = [v for v in timings.values() if v >= 0]
     total_ert = sum(m["executor_run_time_ms"] for m in engine.values())
     result = {
@@ -229,7 +300,6 @@ def main() -> None:
             f,
             indent=1,
         )
-    spark.stop()
 
 
 if __name__ == "__main__":

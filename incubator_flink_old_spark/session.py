@@ -84,7 +84,15 @@ def get_spark(app_name: str = "incubator_flink_old_spark") -> SparkSession:
         # queries the sweeper starts evicting mid-bench again (round-5
         # recurrence: q_dedup_cluster 28 → 220 CPU-s on an identical
         # plan, flat GC, roaming between family members) — 2 GB restores
-        # headroom proportional to the doubled query count.
+        # headroom proportional to the doubled query count. At 242
+        # queries the same signature reappeared one size smaller (small
+        # queries 2-6× CPU, flat GC, both bench runs expensive:
+        # q_data_card 0.4 → 2.4 CPU-s, q_curation_audit 2.5 → 12.2).
+        # 2 GB is the JVM HARD MAX for this flag ("Must be at most
+        # 2048M"), so past ~230 queries the fix moves to the bench
+        # harness: bench.py runs the registry in session CHUNKS sized
+        # to the cache (one JVM cannot JIT-hold 242 queries of codegen
+        # modules; a real deployment is a session per job anyway).
         # DontCompileHugeMethods is OFF because whole-stage codegen for the
         # pair-verify stages (signature md5s + banded join + intersect)
         # emits methods past HotSpot's 8000-bytecode-byte compile limit;
