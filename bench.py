@@ -108,8 +108,15 @@ def main() -> None:
     out_path = None
     argv = sys.argv[1:]
     if "--chunk" in argv:
-        chunk_arg = argv[argv.index("--chunk") + 1]  # "i:k"
-        out_path = argv[argv.index("--out") + 1]
+        try:
+            chunk_arg = argv[argv.index("--chunk") + 1]  # "i:k"
+            out_path = argv[argv.index("--out") + 1]
+        except (IndexError, ValueError):
+            sys.exit(
+                "usage: bench.py [--chunk i:k --out part.json]  "
+                "(--chunk is the internal worker protocol; both flags "
+                "are required together)"
+            )
 
     from incubator_flink_old_spark.queries import QUERIES, load_all_queries
 
@@ -139,7 +146,6 @@ def main() -> None:
                     part = json.load(f)
                 timings.update(part["timings"])
                 engine.update(part["engine"])
-                os.unlink(part_path)
             except Exception as exc:
                 print(f"bench: chunk {i}/{k} unreadable (rc={rc}): {exc}",
                       file=sys.stderr)
@@ -147,6 +153,11 @@ def main() -> None:
                 hi = (len(names) * (i + 1)) // k
                 for name in names[lo:hi]:
                     timings.setdefault(name, -1.0)
+            finally:
+                try:
+                    os.unlink(part_path)
+                except OSError:
+                    pass
         _emit(timings, engine, sf, sf_dir)
         return
 

@@ -471,7 +471,7 @@ def label_propagation(
     return bulk_iterate(init, step, max_iterations=rounds)
 
 
-def _reach_from(frontier: DataFrame, edges: DataFrame, max_iterations: int) -> DataFrame:
+def _reach_from(frontier: DataFrame, edges: DataFrame) -> DataFrame:
     """Multi-source reachability: fixpoint of labelled frontier expansion.
 
     ``frontier``: (id, pivot) seed pairs; ``edges``: (src, dst). Returns
@@ -479,12 +479,19 @@ def _reach_from(frontier: DataFrame, edges: DataFrame, max_iterations: int) -> D
     each round expands only the NEW pairs (frontier join), so per-round
     work is proportional to the growing wavefront, not the closure —
     the shape that scales (state ≤ |V| pairs per pivot generation,
-    never the all-pairs closure)."""
+    never the all-pairs closure).
+
+    Runs TO DRAIN, not to an iteration budget: the reached set grows
+    strictly each round and is bounded by |V|·|pivots|, so termination
+    is guaranteed in ≤ diameter rounds — while a round CAP would
+    silently truncate reachability on large-diameter graphs (a 40-cycle
+    under a 30-round cap loses 17 vertices) and corrupt the SCC it
+    feeds. Correctness must not depend on a tuning knob."""
     from incubator_flink_old_spark.operators.iterations import _materialize
 
     reached = _materialize(frontier)
     cur = reached
-    for _ in range(max_iterations):
+    while True:
         nxt = (
             cur.join(edges, cur.id == edges.src)
             .select(F.col("dst").alias("id"), "pivot")
@@ -493,10 +500,9 @@ def _reach_from(frontier: DataFrame, edges: DataFrame, max_iterations: int) -> D
         )
         nxt = _materialize(nxt)
         if nxt.count() == 0:
-            break
+            return reached
         reached = _materialize(reached.union(nxt))
         cur = nxt
-    return reached
 
 
 def scc_forward_backward(
@@ -581,17 +587,26 @@ def scc_forward_backward(
             )
         if active.count() == 0:
             break
-        # one pivot per weak component of the remaining subgraph
+        # One pivot per weak component of the remaining subgraph. An
+        # under-converged CC (its min-label propagation is bounded by
+        # max_iterations) can only SPLIT a weak component — yielding
+        # extra pivots, never a missed vertex; extra same-SCC pivots
+        # produce identical member sets, deduplicated by the min-pivot
+        # group-by below (different-SCC pivots have disjoint F∩B by
+        # definition, so the dedup never merges distinct SCCs).
         cc = connected_components(ae, max_iterations=max_iterations)
         pivots = cc.groupBy("component").agg(F.min("id").alias("pivot"))
         frontier = pivots.select(F.col("pivot").alias("id"), "pivot")
-        fwd = _reach_from(frontier, ae, max_iterations)
+        fwd = _reach_from(frontier, ae)
         bwd = _reach_from(
             frontier,
             ae.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-            max_iterations,
         )
-        members = _materialize(fwd.join(bwd, on=["id", "pivot"]))
+        members = _materialize(
+            fwd.join(bwd, on=["id", "pivot"])
+            .groupBy("id")
+            .agg(F.min("pivot").alias("pivot"))
+        )
         assigned = _materialize(
             assigned.union(members.select("id", F.col("pivot").alias("lbl")))
         )
@@ -605,7 +620,12 @@ def scc_forward_backward(
             .join(active.select(F.col("id").alias("dst")), on="dst", how="left_semi")
             .select("src", "dst")
         )
-        tc = transitive_closure(ae, max_iterations=max_iterations)
+        # The fallback must be EXACT: transitive_closure extends paths by
+        # one edge per round and stops on count convergence, so give it
+        # a diameter-proof budget rather than the tuning knob (the knob
+        # bounding pivot rounds is a cost control; truncating the
+        # closure would silently split large-diameter SCCs).
+        tc = transitive_closure(ae, max_iterations=100_000)
         rev = tc.select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"))
         mutual = tc.join(
             rev, (tc.src == F.col("r_src")) & (tc.dst == F.col("r_dst"))

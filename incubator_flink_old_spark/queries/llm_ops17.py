@@ -97,7 +97,8 @@ def q_recursive_rollup(spark, sf_dir):
 
 _UDTF_CHUNK_ORACLE = r"""
     WITH capped AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        SELECT doc_id, coalesce(text, '') AS text
+        FROM documents WHERE doc_id % 10 = 0),
     toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\s+'),
@@ -142,6 +143,9 @@ def q_udtf_chunks(spark, sf_dir):
     ))
     class ChunkDoc:
         def eval(self, text: str):
+            # NULL text is coalesced to '' on BOTH sides (here via the
+            # column fed to the UDTF, in the oracle via coalesce) so the
+            # engines agree on the empty-chunk row a NULL doc produces.
             toks = [w for w in _re.split(r"\s+", (text or "").lower()) if w]
             starts = range(0, max(len(toks) - 8, 1), 24)
             for i, s in enumerate(starts):
@@ -150,7 +154,14 @@ def q_udtf_chunks(spark, sf_dir):
 
     name = f"t2_chunk_udtf_{next(_SEQ)}"
     spark.udtf.register(name, ChunkDoc)
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        # NULL text → '' on the engine side too, matching the oracle's
+        # coalesce: a NULL doc produces the same empty-chunk row in both
+        # engines instead of diverging (Python guard vs SQL NULL rules).
+        .select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
     docs.createOrReplaceTempView("t2_udtf_docs")
     return spark.sql(
         f"""

@@ -10,11 +10,16 @@ decontamination — each of which already has an independently verified
 SQL twin (q_text_quality, q_text_repetition, q_decontaminate,
 q_text_fingerprint).
 
-Scope note: the near-dup (MinHash cluster) gate is deliberately NOT in
-the audit — its SQL twin is the 3.57M-pair closure that q_dedup_cluster
-carries; folding it here would make every audit run pay the pair DAG.
-The audit covers the row-wise + fingerprint gates; near-dup rejections
-are q_dedup_cluster's keep column. Documented, not hidden.
+Scope note — TWO of curate()'s eight stages are deliberately outside
+the audit, both for stated reasons: (1) the near-dup (MinHash cluster)
+gate — its SQL twin is the 3.57M-pair closure that q_dedup_cluster
+carries; folding it here would make every audit run pay the pair DAG
+(near-dup rejections are q_dedup_cluster's keep column); (2) the
+per-domain CAP — it is a keep-QUOTA over survivors (rank within
+domain), not a property of the document itself, so "first failing
+gate" is not well-defined for it (a capped doc would have been kept
+had its domain been emptier; q_domain_cap exposes the ranks directly).
+The audit covers the six doc-intrinsic gates. Documented, not hidden.
 """
 
 from __future__ import annotations
@@ -125,9 +130,11 @@ def q_curation_audit(spark, sf_dir):
     Composes the SAME operators the pipeline runs (fingerprint,
     quality_score, repetition_metrics, decontaminate), each with an
     independently verified SQL twin — the audit oracle is their
-    composition under a CASE. Near-dup is deliberately out of scope
-    here (module docstring): its verdict lives in q_dedup_cluster,
-    whose SQL twin is the pair-closure this audit must not pay.
+    composition under a CASE. Out of audit scope BY DESIGN (module
+    docstring): the near-dup gate (its verdict lives in
+    q_dedup_cluster, whose SQL twin is the pair-closure this audit
+    must not pay) and the per-domain cap (a keep-quota over survivors,
+    not a doc-intrinsic gate — q_domain_cap exposes the ranks).
 
     Scale: every gate is one doc-keyed frame (co-partitioned joins, no
     corpus-dimension windows); the decontamination side is a broadcast

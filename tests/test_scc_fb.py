@@ -94,6 +94,21 @@ def test_fb_matches_bruteforce_on_random_digraphs(spark, edges):
     assert got == want
 
 
+def test_fb_large_diameter_cycle_is_one_scc(spark):
+    """A 40-vertex directed cycle (diameter 39, past the old 30-round
+    reachability cap) must come back as ONE SCC — the regression that
+    motivated running _reach_from to drain instead of to a budget
+    (a capped frontier silently truncated F∩B and split the cycle)."""
+    from incubator_flink_old_spark.operators.graph import scc_forward_backward
+
+    n = 40
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    df = from_elements(spark, cyc, "src long, dst long")
+    rows = scc_forward_backward(df).collect()
+    assert len(rows) == n  # no duplicate ids from multi-pivot dedup
+    assert {r.id: r.scc_id for r in rows} == {v: 0 for v in range(n)}
+
+
 def test_fb_fallback_path_is_exact(spark):
     """With max_pivot_rounds=0 every vertex goes through the closure
     fallback — the answer must be identical."""

@@ -34,12 +34,11 @@ def test_recursive_cte_union_still_unsupported(spark):
 
 
 def test_recursive_cte_row_limit_guard(spark):
-    """The 1M-row accumulation limit exists (and is why tree-shaped
-    recursion is the rule): an unbounded-walk recursion must raise
-    rather than run away."""
-    from py4j.protocol import Py4JJavaError
-
-    with pytest.raises(Exception, match="RECURSION|LIMIT") as exc:
+    """The recursion budget exists (level limit 100 / row limit via
+    spark.sql.cteRecursionRowLimit — and is why tree-shaped recursion
+    is the rule): an unbounded-walk recursion must raise rather than
+    run away."""
+    with pytest.raises(Exception, match="RECURSION|LIMIT"):
         spark.sql(
             """
             WITH RECURSIVE r(n) AS (
@@ -50,7 +49,6 @@ def test_recursive_cte_row_limit_guard(spark):
             SELECT COUNT(*) FROM r
             """
         ).collect()
-    assert "RECURSION" in str(exc.value) or "LIMIT" in str(exc.value)
 
 
 @pytest.mark.skipif(not os.path.isdir(SF), reason="no testdata")

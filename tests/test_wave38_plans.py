@@ -60,8 +60,12 @@ def test_two_stage_rerank_broadcasts_candidates(spark):
     kinds = join_kinds(q_retrieval_two_stage(spark, SF))
     assert "BroadcastHashJoin" in kinds
     assert "CartesianProduct" not in kinds
-    # the single intentional 1-row crossJoin (query vector) broadcasts
-    assert all(k != "SortMergeJoin" or True for k in kinds)
+    # no equi-join may degrade to a shuffle of the corpus against the
+    # 50 candidates...
+    assert "SortMergeJoin" not in kinds
+    # ...and the ONLY nested-loop is the intentional 1-row query-vector
+    # broadcast crossJoin
+    assert kinds.count("BroadcastNestedLoopJoin") == 1
 
 
 def test_scc_joins_are_equi(spark):

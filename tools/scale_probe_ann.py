@@ -31,10 +31,7 @@ def main() -> None:
 
     from incubator_flink_old_spark import get_spark
     from incubator_flink_old_spark.operators.retrieval import bm25_topk
-    from incubator_flink_old_spark.operators.similarity import (
-        as_double_array,
-        grid_sqdist,
-    )
+    from incubator_flink_old_spark.operators.similarity import grid_sqdist
     from incubator_flink_old_spark.sources import load_table
 
     spark = get_spark("scale-probe-ann")
@@ -65,17 +62,16 @@ def main() -> None:
     eN = spark.read.parquet(f"{out}/emb_{n}x")
     print(f"scaled embeddings rows: {eN.count():,} (N={n})", flush=True)
 
-    def grid(df):
-        return df.select(
-            "vec_id",
-            F.transform(
-                as_double_array("embedding"),
-                lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long"),
-            ).alias("k"),
-        )
+    # The quantizer is IMPORTED from the query module, not re-derived:
+    # a probe measuring a different algorithm than the shipped query
+    # would make the PERF.md scale claims unfalsifiable.
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _grid_vec,
+        _SQ_LEVELS,
+    )
 
     def sq8_topk(df):
-        eg = grid(df)
+        eg = df.select("vec_id", _grid_vec().alias("k"))
         dims = eg.select(
             "vec_id", F.posexplode("k").alias("p", "v")
         )
@@ -88,7 +84,7 @@ def main() -> None:
                 "vec_id",
                 "p",
                 F.when(F.col("hi") == F.col("lo"), F.lit(0))
-                .otherwise(F.expr("(v - lo) * 255 div (hi - lo)"))
+                .otherwise(F.expr(f"(v - lo) * {_SQ_LEVELS} div (hi - lo)"))
                 .alias("c"),
             )
             .groupBy("vec_id")
