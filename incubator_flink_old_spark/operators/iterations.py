@@ -74,6 +74,20 @@ def bulk_iterate(
             state = nxt
             break
         state = nxt
+    else:
+        # With a convergence criterion, exiting via the cap means the
+        # fixpoint was NOT certified — surface it (fixed-round callers
+        # like KMeans pass converged=None and are untouched; see the
+        # matching note in delta_iterate).
+        if converged is not None:
+            import sys
+
+            print(
+                f"bulk_iterate: exited at max_iterations={max_iterations} "
+                "without the convergence criterion firing — result may "
+                "be under-converged",
+                file=sys.stderr,
+            )
     return state
 
 
@@ -114,4 +128,19 @@ def delta_iterate(
         )
         solution = next_solution
         workset = _materialize(next_workset, reliable)
+    else:
+        # Reference-faithful: iterateDelta(maxIter) stops at the cap
+        # without signaling. But a NON-EMPTY workset at exit means the
+        # fixpoint was not reached and the result is truncated — make
+        # that observable instead of silent (the round-5 SCC review
+        # found exactly this hazard class in a capped reachability).
+        if not workset.isEmpty():
+            import sys
+
+            print(
+                f"delta_iterate: exited at max_iterations={max_iterations} "
+                "with a NON-EMPTY workset — result is under-converged; "
+                "raise max_iterations for an exact fixpoint",
+                file=sys.stderr,
+            )
     return solution
