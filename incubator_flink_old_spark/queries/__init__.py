@@ -100,19 +100,18 @@ LOAD_ERRORS: dict[str, str] = {}
 #: after the priority block. Purely an ordering hint — every query stays
 #: registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-5 rotation (VERDICT r04 items 1-2). Exactly 50 slots:
-    # --- first the 10 queries with no driver row yet (the 2 r04
-    # --- overflow rows + the 8 wave-22/23 additions — the
-    # --- auto-rotation fronts these regardless; listing them pins the
-    # --- order), then the two heavies last driver-checked r02 on a
-    # --- since-regenerated fixture (q_curate_full, q_dedup_minhash —
-    # --- r03 item 6 / r04 item 2), then the oldest greens (last checked
-    # --- r01) in registration order. With wave 27's three new un-green
-    # --- queries auto-fronted, the last 3 listed re-checks
-    # --- (q_accumulator_histogram, q_fn_string, q_fn_date) fall out of
-    # --- the 50 window; r06 residue is therefore those 3 plus the 12
-    # --- r01 greens that never fit:
-    # --- q_fn_math, q_fn_conditional, q_fn_array, q_fn_json, q_window_tumbling, q_window_sliding, q_session_window, q_event_dedup, q_window_rank, q_window_running_sum, q_window_lag, q_iterate_cc.
+    # --- round-5 rotation (VERDICT r04 items 1-2). FINAL round-5 state
+    # --- (query additions stopped at 242 precisely so the window still
+    # --- covers everything unchecked): 47 queries lack a driver row
+    # --- (2 r04 overflow + the 45 round-5 additions, waves 22-39) —
+    # --- ALL auto-fronted by _apply_driver_priority, which reads the
+    # --- CORRECTNESS union itself — leaving 3 re-confirmation slots:
+    # --- q_curate_full / q_dedup_minhash (last driver-checked r02 on a
+    # --- since-regenerated fixture — r03 item 6 / r04 item 2) and
+    # --- q_tpch_q3 (the flagship). r06 residue = the remaining greens
+    # --- oldest-check-first (tools/rotation.py prints the ordering);
+    # --- with r05's unchecked set cleared, r06's whole window is
+    # --- re-confirmation budget.
     "q_stream_interval_join_parity",
     "q_entropy_by_source",
     "q_dedup_minhash_layout",
