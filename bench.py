@@ -196,20 +196,21 @@ def main() -> None:
         return time.perf_counter() - start
 
     # Previous sidecar (if any) anchors a per-query sanity bar: when even
-    # the cheapest of two runs lands far above the last recorded CPU for
+    # the cheapest of two runs lands far above the last recorded engine
+    # run-time (executor_run_time_ms — the same field compared below) for
     # the same query, the measurement is almost certainly session-state
     # noise (JIT sweeper eviction, roaming compile absorption — PERF.md
     # round-5), not a plan change; one extra run usually lands back on
     # steady state and costs nothing when things are healthy.
-    prev_cpu: dict[str, int] = {}
+    prev_run_ms: dict[str, int] = {}
     try:
         with open(
             os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
             )
         ) as f:
-            for k, v in json.load(f).get("engine_metrics", {}).items():
-                prev_cpu[k] = int(v.get("executor_run_time_ms", 0))
+            for qname, v in json.load(f).get("engine_metrics", {}).items():
+                prev_run_ms[qname] = int(v.get("executor_run_time_ms", 0))
     except Exception:
         pass
 
@@ -250,7 +251,7 @@ def main() -> None:
                     if eng2["executor_run_time_ms"] < eng["executor_run_time_ms"]:
                         eng = eng2
             n_runs = 2 if reran else 1
-            base = prev_cpu.get(name, 0)
+            base = prev_run_ms.get(name, 0)
             if base > 8000 and eng["executor_run_time_ms"] > 2.5 * base:
                 try:
                     t3 = run_once(name)

@@ -195,12 +195,25 @@ def merge_upsert(
     the merge a map-only pass over the base table. At 100 TB the output
     is written back partition-aligned, so unchanged partitions can be
     skipped entirely by a writer that diffs partition membership.
+
+    NULL-key semantics (ANSI MERGE contracts, pinned by
+    tests/test_wave29.py): a NULL merge key never equals anything, so a
+    NULL-keyed BASE row matches no change and passes through UNCHANGED
+    (it must not be rewritten via the INSERT arm), while a NULL-keyed
+    CHANGE row is NOT MATCHED and fires the insert arm. Side presence is
+    therefore tracked with literal marker columns, not key-nullness —
+    `__b.on IS NULL` alone misclassifies an existing NULL-keyed base row
+    as an insert (ADVICE r05). Duplicate keys in ``changes`` fan out the
+    matched base row once per change row (ANSI MERGE raises an error
+    here; deduplicate the CDC batch first if that matters).
     """
-    b = base.alias("__b")
-    c = changes.alias("__c")
+    b = base.withColumn("__b_present", F.lit(True)).alias("__b")
+    c = changes.withColumn("__c_present", F.lit(True)).alias("__c")
     joined = b.join(c, F.col(f"__b.{on}") == F.col(f"__c.{on}"), "full_outer")
-    matched = F.col(f"__b.{on}").isNotNull() & F.col(f"__c.{on}").isNotNull()
-    insert_only = F.col(f"__b.{on}").isNull()
+    b_present = F.coalesce(F.col("__b.__b_present"), F.lit(False))
+    c_present = F.coalesce(F.col("__c.__c_present"), F.lit(False))
+    matched = b_present & c_present
+    insert_only = c_present & ~b_present
     if delete_when is not None:
         # A matched tombstone deletes; an UNMATCHED tombstone is a no-op
         # (SQL MERGE's NOT MATCHED arm never fires for delete changes) —

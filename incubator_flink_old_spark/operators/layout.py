@@ -54,7 +54,12 @@ def quantize(col: Column, lo: int, hi: int, bits: int = 16) -> Column:
     q = F.floor((col.cast("long") - F.lit(lo)) / F.lit(w)).cast("long")
     if s > 1:
         q = q * F.lit(s)  # max lands at m*s <= 2^bits - 1 exactly
-    return F.least(q, F.lit((1 << bits) - 1))
+    # Clamp BOTH sides: a value under `lo` (an appended delta batch that
+    # drifts below the base layout's recorded bounds) would otherwise go
+    # negative, and interleave_bits' arithmetic shiftright sign-extends —
+    # scrambling the z-order for those rows. Clamped rows degrade to the
+    # boundary cell (pruning quality, never correctness: probes re-filter).
+    return F.least(F.greatest(q, F.lit(0).cast("long")), F.lit((1 << bits) - 1))
 
 
 def interleave_bits(cols: Sequence[Column], bits: int = 16) -> Column:
@@ -113,7 +118,13 @@ def append_zordered(
     probe over base+delta still prunes both. The trade is run count:
     every batch adds files, so probes touch more footers until a
     compaction (:func:`compact_zordered`) folds the runs together —
-    exactly the LSM discipline every 100 TB table layout runs on."""
+    exactly the LSM discipline every 100 TB table layout runs on.
+
+    Deltas whose dim values fall OUTSIDE the base layout's recorded
+    bounds are clamped to the boundary cells by :func:`quantize` —
+    correct (probes re-filter on real values) but those rows cluster at
+    the grid edge, degrading pruning for them; re-record bounds at the
+    next compaction if drift is systematic."""
     qcols = [quantize(c, lo, hi, bits) for (c, lo, hi) in dims]
     z = interleave_bits(qcols, bits)
     (

@@ -38,6 +38,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_safe(a: Column, b: Column) -> Column:
+    """Cosine with a deterministic sentinel (-2.0, strictly below any
+    true cosine) when EITHER vector has zero norm. Needed on the
+    integer-grid paths: a vector whose components all floor-quantize to
+    0 makes plain cosine 0/0 = NaN, and NaN ordering under ROW_NUMBER
+    differs between Spark (NaN sorts high) and DuckDB (NULL semantics) —
+    breaking the bit-identical cross-engine replay grid_ivf promises.
+    The sentinel ranks zero-norm candidates last with the cell-id
+    tie-break deciding, identically on both engines (mirror:
+    llm_ops11._sql_cos's transform=True CASE guard)."""
+    na2 = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    nb2 = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
+    return F.when(
+        (na2 == F.lit(0.0)) | (nb2 == F.lit(0.0)), F.lit(-2.0)
+    ).otherwise(dot(a, b) / (F.sqrt(na2) * F.sqrt(nb2)))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -240,7 +257,7 @@ def grid_ivf(
                 "__c",
                 "__k",
                 "cell",
-                cosine(as_double_array("__k"), as_double_array("cv")).alias("__sim"),
+                cosine_safe(as_double_array("__k"), as_double_array("cv")).alias("__sim"),
             )
             .withColumn(
                 "__rn",

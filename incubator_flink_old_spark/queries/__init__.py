@@ -100,31 +100,15 @@ LOAD_ERRORS: dict[str, str] = {}
 #: after the priority block. Purely an ordering hint — every query stays
 #: registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-5 rotation (VERDICT r04 items 1-2). FINAL round-5 state
-    # --- (query additions stopped at 242 precisely so the window still
-    # --- covers everything unchecked): 47 queries lack a driver row
-    # --- (2 r04 overflow + the 45 round-5 additions, waves 22-39) —
-    # --- ALL auto-fronted by _apply_driver_priority, which reads the
-    # --- CORRECTNESS union itself — leaving 3 re-confirmation slots:
-    # --- q_curate_full / q_dedup_minhash (last driver-checked r02 on a
-    # --- since-regenerated fixture — r03 item 6 / r04 item 2) and
-    # --- q_tpch_q3 (the flagship). r06 residue = the remaining greens
-    # --- oldest-check-first (tools/rotation.py prints the ordering);
-    # --- with r05's unchecked set cleared, r06's whole window is
-    # --- re-confirmation budget.
-    "q_stream_interval_join_parity",
-    "q_entropy_by_source",
-    "q_dedup_minhash_layout",
-    "q_ivf_cell_purity",
-    "q_ann_recall_ivf",
-    "q_ann_recall_lsh",
-    "q_stream_custom_state_parity",
-    "q_multimodal_frames",
-    "q_ann_recall_ivf_layout",
-    "q_ann_recall_pq",
-    "q_curate_full",
-    "q_dedup_minhash",
-    "q_tpch_q3",
+    # --- round-6 rotation (VERDICT r05 item 1): 242/242 queries are
+    # --- driver-green, so the window is pure re-confirmation budget.
+    # --- These are the 49 queries whose latest green row is r01 —
+    # --- checked once, three fixture generations ago — oldest-first
+    # --- in registration order (tools/rotation_age.py re-derives the
+    # --- ordering from the CORRECTNESS union). Round-6 additions
+    # --- (q_ann_recall_ivfsq8, q_stream_asof_parity, ...) auto-front
+    # --- ahead of these re-checks via _apply_driver_priority, so the
+    # --- tail of this list rolls to r07 along with the r02 tier.
     "q_tpch_q1",
     "q_tpch_q10",
     "q_source_range",
@@ -162,6 +146,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_accumulator_histogram",
     "q_fn_string",
     "q_fn_date",
+    "q_fn_math",
+    "q_fn_conditional",
+    "q_fn_array",
+    "q_fn_json",
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_session_window",
+    "q_event_dedup",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_window_lag",
+    "q_iterate_cc",
 )
 
 

@@ -99,6 +99,15 @@ def _sql_cos(a: str, b: str, transform: bool = True) -> str:
     if transform:
         a = f"list_transform({a}, x -> CAST(x AS DOUBLE))"
         b = f"list_transform({b}, x -> CAST(x AS DOUBLE))"
+        # Grid paths only: a vector that floor-quantizes to all-zeros
+        # would make this 0/0 (NaN/NULL rank divergence across engines);
+        # the -2.0 sentinel mirrors operators/similarity.cosine_safe.
+        return (
+            f"(CASE WHEN list_dot_product({a}, {a}) = 0"
+            f" OR list_dot_product({b}, {b}) = 0 THEN -2.0"
+            f" ELSE list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))) END)"
+        )
     return (
         f"(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
         f" * sqrt(list_dot_product({b}, {b}))))"
@@ -258,7 +267,7 @@ def _grid_probes(queries, centers):
     the probe set both IVF recall rows (plain and by-cell layout) share."""
     from incubator_flink_old_spark.operators.similarity import (
         as_double_array,
-        cosine,
+        cosine_safe,
     )
 
     qg = queries.select(
@@ -274,7 +283,7 @@ def _grid_probes(queries, centers):
         .select(
             "q_id",
             "cell",
-            cosine(as_double_array("qk"), as_double_array("cv")).alias("__sim"),
+            cosine_safe(as_double_array("qk"), as_double_array("cv")).alias("__sim"),
         )
         .withColumn(
             "rn",

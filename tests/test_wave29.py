@@ -59,6 +59,33 @@ def test_merge_passthrough_untouched(spark):
     assert [(r.k, r.v, r.tag) for r in out] == [(9, 1.5, "z")]
 
 
+def test_merge_null_key_base_row_passes_through(spark):
+    # A base row whose merge key is NULL never matches any change (SQL
+    # equality) and must pass through UNCHANGED — not be rewritten via
+    # the INSERT arm (which would null unlisted columns and take the key
+    # from the absent change side). ADVICE r05 medium finding.
+    out = _merge(
+        spark, [(None, 10.0, "a"), (2, 20.0, "b")], [(2, 5.0, False)]
+    )
+    rows = sorted(
+        ((r.k, r.v, r.tag) for r in out.collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    assert rows == [(None, 10.0, "a"), (2, 25.0, "b")]
+
+
+def test_merge_null_key_change_row_inserts(spark):
+    # ANSI law: a NULL-keyed CHANGE row matches nothing, so the NOT
+    # MATCHED arm fires — it inserts (with its NULL key), it does not
+    # touch existing rows.
+    out = _merge(spark, [(1, 10.0, "a")], [(None, 5.0, False)])
+    rows = sorted(
+        ((r.k, r.v, r.tag) for r in out.collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    assert rows == [(None, 5.0, "new"), (1, 10.0, "a")]
+
+
 def test_merge_delete_does_not_drop_unmatched(spark):
     # a tombstone for key 1 must not take key 2 (NULL-safe keep filter)
     out = _merge(
