@@ -84,6 +84,7 @@ _QUERY_MODULES = (
     "llm_ops22",
     "llm_ops23",
     "llm_ops24",
+    "llm_ops25",
     "analytics",
     "analytics2",
     "surfaces",

@@ -262,9 +262,12 @@ def _recall_tail_sql(cand_cte: str) -> str:
     """
 
 
-def _grid_probes(queries, centers):
-    """Top-``_N_PROBE`` cells per query vector by integer-grid cosine —
-    the probe set both IVF recall rows (plain and by-cell layout) share."""
+def _grid_probes(queries, centers, n_probe: int = _N_PROBE):
+    """Top-``n_probe`` cells per query vector by integer-grid cosine —
+    the probe set every IVF recall row (plain, by-cell layout, and the
+    quantized compositions) shares. ``n_probe`` defaults to the family
+    constant; the composition LAW tests pass n_probe=n_cells to prove
+    all-cells ≡ unpruned."""
     from incubator_flink_old_spark.operators.similarity import (
         as_double_array,
         cosine_safe,
@@ -291,7 +294,7 @@ def _grid_probes(queries, centers):
                 Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), "cell")
             ),
         )
-        .filter(F.col("rn") <= _N_PROBE)
+        .filter(F.col("rn") <= n_probe)
         .select("q_id", "cell")
     )
 

@@ -126,12 +126,15 @@ def _sq_sql_sqdist(a: str, b: str) -> str:
     )
 
 
-_SQ_ORACLE = f"""
-    WITH e AS (
-        SELECT vec_id,
-               list_transform(embedding::DOUBLE[],
-                              x -> CAST(FLOOR(x * {_GRID}) AS BIGINT)) AS k
-        FROM embeddings),
+def _sq_ctes() -> str:
+    """SQ8 encoding CTE chain over a grid CTE ``e`` (vec_id, k [, ...]):
+    per-(vector, dim) values → per-dim (lo, hi) bounds → integer codes
+    0..{levels} via (v − lo)·levels // (hi − lo) → per-vector code
+    lists. Factored so the IVF composition (llm_ops25's
+    q_ann_recall_ivfsq8) replays the EXACT same encoding arithmetic the
+    plain-SQ8 oracle uses — the all-cells ≡ plain-SQ8 law depends on
+    byte-identical codes."""
+    return f"""
     dims AS (
         SELECT vec_id, r.p AS p, k[r.p] AS v
         FROM e, range(1, {_DIM + 1}) r(p)),
@@ -144,7 +147,16 @@ _SQ_ORACLE = f"""
                END AS c
         FROM dims d JOIN mm m ON d.p = m.p),
     codes AS (
-        SELECT vec_id, list(c ORDER BY p) AS code FROM qd GROUP BY vec_id),
+        SELECT vec_id, list(c ORDER BY p) AS code FROM qd GROUP BY vec_id)"""
+
+
+_SQ_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * {_GRID}) AS BIGINT)) AS k
+        FROM embeddings),
+    {_sq_ctes()},
     it AS (
         SELECT q_id, vec_id FROM (
             SELECT q.vec_id AS q_id, c.vec_id,
@@ -181,6 +193,32 @@ def _grid_vec(col: str = "embedding"):
     )
 
 
+def _sq_codes(eg):
+    """SQ8-encode a grid frame (vec_id, k array<long>) → (vec_id, code
+    array<double>): per-dim min-max bounds (ONE 64-row broadcast from a
+    map-side-combined aggregate), then the integer quantizer
+    (v − lo)·levels div (hi − lo) — bit-identical on any engine (no
+    float division). Factored from q_ann_recall_sq8 so the IVF
+    composition encodes with the exact same arithmetic."""
+    dims = eg.select("vec_id", F.posexplode("k").alias("p0", "v")).select(
+        "vec_id", (F.col("p0") + 1).alias("p"), "v"
+    )
+    mm = dims.groupBy("p").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    qd = dims.join(F.broadcast(mm), on="p").select(
+        "vec_id",
+        "p",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(F.expr(f"(v - lo) * {_SQ_LEVELS} div (hi - lo)"))
+        .alias("c"),
+    )
+    return qd.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "c"))),
+            lambda s: s.getField("c").cast("double"),
+        ).alias("code")
+    )
+
+
 @register("q_ann_recall_sq8", oracle=_SQ_ORACLE)
 def q_ann_recall_sq8(spark, sf_dir):
     """MEASURED int8 scalar-quantization recall@5 — the third point on
@@ -203,26 +241,7 @@ def q_ann_recall_sq8(spark, sf_dir):
     IVF probe prune exactly like q_sim_ivfpq_topk composes PQ."""
     emb = t(spark, sf_dir, "embeddings")
     eg = emb.select("vec_id", _grid_vec().alias("k"))
-
-    dims = eg.select(
-        "vec_id", F.posexplode("k").alias("p0", "v")
-    ).select("vec_id", (F.col("p0") + 1).alias("p"), "v")
-    mm = dims.groupBy("p").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-    qd = dims.join(F.broadcast(mm), on="p").select(
-        "vec_id",
-        "p",
-        F.when(F.col("hi") == F.col("lo"), F.lit(0))
-        .otherwise(
-            F.expr(f"(v - lo) * {_SQ_LEVELS} div (hi - lo)")
-        )
-        .alias("c"),
-    )
-    codes = qd.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("p", "c"))),
-            lambda s: s.getField("c").cast("double"),
-        ).alias("code")
-    )
+    codes = _sq_codes(eg)
 
     from incubator_flink_old_spark.operators.similarity import grid_sqdist
 

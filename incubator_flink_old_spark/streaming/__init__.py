@@ -422,3 +422,82 @@ def stateful_heavy_hitters(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stateful_asof_enrich(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ep",
+    seq_col: str = "event_id",
+    kind_col: str = "event_type",
+    update_kind: str = "click",
+    lookup_kind: str = "purchase",
+) -> DataFrame:
+    """Streaming AS-OF enrichment (applyInPandasWithState) — the
+    canonical feature-store join, which Spark has no native streaming
+    operator for: per key, ``update_kind`` rows advance the stored
+    latest-feature state and ``lookup_kind`` rows emit enriched with the
+    latest strictly-preceding update (in (ts, seq) order), or NULLs when
+    none has arrived yet. The batch twin is q_asof_join's
+    last_value(ignore nulls) OVER (... ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING) — the sequential walk below computes exactly that
+    frame when the replay delivers each key's rows in nondecreasing
+    (ts, seq) order across batches (the caller's time-split replay
+    contract; within a batch the worker sorts).
+
+    State per key: (last_update_seq, last_update_ts) — ONE row per key,
+    updated in place, so state size is O(keys) regardless of stream
+    length (production adds an event-time timeout to expire idle keys;
+    the parity row keeps keys live so the batch twin stays exact).
+
+    Event time crosses the Arrow boundary as a PLAIN DOUBLE of epoch
+    seconds computed Spark-side (the engine-wide policy — see
+    stateful_session_stats' round-2 bug note). NULL enrichment uses
+    pandas NULLABLE dtypes (Int64/Float64): a plain float NaN would
+    arrive Spark-side as NaN, not NULL, and diverge from the SQL twin.
+
+    Output: (key, seq, ts, asof_seq, asof_ts) — one row per lookup.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} long, {seq_col} long, {ts_col} double, "
+        "asof_seq long, asof_ts double"
+    )
+    state_schema = "useq long, uts double"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd  # re-import: runs on workers
+
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, seq_col])
+        useq, uts = state.get if state.exists else (None, None)
+        out_seq: list[int] = []
+        out_ts: list[float] = []
+        out_useq: list = []
+        out_uts: list = []
+        for sq, ep, kind in zip(
+            rows[seq_col], rows[ts_col], rows[kind_col]
+        ):
+            if kind == update_kind:
+                useq, uts = int(sq), float(ep)
+            elif kind == lookup_kind:
+                out_seq.append(int(sq))
+                out_ts.append(float(ep))
+                out_useq.append(useq)
+                out_uts.append(uts)
+        if useq is not None:
+            state.update((useq, uts))
+        if out_seq:
+            yield pd.DataFrame(
+                {
+                    key: pd.array([key_tuple[0]] * len(out_seq), dtype="Int64"),
+                    seq_col: pd.array(out_seq, dtype="Int64"),
+                    ts_col: out_ts,
+                    "asof_seq": pd.array(out_useq, dtype="Int64"),
+                    "asof_ts": pd.array(out_uts, dtype="Float64"),
+                }
+            )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -83,3 +83,121 @@ def test_sql_cos_guard_matches_spark_sentinel():
     vals = dict(got)
     assert vals[1] == -2.0 and vals[2] == -2.0 and vals[4] == -2.0
     assert vals[3] == pytest.approx(1.0)
+
+
+import os
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="no testdata")
+def test_ivfsq8_all_cells_equals_plain_sq8(spark):
+    """Composition LAW (the ivfpq precedent, VERDICT r05 item 3): with
+    n_probe = n_cells the IVF prune admits every vector, so IVF+SQ8 must
+    be IDENTICAL to plain SQ8 — same codes, same distance, same
+    tie-break. Any drift means the composition changed the quantizer or
+    the ranking, not just the candidate set."""
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+    from incubator_flink_old_spark.queries.llm_ops11 import _N_CELLS
+    from incubator_flink_old_spark.queries.llm_ops25 import _ivfsq8_recall_df
+
+    load_all_queries()
+    comp = sorted(
+        (r.q_id, r.hits, r.recall)
+        for r in _ivfsq8_recall_df(spark, SF, n_probe=_N_CELLS).collect()
+    )
+    plain = sorted(
+        (r.q_id, r.hits, r.recall)
+        for r in QUERIES["q_ann_recall_sq8"](spark, SF).collect()
+    )
+    assert comp == plain and len(comp) > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="no testdata")
+def test_ivfsq8_pruned_bounds(spark):
+    """The registered (pruned) row: one row per query, hits in [0, k],
+    recall = hits/k exactly."""
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+    from incubator_flink_old_spark.queries.llm_ops11 import _N_QUERIES, _TOPK
+
+    load_all_queries()
+    rows = QUERIES["q_ann_recall_ivfsq8"](spark, SF).collect()
+    assert len(rows) == _N_QUERIES
+    for r in rows:
+        assert 0 <= r.hits <= _TOPK
+        assert abs(r.recall - r.hits / _TOPK) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# stateful_asof_enrich operator laws (tiny replay, arm-level)
+# --------------------------------------------------------------------------
+def _asof_replay(spark, tmp_path, batches):
+    """Drive stateful_asof_enrich over an explicit batch sequence
+    (list of row-lists); returns sorted (user, event, asof_seq) rows."""
+    import time as _time
+
+    from incubator_flink_old_spark.streaming import (
+        run_stream_to_memory,
+        stateful_asof_enrich,
+    )
+
+    schema = "user_id long, event_id long, ep double, event_type string"
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        before = set(os.listdir(src)) if i else set()
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+        if i:
+            bump = _time.time() + 1800 * i
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in before:
+                    os.utime(os.path.join(src, f), (bump, bump))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_asof_enrich(stream)
+    name = f"asof_law_{abs(hash(str(tmp_path))) % 10**8}"
+    run_stream_to_memory(out, name, "append", state_partitions=2)
+    return sorted(
+        (r.user_id, r.event_id, r.asof_seq, r.asof_ts)
+        for r in spark.table(name).collect()
+    )
+
+
+def test_asof_null_before_any_update(spark, tmp_path):
+    # purchase before any click → NULL enrichment (true NULL, not NaN)
+    rows = _asof_replay(
+        spark, tmp_path, [[(1, 10, 100.0, "purchase"), (1, 11, 200.0, "click")]]
+    )
+    assert rows == [(1, 10, None, None)]
+
+
+def test_asof_state_crosses_batches(spark, tmp_path):
+    # click in batch 0 enriches purchases in batches 1 and 2; a newer
+    # click supersedes for later lookups only
+    rows = _asof_replay(
+        spark,
+        tmp_path,
+        [
+            [(7, 1, 100.0, "click")],
+            [(7, 2, 200.0, "purchase"), (7, 3, 250.0, "click")],
+            [(7, 4, 300.0, "purchase")],
+        ],
+    )
+    assert rows == [(7, 2, 1, 100.0), (7, 4, 3, 250.0)]
+
+
+def test_asof_same_ts_order_by_event_id(spark, tmp_path):
+    # equal epochs: (ts, event_id) order decides — the click with the
+    # lower event_id precedes the purchase, matching the batch window's
+    # ROWS ... 1 PRECEDING frame
+    rows = _asof_replay(
+        spark,
+        tmp_path,
+        [[(3, 5, 100.0, "click"), (3, 6, 100.0, "purchase")]],
+    )
+    assert rows == [(3, 6, 5, 100.0)]
