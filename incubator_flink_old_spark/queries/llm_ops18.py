@@ -374,13 +374,34 @@ def q_retrieval_two_stage(spark, sf_dir):
     touches exactly 50 embedding rows via an equi-join on doc_id (a
     partition-pruned point lookup under a vec_id-bucketed layout) and
     one 64-long broadcast query vector. The expensive dense scan never
-    runs corpus-wide — that is the entire point of the topology."""
-    from incubator_flink_old_spark.operators.retrieval import bm25_topk
-
+    runs corpus-wide — that is the entire point of the topology. The
+    stage-1 candidate count is the deployment's main knob: recall@k of
+    the rerank vs N is MEASURED in tools/retrieval_sweep.py (PERF.md
+    round-6 table), and because ranking is a deterministic total order,
+    recall@k(N) = |dense-top-k ∩ candidates(N)|/k — monotone in N (law
+    in tests/test_wave40.py)."""
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
-    cand = bm25_topk(docs, terms=_TS_TERMS, top_k=_TS_CANDIDATES)
-    # Candidates are |_TS_CANDIDATES| rows by construction — pin them so
+    return _two_stage_topk(docs, emb)
+
+
+def _two_stage_topk(
+    docs,
+    emb,
+    n_candidates: int = _TS_CANDIDATES,
+    final_k: int = _TS_FINAL,
+    cand=None,
+):
+    """Shared two-stage body (BM25 top-``n_candidates`` → PRF dense
+    rerank → top-``final_k``), factored so the candidate-count sweep and
+    the recall law test measure the SHIPPED algorithm, not a re-derived
+    one. ``cand`` overrides stage 1 with an explicit (doc_id, bm25)
+    frame (the law test passes the full corpus)."""
+    from incubator_flink_old_spark.operators.retrieval import bm25_topk
+
+    if cand is None:
+        cand = bm25_topk(docs, terms=_TS_TERMS, top_k=n_candidates)
+    # Candidates are |n_candidates| rows by construction — pin them so
     # stage 1 runs once, not once per downstream consumer.
     cand = cand.localCheckpoint(eager=True)
 
@@ -415,4 +436,4 @@ def q_retrieval_two_stage(spark, sf_dir):
             .alias("dense_ip"),
         )
     )
-    return scored.orderBy(F.col("dense_ip").desc(), "doc_id").limit(_TS_FINAL)
+    return scored.orderBy(F.col("dense_ip").desc(), "doc_id").limit(final_k)

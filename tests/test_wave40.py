@@ -201,3 +201,50 @@ def test_asof_same_ts_order_by_event_id(spark, tmp_path):
         [[(3, 5, 100.0, "click"), (3, 6, 100.0, "purchase")]],
     )
     assert rows == [(3, 6, 5, 100.0)]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="no testdata")
+def test_two_stage_recall_monotone_in_candidates(spark):
+    """Stage-1 knob law (VERDICT r05 item 5): because the rerank is a
+    deterministic total order on (dense_ip DESC, doc_id), any full-truth
+    doc admitted to the candidate set outranks every non-truth candidate
+    — so recall@k(N) == |full-top-k ∩ candidates(N)| / k exactly, and is
+    monotone nondecreasing in N. tools/retrieval_sweep.py measures the
+    same quantity at sf0.1 and 16x."""
+    from incubator_flink_old_spark.operators.retrieval import bm25_topk
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _TS_TERMS,
+        _two_stage_topk,
+    )
+    from pyspark.sql import functions as F
+
+    docs = t(spark, SF, "documents")
+    emb = t(spark, SF, "embeddings")
+    k = 10
+    top3 = bm25_topk(docs, terms=_TS_TERMS, top_k=3).localCheckpoint(
+        eager=True
+    )
+    full_cand = (
+        docs.select("doc_id", F.lit(0.0).alias("bm25"))
+        .join(top3.select("doc_id"), on="doc_id", how="left_anti")
+        .unionByName(top3)
+    )
+    truth = {
+        r.doc_id
+        for r in _two_stage_topk(docs, emb, final_k=k, cand=full_cand).collect()
+    }
+    assert len(truth) == k
+    hits = []
+    for n in (5, 15, 40):
+        cand = bm25_topk(docs, terms=_TS_TERMS, top_k=n).localCheckpoint(
+            eager=True
+        )
+        cset = {r.doc_id for r in cand.collect()}
+        got = {
+            r.doc_id
+            for r in _two_stage_topk(docs, emb, final_k=k, cand=cand).collect()
+        }
+        assert len(got & truth) == len(truth & cset)  # containment identity
+        hits.append(len(got & truth))
+    assert hits == sorted(hits)  # monotone in N
