@@ -432,6 +432,7 @@ def stateful_asof_enrich(
     kind_col: str = "event_type",
     update_kind: str = "click",
     lookup_kind: str = "purchase",
+    ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Streaming AS-OF enrichment (applyInPandasWithState) — the
     canonical feature-store join, which Spark has no native streaming
@@ -447,8 +448,13 @@ def stateful_asof_enrich(
 
     State per key: (last_update_seq, last_update_ts) — ONE row per key,
     updated in place, so state size is O(keys) regardless of stream
-    length (production adds an event-time timeout to expire idle keys;
-    the parity row keeps keys live so the batch twin stays exact).
+    length. ``ttl_seconds`` bounds it further: an EVENT-TIME timeout
+    expires keys idle past the TTL (the feature-staleness contract a
+    feature store enforces — a lookup after expiry enriches with NULLs,
+    never a stale feature), and state size becomes O(active keys in the
+    TTL horizon). The parity row passes ttl_seconds=None (keys live
+    forever) so the batch twin stays exact; the TTL arm is law-tested in
+    tests/test_wave40.py.
 
     Event time crosses the Arrow boundary as a PLAIN DOUBLE of epoch
     seconds computed Spark-side (the engine-wide policy — see
@@ -469,6 +475,12 @@ def stateful_asof_enrich(
     def fn(key_tuple, pdfs, state: GroupState):
         import pandas as pd  # re-import: runs on workers
 
+        if state.hasTimedOut:
+            # idle past the TTL: drop the feature — later lookups get
+            # NULLs (stale features must never enrich)
+            state.remove()
+            return
+
         rows = pd.concat(list(pdfs)).sort_values([ts_col, seq_col])
         useq, uts = state.get if state.exists else (None, None)
         out_seq: list[int] = []
@@ -487,6 +499,14 @@ def stateful_asof_enrich(
                 out_uts.append(uts)
         if useq is not None:
             state.update((useq, uts))
+            if ttl_seconds is not None:
+                # expiry clock runs on EVENT time from the last activity
+                # this key saw (updates or lookups), the
+                # stateful_session_stats ms-truncation convention
+                last_seen = float(rows[ts_col].max()) if len(rows) else uts
+                state.setTimeoutTimestamp(
+                    int(max(last_seen, uts) * 1000) + ttl_seconds * 1000
+                )
         if out_seq:
             yield pd.DataFrame(
                 {
@@ -498,6 +518,22 @@ def stateful_asof_enrich(
                 }
             )
 
-    return events.groupBy(key).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    if ttl_seconds is None:
+        return events.groupBy(key).applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    # EventTimeTimeout needs a watermarked TIMESTAMP column; derive it
+    # from the double epoch (zero lateness: the replay contract already
+    # delivers in order, so the watermark is purely the expiry clock)
+    return (
+        events.withColumn("__ts", F.timestamp_seconds(F.col(ts_col)))
+        .withWatermark("__ts", "0 seconds")
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -248,3 +248,57 @@ def test_two_stage_recall_monotone_in_candidates(spark):
         assert len(got & truth) == len(truth & cset)  # containment identity
         hits.append(len(got & truth))
     assert hits == sorted(hits)  # monotone in N
+
+
+def test_asof_ttl_expires_idle_keys(spark, tmp_path):
+    """TTL arm: a key idle past ttl_seconds (event time) is expired, so
+    a later lookup enriches with NULLs — the feature-staleness contract.
+    Batch layout: the click lands, other-key traffic advances the
+    watermark far past click_ts + ttl, an empty batch lets the committed
+    watermark apply (the late-drop lag rule), then the stale lookup."""
+    import time as _time
+
+    from incubator_flink_old_spark.streaming import (
+        run_stream_to_memory,
+        stateful_asof_enrich,
+    )
+    from pyspark.sql import functions as F
+
+    schema = "user_id long, event_id long, ep double, event_type string"
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        [(1, 1, 100.0, "click")],
+        [(2, 2, 100_000.0, "click")],   # advances watermark >> 100+ttl
+        [],                              # batch boundary: watermark applies
+        [(1, 3, 200_000.0, "purchase"), (2, 4, 200_000.0, "purchase")],
+    ]
+    for i, rows in enumerate(batches):
+        before = set(os.listdir(src)) if i else set()
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+        if i:
+            bump = _time.time() + 1800 * i
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in before:
+                    os.utime(os.path.join(src, f), (bump, bump))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_asof_enrich(stream, ttl_seconds=600)
+    name = "asof_ttl_law"
+    run_stream_to_memory(out, name, "append", state_partitions=2)
+    rows = {
+        r.event_id: (r.asof_seq, r.asof_ts)
+        for r in spark.table(name).collect()
+    }
+    # user 1's click (ts=100) expired before its lookup (watermark
+    # passed 100+600 at the batch-2 boundary) → NULLs. user 2's click
+    # expires only at the final batch's own watermark advance, and a
+    # trigger processes its DATA before its timeouts — so the same-batch
+    # lookup still sees the live state. Pin both orders.
+    assert rows[3] == (None, None)
+    assert rows[4] == (2, 100_000.0)
