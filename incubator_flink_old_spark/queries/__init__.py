@@ -101,64 +101,70 @@ LOAD_ERRORS: dict[str, str] = {}
 #: after the priority block. Purely an ordering hint — every query stays
 #: registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-6 rotation (VERDICT r05 item 1): 242/242 queries are
-    # --- driver-green, so the window is pure re-confirmation budget.
-    # --- These are the 49 queries whose latest green row is r01 —
-    # --- checked once, three fixture generations ago — oldest-first
-    # --- in registration order (tools/rotation_age.py re-derives the
-    # --- ordering from the CORRECTNESS union). Round-6 additions
-    # --- (q_ann_recall_ivfsq8, q_stream_asof_parity, ...) auto-front
-    # --- ahead of these re-checks via _apply_driver_priority, so the
-    # --- tail of this list rolls to r07 along with the r02 tier.
-    "q_tpch_q1",
-    "q_tpch_q10",
-    "q_source_range",
-    "q_map_project_arith",
-    "q_flatmap_explode",
-    "q_filter_pred",
-    "q_project",
-    "q_distinct",
-    "q_union_all",
-    "q_intersect",
-    "q_except",
-    "q_sink_global_sort",
-    "q_topk_global",
-    "q_map_pandas",
-    "q_tpch_q14",
-    "q_tpch_q18",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_left_outer",
-    "q_cogroup_outer",
-    "q_cross_theta",
-    "q_weblog_antijoin",
-    "q_cogroup_pandas",
-    "q_groupby_reduce_sum",
-    "q_agg_sum_min_max",
-    "q_agg_count_avg",
-    "q_agg_global",
-    "q_agg_distinct_count",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_groupreduce_topk_per_group",
-    "q_secondary_sort",
-    "q_accumulator_histogram",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_conditional",
-    "q_fn_array",
-    "q_fn_json",
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_session_window",
-    "q_event_dedup",
-    "q_window_rank",
-    "q_window_running_sum",
-    "q_window_lag",
+    # --- round-7 rotation (VERDICT r06 item 1 + ADVICE r06 item 1):
+    # --- all 244 queries are driver-green, so the window is pure
+    # --- re-confirmation budget. Composition: (a) q_iterate_cc — the
+    # --- one remaining r01-latest row, a flagship delta-iteration
+    # --- query; (b) the 5 queries whose SHARED CODE changed in r06
+    # --- (cosine→cosine_safe in grid_ivf/_grid_probes, the _sql_cos
+    # --- oracle guard, the _sq_ctes/_two_stage_topk refactors) but
+    # --- got no fresh r06 row — the code-changed-queries-re-front
+    # --- discipline outranks pure age; (c) the full 44-query r02
+    # --- tier oldest-first in registration order (tools/
+    # --- rotation_age.py re-derives the ordering from the
+    # --- CORRECTNESS union). Round-7 additions auto-front ahead via
+    # --- _apply_driver_priority, rolling this list's tail to r08
+    # --- along with the r03 tier.
     "q_iterate_cc",
+    "q_ann_recall_ivf",
+    "q_ann_recall_ivf_layout",
+    "q_ivf_cell_purity",
+    "q_ann_recall_sq8",
+    "q_retrieval_two_stage",
+    "q_pregel_sssp",
+    "q_transitive_closure",
+    "q_triangles",
+    "q_iterate_pagerank",
+    "q_iterate_kmeans",
+    "q_wordcount",
+    "q_text_stats",
+    "q_text_quality",
+    "q_text_lang_id",
+    "q_text_fingerprint",
+    "q_text_dedup",
+    "q_text_simhash",
+    "q_simhash_pairs",
+    "q_dedup_ngram",
+    "q_sim_topk",
+    "q_sim_ivf_topk",
+    "q_sim_lsh_pairs",
+    "q_multimodal_pipeline",
+    "q_text_scrub",
+    "q_text_vocab",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_asof_join",
+    "q_range_join",
+    "q_pivot",
+    "q_agg_percentile",
+    "q_sample_hash",
+    "q_explode_pos",
+    "q_agg_grouping_sets",
+    "q_unpivot",
+    "q_fn_regex",
+    "q_subquery_exists",
+    "q_window_frames",
+    "q_window_ntile",
+    "q_dedup_cluster",
+    "q_text_chunks",
+    "q_training_corpus",
+    "q_sample_stratified",
+    "q_text_repetition",
+    "q_decontaminate",
+    "q_domain_cap",
+    "q_semantic_dedup",
+    "q_broadcast_filter",
+    "q_profile_table",
 )
 
 
