@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 import tempfile
 import time
 
@@ -267,28 +268,35 @@ def q_stream_asof_parity(spark, sf_dir):
         ev.filter((F.col("ep") >= cuts[1]) & (F.col("ep") < cuts[2])),
         ev.filter(F.col("ep") >= cuts[2]),
     )
+    # The source dir is only needed while the bounded replay runs —
+    # run_stream_to_memory stops the query before returning and the
+    # memory sink owns the result, so remove it in `finally` (repeated
+    # driver/bench invocations must not accumulate parquet in /tmp).
     src = tempfile.mkdtemp(prefix="t2_asof_src_")
-    for i, b in enumerate(batches):
-        before = set(os.listdir(src)) if i else set()
-        b.repartition(1).write.mode("overwrite" if i == 0 else "append").parquet(
-            src
+    try:
+        for i, b in enumerate(batches):
+            before = set(os.listdir(src)) if i else set()
+            b.repartition(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(src)
+            if i:
+                # force file order = time order for the file-replay source
+                bump = time.time() + 1800 * i
+                for f in os.listdir(src):
+                    if f.endswith(".parquet") and f not in before:
+                        os.utime(os.path.join(src, f), (bump, bump))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ep double, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
         )
-        if i:
-            # force file order = time order for the file-replay source
-            bump = time.time() + 1800 * i
-            for f in os.listdir(src):
-                if f.endswith(".parquet") and f not in before:
-                    os.utime(os.path.join(src, f), (bump, bump))
-    stream = (
-        spark.readStream.schema(
-            "user_id long, event_id long, ep double, event_type string"
-        )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    out = stateful_asof_enrich(stream)
-    name = f"stream_asof_{next(_SEQ)}"
-    run_stream_to_memory(out, name, "append", state_partitions=4)
+        out = stateful_asof_enrich(stream)
+        name = f"stream_asof_{next(_SEQ)}"
+        run_stream_to_memory(out, name, "append", state_partitions=4)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).select(
         "user_id", "event_id", "ep", "asof_seq", "asof_ts"
     )

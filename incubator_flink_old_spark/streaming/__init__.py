@@ -448,13 +448,21 @@ def stateful_asof_enrich(
 
     State per key: (last_update_seq, last_update_ts) — ONE row per key,
     updated in place, so state size is O(keys) regardless of stream
-    length. ``ttl_seconds`` bounds it further: an EVENT-TIME timeout
-    expires keys idle past the TTL (the feature-staleness contract a
-    feature store enforces — a lookup after expiry enriches with NULLs,
-    never a stale feature), and state size becomes O(active keys in the
-    TTL horizon). The parity row passes ttl_seconds=None (keys live
-    forever) so the batch twin stays exact; the TTL arm is law-tested in
-    tests/test_wave40.py.
+    length. ``ttl_seconds`` enforces the feature-staleness contract in
+    two layers. (1) A SERVE-TIME gate: a lookup whose event time is more
+    than ttl_seconds past the stored feature's time enriches with NULLs
+    — never a stale feature — regardless of when state physically
+    expires (timeouts only fire at micro-batch boundaries, so a gate is
+    the only way the guarantee holds for same-batch lookups). (2) An
+    EVENT-TIME timeout removes state for keys idle past the TTL, making
+    state O(active keys in the TTL horizon). The timeout clock runs from
+    the key's last activity (updates OR lookups), NOT the feature's age:
+    Spark rejects timeout timestamps behind the current watermark, and a
+    key receiving per-key-late lookups may legitimately hold uts far
+    behind it — so layer (1) is what guarantees freshness of served
+    features; layer (2) only bounds memory. The parity row passes
+    ttl_seconds=None (keys live forever, no gate) so the batch twin
+    stays exact; both TTL arms are law-tested in tests/test_wave40.py.
 
     Event time crosses the Arrow boundary as a PLAIN DOUBLE of epoch
     seconds computed Spark-side (the engine-wide policy — see
@@ -495,14 +503,27 @@ def stateful_asof_enrich(
             elif kind == lookup_kind:
                 out_seq.append(int(sq))
                 out_ts.append(float(ep))
-                out_useq.append(useq)
-                out_uts.append(uts)
+                if (
+                    useq is not None
+                    and ttl_seconds is not None
+                    and float(ep) - uts > ttl_seconds
+                ):
+                    # serve-time staleness gate: the feature is older
+                    # than the TTL relative to THIS lookup's event time
+                    out_useq.append(None)
+                    out_uts.append(None)
+                else:
+                    out_useq.append(useq)
+                    out_uts.append(uts)
         if useq is not None:
             state.update((useq, uts))
             if ttl_seconds is not None:
-                # expiry clock runs on EVENT time from the last activity
-                # this key saw (updates or lookups), the
-                # stateful_session_stats ms-truncation convention
+                # state-size bound, NOT the freshness guarantee (that is
+                # the serve-time gate above): expiry clock runs on EVENT
+                # time from the last activity this key saw (updates or
+                # lookups — uts alone could fall behind the watermark,
+                # which Spark rejects), the stateful_session_stats
+                # ms-truncation convention
                 last_seen = float(rows[ts_col].max()) if len(rows) else uts
                 state.setTimeoutTimestamp(
                     int(max(last_seen, uts) * 1000) + ttl_seconds * 1000

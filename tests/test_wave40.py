@@ -225,6 +225,12 @@ def test_two_stage_recall_monotone_in_candidates(spark):
     top3 = bm25_topk(docs, terms=_TS_TERMS, top_k=3).localCheckpoint(
         eager=True
     )
+    # stitch precondition (ADVICE r06): the true top-3 must exist and
+    # carry strictly positive scores, else the bm25=0 filler rows could
+    # win the PRF feedback ordering and silently change the query vector
+    top3_rows = top3.select("doc_id", "bm25").collect()
+    assert len(top3_rows) == 3
+    assert min(r.bm25 for r in top3_rows) > 0
     full_cand = (
         docs.select("doc_id", F.lit(0.0).alias("bm25"))
         .join(top3.select("doc_id"), on="doc_id", how="left_anti")
@@ -251,11 +257,15 @@ def test_two_stage_recall_monotone_in_candidates(spark):
 
 
 def test_asof_ttl_expires_idle_keys(spark, tmp_path):
-    """TTL arm: a key idle past ttl_seconds (event time) is expired, so
-    a later lookup enriches with NULLs — the feature-staleness contract.
-    Batch layout: the click lands, other-key traffic advances the
-    watermark far past click_ts + ttl, an empty batch lets the committed
-    watermark apply (the late-drop lag rule), then the stale lookup."""
+    """Both TTL arms (ADVICE r06): (1) the SERVE-TIME gate — a lookup
+    whose event time is > ttl past the stored feature's time gets NULLs
+    even while the state row is still physically alive (timeouts only
+    fire at batch boundaries); (2) the event-time timeout — a key idle
+    past the TTL is expired, so its state is gone regardless. A fresh
+    feature within the TTL is served. Batch layout: clicks land,
+    other-key traffic advances the watermark far past click_ts + ttl, an
+    empty batch lets the committed watermark apply (the late-drop lag
+    rule), then the lookups."""
     import time as _time
 
     from incubator_flink_old_spark.streaming import (
@@ -269,9 +279,16 @@ def test_asof_ttl_expires_idle_keys(spark, tmp_path):
     os.makedirs(src, exist_ok=True)
     batches = [
         [(1, 1, 100.0, "click")],
-        [(2, 2, 100_000.0, "click")],   # advances watermark >> 100+ttl
+        # advances watermark >> 100+ttl; user 3's click seeds the
+        # fresh-feature case
+        [(2, 2, 100_000.0, "click"), (3, 5, 100_000.0, "click")],
         [],                              # batch boundary: watermark applies
-        [(1, 3, 200_000.0, "purchase"), (2, 4, 200_000.0, "purchase")],
+        [
+            (1, 3, 200_000.0, "purchase"),
+            (2, 4, 200_000.0, "purchase"),
+            (3, 6, 200_100.0, "click"),
+            (3, 7, 200_150.0, "purchase"),
+        ],
     ]
     for i, rows in enumerate(batches):
         before = set(os.listdir(src)) if i else set()
@@ -296,9 +313,12 @@ def test_asof_ttl_expires_idle_keys(spark, tmp_path):
         for r in spark.table(name).collect()
     }
     # user 1's click (ts=100) expired before its lookup (watermark
-    # passed 100+600 at the batch-2 boundary) → NULLs. user 2's click
-    # expires only at the final batch's own watermark advance, and a
-    # trigger processes its DATA before its timeouts — so the same-batch
-    # lookup still sees the live state. Pin both orders.
+    # passed 100+600 at the batch-2 boundary) → NULLs (timeout arm).
+    # user 2's state is still ALIVE when its lookup is processed (a
+    # trigger processes data before its timeouts), but the feature is
+    # 100_000 s old vs ttl=600 → the serve-time gate NULLs it.
+    # user 3's click at 200_100 is 50 s old at the 200_150 lookup —
+    # within the TTL → served.
     assert rows[3] == (None, None)
-    assert rows[4] == (2, 100_000.0)
+    assert rows[4] == (None, None)
+    assert rows[7] == (6, 200_100.0)

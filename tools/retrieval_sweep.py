@@ -40,15 +40,26 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
 
     from incubator_flink_old_spark import get_spark
+
+    spark = get_spark("retrieval-sweep")
+    out = tempfile.mkdtemp(prefix="retrieval_sweep_")
+    try:
+        _sweep(spark, sf_dir, n_scale, out)
+    finally:
+        # failure path must not leak the Nx parquet replicas in /tmp
+        spark.stop()
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _sweep(spark, sf_dir: str, n_scale: int, out: str) -> None:
+    from pyspark.sql import functions as F  # noqa: F811 (worker clarity)
+
     from incubator_flink_old_spark.operators.retrieval import bm25_topk
     from incubator_flink_old_spark.queries.llm_ops18 import (
         _TS_TERMS,
         _two_stage_topk,
     )
     from incubator_flink_old_spark.sources import load_table
-
-    spark = get_spark("retrieval-sweep")
-    out = tempfile.mkdtemp(prefix="retrieval_sweep_")
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -112,6 +123,21 @@ def main() -> None:
             bm25_topk(d, terms=_TS_TERMS, top_k=3)
             .localCheckpoint(eager=True)
         )
+        # The stitch is only valid if the true top-3 rows WIN the PRF
+        # feedback ordering against the bm25=0 filler — i.e. 3 docs
+        # matched _TS_TERMS and all carry strictly positive scores. A
+        # silent violation would change the feedback vector and
+        # invalidate the recall-vs-N comparison (ADVICE r06).
+        top3_rows = top3.select("doc_id", "bm25").collect()
+        assert len(top3_rows) == 3, (
+            f"PRF stitch precondition broken: BM25 top-3 has "
+            f"{len(top3_rows)} rows (fewer than 3 docs match _TS_TERMS)"
+        )
+        assert min(r.bm25 for r in top3_rows) > 0, (
+            "PRF stitch precondition broken: a BM25 top-3 score is not "
+            "strictly positive, so bm25=0 filler rows could win the "
+            "feedback ordering"
+        )
         full_cand = (
             d.select("doc_id", F.lit(0.0).alias("bm25"))
             .join(top3.select("doc_id"), on="doc_id", how="left_anti")
@@ -144,8 +170,6 @@ def main() -> None:
                 f"wall={wall:.2f}s",
                 flush=True,
             )
-    spark.stop()
-    shutil.rmtree(out, ignore_errors=True)
 
 
 if __name__ == "__main__":
