@@ -185,7 +185,13 @@ def main() -> None:
     # rollup / grouping sets) runs first in a session (roams between
     # sessions with identical plans — PERF.md round-4 closing bench);
     # paying it here keeps it out of every measured run.
-    for warm in ("q_tpch_q3", "q_dedup_minhash", "q_agg_cube"):
+    # q_map_pandas warms the Python-worker pool: the pool is per-JVM, so
+    # chunking re-pays the ~1-2 s daemon/worker spin-up in EVERY chunk,
+    # and it lands on whichever mapInPandas/applyInPandas query runs
+    # first after a rotation reorders the registry (round-6 adjudicated
+    # q_multimodal_frames 0.33→2.27 s and q_map_pandas 0.98→2.21 s to
+    # exactly this class — VERDICT r06 item 4).
+    for warm in ("q_tpch_q3", "q_dedup_minhash", "q_agg_cube", "q_map_pandas"):
         QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
     metrics = StageMetrics(spark)
     metrics.advance()  # consume warmup stages
@@ -220,6 +226,12 @@ def main() -> None:
         try:
             t = run_once(name)
             eng = metrics.advance()
+            # Every run's raw numbers are recorded in the sidecar
+            # (runs_wall_s / runs_engine_ms) so the min-of-N scan below
+            # is reproducible from the committed artifact, not prose
+            # (VERDICT r06 item 3).
+            runs_wall = [round(t, 4)]
+            runs_eng = [eng["executor_run_time_ms"]]
             # Steady-state: a first execution can pay whole-stage-codegen
             # JIT and transient machine load (observed 2-4× swings on the
             # heavy dedup queries). Re-run anything slow once and report
@@ -247,6 +259,8 @@ def main() -> None:
                     print(f"bench: {name} rerun failed (kept first run): {exc}",
                           file=sys.stderr)
                 else:
+                    runs_wall.append(round(t2, 4))
+                    runs_eng.append(eng2["executor_run_time_ms"])
                     t = min(t, t2)
                     if eng2["executor_run_time_ms"] < eng["executor_run_time_ms"]:
                         eng = eng2
@@ -274,11 +288,17 @@ def main() -> None:
                           file=sys.stderr)
                 else:
                     n_runs += 1
+                    runs_wall.append(round(t3, 4))
+                    runs_eng.append(eng3["executor_run_time_ms"])
                     t = min(t, t3)
                     if eng3["executor_run_time_ms"] < eng["executor_run_time_ms"]:
                         eng = eng3
             timings[name] = round(t, 4)
-            engine[name] = eng | {"n_runs": n_runs}
+            engine[name] = eng | {
+                "n_runs": n_runs,
+                "runs_wall_s": runs_wall,
+                "runs_engine_ms": runs_eng,
+            }
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
             metrics.advance()  # don't attribute failed stages to the next query
@@ -310,8 +330,12 @@ def _emit(
     print(json.dumps(result))
     # Machine-readable sidecar for round-over-round regression diffs (the
     # driver's BENCH_r{N}.json may keep only a truncated stdout tail).
+    # SPARK_GRAFT_BENCH_OUT redirects it so the round's TWO quiet runs
+    # can both be committed side by side — the min-of-two scan is then
+    # judge-reproducible from artifacts alone (VERDICT r06 item 3).
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar),
         "w",
     ) as f:
         json.dump(
