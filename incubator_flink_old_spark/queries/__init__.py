@@ -85,6 +85,7 @@ _QUERY_MODULES = (
     "llm_ops23",
     "llm_ops24",
     "llm_ops25",
+    "llm_ops26",
     "analytics",
     "analytics2",
     "surfaces",

@@ -294,7 +294,12 @@ _TS_FEEDBACK = 3
 _TS_FINAL = 10
 
 
-def _two_stage_oracle() -> str:
+def _bm25_ctes(n_candidates: int = _TS_CANDIDATES) -> str:
+    """BM25 stage-1 CTE chain (tk → tf → dl → sc → dft → s → p →
+    ``cand`` (doc_id, bm25), the top-``n_candidates``) — replays
+    operators/retrieval.bm25_topk value-exactly. Factored so the hybrid
+    retrieval oracle (llm_ops26) shares the lexical stage with this
+    module's two-stage oracle by construction."""
     dft_terms = ", ".join(f"'{w}'" for w in _TS_TERMS)
     sums = ",\n               ".join(
         f"SUM(CASE WHEN w = '{w}' THEN s END) AS s{i}"
@@ -302,7 +307,7 @@ def _two_stage_oracle() -> str:
     )
     total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(_TS_TERMS)))
     return rf"""
-    WITH tk AS (
+    tk AS (
         SELECT doc_id,
                unnest(list_filter(string_split_regex(lower(text), '\s+'),
                                   x -> x <> '')) AS w
@@ -326,7 +331,12 @@ def _two_stage_oracle() -> str:
         FROM s GROUP BY doc_id),
     cand AS (
         SELECT doc_id, ROUND(0.0 + {total}, 6) AS bm25
-        FROM p ORDER BY bm25 DESC, doc_id LIMIT {_TS_CANDIDATES}),
+        FROM p ORDER BY bm25 DESC, doc_id LIMIT {n_candidates})"""
+
+
+def _two_stage_oracle() -> str:
+    return rf"""
+    WITH {_bm25_ctes()},
     e AS (
         SELECT vec_id,
                list_transform(embedding::DOUBLE[],
@@ -385,6 +395,27 @@ def q_retrieval_two_stage(spark, sf_dir):
     return _two_stage_topk(docs, emb)
 
 
+def _prf_qvec(cand, eg):
+    """Pseudo-relevance-feedback query vector (Rocchio): the per-dim SUM
+    of the BM25 top-``_TS_FEEDBACK`` documents' integer-grid embeddings,
+    as ONE row (qk array<double>, every entry an exact integer). Shared
+    by the two-stage rerank and the hybrid retrieval (llm_ops26) so both
+    rank along the same dense direction by construction."""
+    fb = cand.orderBy(F.col("bm25").desc(), "doc_id").limit(_TS_FEEDBACK)
+    qv = (
+        fb.join(eg, fb.doc_id == eg.vec_id)
+        .select(F.posexplode("k").alias("p", "v"))
+        .groupBy("p")
+        .agg(F.sum("v").alias("v"))
+    )
+    return qv.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "v"))),
+            lambda s: s.getField("v").cast("double"),
+        ).alias("qk")
+    )
+
+
 def _two_stage_topk(
     docs,
     emb,
@@ -406,19 +437,7 @@ def _two_stage_topk(
     cand = cand.localCheckpoint(eager=True)
 
     eg = emb.select("vec_id", _grid_vec().alias("k"))
-    fb = cand.orderBy(F.col("bm25").desc(), "doc_id").limit(_TS_FEEDBACK)
-    qv = (
-        fb.join(eg, fb.doc_id == eg.vec_id)
-        .select(F.posexplode("k").alias("p", "v"))
-        .groupBy("p")
-        .agg(F.sum("v").alias("v"))
-    )
-    qvec = qv.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("p", "v"))),
-            lambda s: s.getField("v").cast("double"),
-        ).alias("qk")
-    )
+    qvec = _prf_qvec(cand, eg)
 
     from incubator_flink_old_spark.operators.similarity import dot
 

@@ -1,0 +1,54 @@
+"""Plan-shape audit for the round-7 hybrid retrieval (guardrail: every
+new layout-adjacent query lands with its plan pinned): the candidate
+arms must stay bounded — cell probe and candidate joins equi-keyed,
+tiny sides broadcast, no shuffle cartesian over the corpus — the shapes
+the 100 TB posture rests on."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="no testdata")
+
+
+def test_hybrid_no_cartesian_and_broadcasts(spark):
+    """The only nested-loop joins allowed are the deliberate 1-row qvec
+    / n_cells-row broadcasts; the corpus-sized paths (token counts,
+    cell pool, candidate scoring) must ride hash joins."""
+    from incubator_flink_old_spark.plans import explain_str
+    from incubator_flink_old_spark.queries.llm_ops26 import (
+        q_retrieval_hybrid,
+    )
+
+    plan = explain_str(q_retrieval_hybrid(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_hybrid_final_is_take_ordered(spark):
+    """Both candidate arms and the final cut must be TakeOrdered (per-
+    partition top-k + merge), never a single-partition global sort —
+    the difference between a bounded merge and a corpus sort at scale."""
+    from incubator_flink_old_spark.plans import explain_str
+    from incubator_flink_old_spark.queries.llm_ops26 import (
+        q_retrieval_hybrid,
+    )
+
+    plan = explain_str(q_retrieval_hybrid(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_scan_prunes_columns(spark):
+    """Scans feed only the columns the query touches — at 100 TB an
+    unprojected column class dominates IO."""
+    from incubator_flink_old_spark.plans import scan_pushdown
+    from incubator_flink_old_spark.queries.llm_ops26 import (
+        q_retrieval_hybrid,
+    )
+
+    info = scan_pushdown(q_retrieval_hybrid(spark, SF))
+    assert info["read_schema"], "no scans found"

@@ -157,17 +157,27 @@ def _sweep(spark, sf_dir: str, n_scale: int, out: str) -> None:
             top = _two_stage_topk(d, e, final_k=FINAL_K, cand=cand)
             got = {r.doc_id for r in top.collect()}
             wall = time.perf_counter() - t0
-            results[N] = (got, wall)
+            # hybrid: SAME stage-1 candidates, plus the IVF-indexed
+            # dense arm (the shipped q_retrieval_hybrid body) — the
+            # VERDICT r06 item-5 line: does the index hold recall where
+            # fixed-N lexical pruning loses it?
+            t0 = time.perf_counter()
+            hyb = _hybrid_topk(d, e, final_k=FINAL_K, cand=cand)
+            hgot = {r.doc_id for r in hyb.collect()}
+            hwall = time.perf_counter() - t0
+            results[N] = (got, wall, hgot, hwall)
         ref = results[max(SWEEP_N)][0]  # knob-convergence reference
         for N in SWEEP_N:
-            got, wall = results[N]
+            got, wall, hgot, hwall = results[N]
             rec = len(got & truth) / FINAL_K
             conv = len(got & ref) / FINAL_K
+            hrec = len(hgot & truth) / FINAL_K
             print(
                 f"scale={scale} docs={n_docs:,} N={N}: "
                 f"recall@{FINAL_K}(vs full dense)={rec:.2f} "
+                f"hybrid_recall@{FINAL_K}={hrec:.2f} "
                 f"overlap@{FINAL_K}(vs N={max(SWEEP_N)})={conv:.2f} "
-                f"wall={wall:.2f}s",
+                f"wall={wall:.2f}s hybrid_wall={hwall:.2f}s",
                 flush=True,
             )
 
