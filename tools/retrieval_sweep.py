@@ -59,6 +59,7 @@ def _sweep(spark, sf_dir: str, n_scale: int, out: str) -> None:
         _TS_TERMS,
         _two_stage_topk,
     )
+    from incubator_flink_old_spark.queries.llm_ops26 import _hybrid_topk
     from incubator_flink_old_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -180,6 +181,28 @@ def _sweep(spark, sf_dir: str, n_scale: int, out: str) -> None:
                 f"wall={wall:.2f}s hybrid_wall={hwall:.2f}s",
                 flush=True,
             )
+        # Loss attribution: probing ALL cells removes the IVF cell-miss
+        # term, leaving only the dense candidate budget — the remaining
+        # gap to 1.0 prices dense_n; the gap between the n_probe line
+        # above and this one prices n_probe.
+        from incubator_flink_old_spark.queries.llm_ops11 import _N_CELLS
+
+        hall = {
+            r.doc_id
+            for r in _hybrid_topk(
+                d,
+                e,
+                final_k=FINAL_K,
+                cand=bm25_topk(d, terms=_TS_TERMS, top_k=max(SWEEP_N)),
+                n_probe=_N_CELLS,
+            ).collect()
+        }
+        print(
+            f"scale={scale} hybrid_allcells_recall@{FINAL_K}="
+            f"{len(hall & truth) / FINAL_K:.2f}  "
+            "(gap to the N-line = cell-miss; gap to 1.0 = dense budget)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
