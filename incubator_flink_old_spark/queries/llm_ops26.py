@@ -6,6 +6,11 @@ the corpus grows; "the dense stage needs its own index instead of riding
 stage-1 pruning"). Stage 1 prunes lexically (BM25 top-N), stage 2
 retrieves dense candidates from the PRF vector's probed IVF cells, the
 union is reranked by exact integer dense score.
+
+Plus the ANN matrix's REFINE tier: IVF+SQ8 shortlist re-ranked at full
+precision — the standard production recipe's last step (quantization
+error removed for the shortlist at the cost of refine_c full-precision
+reads per query).
 """
 
 from __future__ import annotations
@@ -220,3 +225,206 @@ def q_retrieval_hybrid(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
     return _hybrid_topk(docs, emb)
+
+
+# --------------------------------------------------------------------------
+# IVF + SQ8 + full-precision refine: the complete production ANN recipe
+# --------------------------------------------------------------------------
+
+#: Shortlist size the code scan hands to the full-precision refine —
+#: 4x the final k, the usual small multiple (refine IO is refine_c
+#: full-precision rows per query, nothing corpus-shaped).
+_REFINE_C = 20
+
+
+def _refine_oracle(refine_c: int = _REFINE_C) -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _N_PROBE,
+        _N_QUERIES,
+        _TOPK,
+        _grid_ivf_ctes,
+        _sql_cos,
+    )
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _sq_ctes,
+        _sq_sql_sqdist,
+    )
+
+    ivf_ctes, last_centers = _grid_ivf_ctes()
+    return f"""
+    WITH {ivf_ctes},
+    {_sq_ctes()},
+    qg AS (SELECT vec_id AS q_id, k AS qk FROM e WHERE vec_id < {_N_QUERIES}),
+    pr AS (
+        SELECT q_id, cell FROM (
+            SELECT q.q_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_sql_cos('q.qk', 'c.cv')} DESC, c.cell
+                   ) AS rn
+            FROM qg q CROSS JOIN {last_centers} c) t
+        WHERE rn <= {_N_PROBE}),
+    ic AS (
+        SELECT p.q_id, a.vec_id
+        FROM pr p JOIN af a ON p.cell = a.cell),
+    sl AS (
+        SELECT q_id, vec_id FROM (
+            SELECT ic.q_id, ic.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ic.q_id
+                       ORDER BY {_sq_sql_sqdist('qc.code', 'cc.code')},
+                                ic.vec_id) AS rn
+            FROM ic
+            JOIN codes cc ON ic.vec_id = cc.vec_id
+            JOIN codes qc ON qc.vec_id = ic.q_id) t
+        WHERE rn <= {refine_c}),
+    it AS (
+        SELECT q_id, vec_id FROM (
+            SELECT sl.q_id, sl.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sl.q_id
+                       ORDER BY {_sq_sql_sqdist('qe.k', 'ce.k')},
+                                sl.vec_id) AS rn
+            FROM sl
+            JOIN e ce ON sl.vec_id = ce.vec_id
+            JOIN e qe ON qe.vec_id = sl.q_id) t
+        WHERE rn <= {_TOPK}),
+    bt AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sq_sql_sqdist('q.k', 'c.k')}, c.vec_id) AS rn
+            FROM e q CROSS JOIN e c WHERE q.vec_id < {_N_QUERIES}) t
+        WHERE rn <= {_TOPK})
+    SELECT b.q_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(i.vec_id) AS DOUBLE) / {_TOPK}.0 AS recall
+    FROM bt b
+    LEFT JOIN it i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+    GROUP BY b.q_id
+    """
+
+
+def _ivfsq8_refine_recall_df(
+    spark, sf_dir, refine_c: int = _REFINE_C, n_probe: int | None = None
+):
+    """Shared body of q_ann_recall_ivfsq8_refine; the law tests vary
+    ``refine_c`` (monotone recall; refine_c ≥ pool ≡ exact ranking over
+    the probed cells) and ``n_probe``."""
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_ivf,
+        grid_sqdist,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+        _N_PROBE,
+        _N_QUERIES,
+        _TOPK,
+        _grid_probes,
+    )
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _grid_vec,
+        _sq_codes,
+    )
+
+    n_probe = _N_PROBE if n_probe is None else n_probe
+    emb = t(spark, sf_dir, "embeddings")
+    cells, centers = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
+    eg = emb.select("vec_id", _grid_vec().alias("k"))
+    codes = _sq_codes(eg)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    probes = _grid_probes(queries, centers, n_probe=n_probe)
+    cand = probes.join(cells, on="cell").select("q_id", "vec_id")
+    qcodes = codes.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("code").alias("qcode")
+    )
+    # stage A: compressed scan — rank the probed pool by int8 codes,
+    # keep the refine_c shortlist (the only corpus-shaped work, at 8x
+    # fewer bytes than the double grid)
+    code_scored = (
+        cand.join(codes, on="vec_id")
+        .join(F.broadcast(qcodes), on="q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            grid_sqdist(F.col("qcode"), F.col("code")).alias("cd"),
+        )
+    )
+    wc = Window.partitionBy("q_id").orderBy("cd", "vec_id")
+    shortlist = (
+        code_scored.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= refine_c)
+        .select("q_id", "vec_id")
+    )
+    # stage B: full-precision refine — refine_c point reads per query
+    # (an equi-join on vec_id), exact grid distance, final top-k
+    kd = eg.select(
+        "vec_id", F.transform("k", lambda x: x.cast("double")).alias("kd")
+    )
+    qk = kd.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("kd").alias("qv")
+    )
+    refined = (
+        shortlist.join(kd, on="vec_id")
+        .join(F.broadcast(qk), on="q_id")
+        .select(
+            "q_id", "vec_id", grid_sqdist(F.col("qv"), F.col("kd")).alias("d")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    it = (
+        refined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(F.col("q_id").alias("iq"), F.col("vec_id").alias("ivec"))
+    )
+    # exact full-precision ground truth (the family's shared harness;
+    # brute force bounded to the 20-query sample)
+    bd = (
+        F.broadcast(qk)
+        .crossJoin(kd.select("vec_id", F.col("kd").alias("cv")))
+        .select(
+            "q_id", "vec_id", grid_sqdist(F.col("qv"), F.col("cv")).alias("d")
+        )
+    )
+    bt = (
+        bd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    return (
+        bt.join(it, (bt.q_id == it.iq) & (bt.vec_id == it.ivec), "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("ivec").alias("hits"),
+            (F.count("ivec").cast("double") / _TOPK).alias("recall"),
+        )
+    )
+
+
+@register("q_ann_recall_ivfsq8_refine", oracle=_refine_oracle())
+def q_ann_recall_ivfsq8_refine(spark, sf_dir):
+    """MEASURED recall@5 for IVF + SQ8 + FULL-PRECISION REFINE — the
+    complete production ANN recipe (FAISS's IVF,SQ8 with a refine
+    stage): the coarse quantizer prunes to probed cells, the int8 code
+    scan ranks the pruned pool and keeps a refine_c (=20, 4x the final
+    k) shortlist, and only the shortlist is re-read at full precision for
+    the exact final ranking. Quantization error can now only cost
+    recall when a true neighbor falls outside the code-rank shortlist —
+    provably never when it's inside: the refine ranks by the SAME key
+    as the ground truth, so hits = |truth ∩ shortlist| exactly, which
+    makes refine recall ≥ plain IVF+SQ8 recall and monotone in
+    refine_c (both pinned in tests/test_wave41.py).
+
+    Scale: stage A is q_ann_recall_ivfsq8's partition-pruned compressed
+    scan unchanged; stage B touches refine_c full-precision rows per
+    query via an equi-join on vec_id (point lookups under the by-id
+    layout) — per-query IO is refine_c·dim doubles, independent of
+    corpus size. The brute-force arm exists only in the measurement
+    harness, bounded to the 20-query sample."""
+    return _ivfsq8_refine_recall_df(spark, sf_dir)

@@ -104,3 +104,117 @@ def test_hybrid_recall_dominates_two_stage(spark):
     # at the smallest N the index arm must actually ADD recall on this
     # fixture (strictly greater somewhere), else the test is vacuous
     assert dominated
+
+
+def test_refine_recall_dominates_and_monotone(spark):
+    """Refine laws: (1) refine ranks by the SAME key as the ground
+    truth, so hits = |truth ∩ shortlist| exactly — refine recall
+    dominates plain IVF+SQ8 recall (a truth member at code rank k+1..C
+    is recovered); (2) recall is monotone nondecreasing in refine_c
+    (shortlists nest)."""
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+    from incubator_flink_old_spark.queries.llm_ops26 import (
+        _ivfsq8_refine_recall_df,
+    )
+
+    load_all_queries()
+    plain = {
+        r.q_id: r.hits
+        for r in QUERIES["q_ann_recall_ivfsq8"](spark, SF).collect()
+    }
+    prev_total = None
+    for c in (5, 20, 80):
+        ref = {
+            r.q_id: r.hits
+            for r in _ivfsq8_refine_recall_df(
+                spark, SF, refine_c=c
+            ).collect()
+        }
+        total = sum(ref.values())
+        if c == 5:
+            # refine_c = k: the shortlist IS the code top-k, so refine
+            # re-orders it but selects the same set — identical hits
+            assert ref == plain
+        else:
+            assert all(ref[q] >= plain[q] for q in plain)
+        if prev_total is not None:
+            assert total >= prev_total
+        prev_total = total
+
+
+def test_refine_unbounded_equals_exact_over_cells(spark):
+    """refine_c ≥ pool ⇒ the code scan stops mattering entirely: the
+    result is the exact full-precision ranking over the probed cells —
+    quantization error fully removed, only cell-miss remains."""
+    from pyspark.sql import functions as F
+
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_ivf,
+        grid_sqdist,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+        _N_QUERIES,
+        _TOPK,
+        _grid_probes,
+    )
+    from incubator_flink_old_spark.queries.llm_ops18 import _grid_vec
+    from incubator_flink_old_spark.queries.llm_ops26 import (
+        _ivfsq8_refine_recall_df,
+    )
+    from pyspark.sql import Window
+
+    emb = t(spark, SF, "embeddings")
+    n = emb.count()
+    got = {
+        r.q_id: r.hits
+        for r in _ivfsq8_refine_recall_df(spark, SF, refine_c=n).collect()
+    }
+    # exact ranking over the probed cells, computed independently
+    cells, centers = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
+    eg = emb.select("vec_id", _grid_vec().alias("k"))
+    kd = eg.select(
+        "vec_id", F.transform("k", lambda x: x.cast("double")).alias("kd")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    pool = _grid_probes(queries, centers).join(cells, on="cell").select(
+        "q_id", "vec_id"
+    )
+    qk = kd.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("kd").alias("qv")
+    )
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    exact = (
+        pool.join(kd, on="vec_id")
+        .join(F.broadcast(qk), on="q_id")
+        .select(
+            "q_id", "vec_id", grid_sqdist(F.col("qv"), F.col("kd")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(F.col("q_id").alias("iq"), F.col("vec_id").alias("ivec"))
+    )
+    bt = (
+        F.broadcast(qk)
+        .crossJoin(kd.select("vec_id", F.col("kd").alias("cv")))
+        .select(
+            "q_id", "vec_id", grid_sqdist(F.col("qv"), F.col("cv")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    want = {
+        r.q_id: r.hits
+        for r in bt.join(
+            exact, (bt.q_id == exact.iq) & (bt.vec_id == exact.ivec), "left"
+        )
+        .groupBy("q_id")
+        .agg(F.count("ivec").alias("hits"))
+        .collect()
+    }
+    assert got == want

@@ -52,3 +52,18 @@ def test_hybrid_scan_prunes_columns(spark):
 
     info = scan_pushdown(q_retrieval_hybrid(spark, SF))
     assert info["read_schema"], "no scans found"
+
+
+def test_refine_no_cartesian_and_equijoined(spark):
+    """The refine tier must keep the composed shape: probed-cell pool
+    and shortlist ride equi-joins, query-side frames broadcast, and no
+    shuffle cartesian appears (the brute-force arm is the deliberate
+    20-row broadcast nested loop)."""
+    from incubator_flink_old_spark.plans import explain_str
+    from incubator_flink_old_spark.queries.llm_ops26 import (
+        q_ann_recall_ivfsq8_refine,
+    )
+
+    plan = explain_str(q_ann_recall_ivfsq8_refine(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
