@@ -204,6 +204,63 @@ def ivf_topk(
     return out
 
 
+def _assign_grid(e: DataFrame, centers: DataFrame) -> DataFrame:
+    """Nearest-frozen-center assignment of a pre-quantized grid frame
+    ``e`` (__c, __k array<long>) against broadcast ``centers`` (cell,
+    cv array<long>): rank by the exact integer-grid cosine (zero-norm
+    sentinel), ties to the smallest cell id — the single arithmetic
+    every IVF surface (training rounds, final layout, incremental
+    delta maintenance) shares. Returns (__c, __k, cell)."""
+    from pyspark.sql import Window
+
+    return (
+        e.crossJoin(F.broadcast(centers))
+        .select(
+            "__c",
+            "__k",
+            "cell",
+            cosine_safe(as_double_array("__k"), as_double_array("cv")).alias(
+                "__sim"
+            ),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__c").orderBy(
+                    F.col("__sim").desc(), "cell"
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("__c", "__k", "cell")
+    )
+
+
+def grid_assign(
+    corpus: DataFrame,
+    centers: DataFrame,
+    grid: float = 1_000_000.0,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to FROZEN IVF centers — the index-maintenance
+    primitive: appending a delta batch to a 100 TB by-cell layout is
+    this map-only pass (centers broadcast, corpus never shuffles, each
+    row's cell decided locally), NOT a re-train. Same quantization and
+    ranking arithmetic as :func:`grid_ivf`'s training assignment (the
+    shared :func:`_assign_grid`), so incremental ≡ batch assignment by
+    construction (law-pinned in tests/test_wave41.py). Returns
+    (key, cell)."""
+    e = corpus.select(
+        F.col(key).alias("__c"),
+        F.transform(
+            as_double_array(vec),
+            lambda x: F.floor(x * F.lit(grid)).cast("long"),
+        ).alias("__k"),
+    )
+    return _assign_grid(e, centers).select(F.col("__c").alias(key), "cell")
+
+
 def grid_ivf(
     corpus: DataFrame,
     n_cells: int = 8,
@@ -251,23 +308,7 @@ def grid_ivf(
     )
 
     def assign(centers: DataFrame) -> DataFrame:
-        return (
-            e.crossJoin(F.broadcast(centers))
-            .select(
-                "__c",
-                "__k",
-                "cell",
-                cosine_safe(as_double_array("__k"), as_double_array("cv")).alias("__sim"),
-            )
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy("__c").orderBy(F.col("__sim").desc(), "cell")
-                ),
-            )
-            .filter(F.col("__rn") == 1)
-            .select("__c", "__k", "cell")
-        )
+        return _assign_grid(e, centers)
 
     centers = (
         e.orderBy("__c")

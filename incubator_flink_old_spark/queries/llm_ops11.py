@@ -114,13 +114,18 @@ def _sql_cos(a: str, b: str, transform: bool = True) -> str:
     )
 
 
-def _grid_ivf_ctes(n_cells: int = _N_CELLS, iters: int = _ITERS) -> str:
+def _grid_ivf_ctes(
+    n_cells: int = _N_CELLS, iters: int = _ITERS, src: str = "embeddings"
+) -> str:
     """CTE chain replaying operators/similarity.grid_ivf exactly:
     ``e`` (vec_id, label, k grid vector) → seeds ``c0`` → per round i an
     assignment ``a{i}`` and truncated-mean centers ``c{i+1}l`` → final
     assignment ``af`` (vec_id, k, label, cell). Every arithmetic step is
     integer-exact on both engines (see grid_ivf's docstring), so the CTE
-    chain is a value-level replay, not an approximation."""
+    chain is a value-level replay, not an approximation. ``src`` swaps
+    the training corpus (default: the full embeddings table; the
+    incremental-maintenance oracle trains on a filtered base) — the
+    rendered SQL is unchanged for the default."""
 
     def assign(aname: str, cname: str) -> str:
         return f"""
@@ -140,7 +145,7 @@ def _grid_ivf_ctes(n_cells: int = _N_CELLS, iters: int = _ITERS) -> str:
         SELECT vec_id, label,
                list_transform(embedding::DOUBLE[],
                               x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
-        FROM embeddings),
+        FROM {src}),
     c0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
                k AS cv

@@ -428,3 +428,109 @@ def q_ann_recall_ivfsq8_refine(spark, sf_dir):
     corpus size. The brute-force arm exists only in the measurement
     harness, bounded to the 20-query sample."""
     return _ivfsq8_refine_recall_df(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# IVF incremental maintenance: delta vectors assigned to FROZEN centers
+# --------------------------------------------------------------------------
+
+#: Base/delta split: vec_id % 5 == 4 is the "newly arrived" 20% the
+#: index must absorb without retraining.
+_IVF_DELTA_MOD = 5
+_IVF_DELTA_REM = 4
+
+
+def _ivf_incremental_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _grid_ivf_ctes,
+        _sql_cos,
+    )
+
+    base_src = (
+        f"(SELECT * FROM embeddings WHERE vec_id % {_IVF_DELTA_MOD} "
+        f"<> {_IVF_DELTA_REM}) base_emb"
+    )
+    ivf_ctes, last_centers = _grid_ivf_ctes(src=base_src)
+    return f"""
+    WITH {ivf_ctes},
+    e2 AS (
+        SELECT vec_id,
+               vec_id % {_IVF_DELTA_MOD} <> {_IVF_DELTA_REM} AS is_base,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
+        FROM embeddings),
+    aa AS (
+        SELECT vec_id, is_base, cell FROM (
+            SELECT e2.vec_id, e2.is_base, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e2.vec_id
+                       ORDER BY {_sql_cos('e2.k', 'c.cv')} DESC, c.cell
+                   ) AS rn
+            FROM e2 CROSS JOIN {last_centers} c) t
+        WHERE rn = 1)
+    SELECT cell,
+           CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base,
+           CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_delta,
+           CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS frac_delta
+    FROM aa
+    GROUP BY cell
+    """
+
+
+@register("q_ivf_incremental", oracle=_ivf_incremental_oracle())
+def q_ivf_incremental(spark, sf_dir):
+    """IVF index MAINTENANCE without retrain — the q_zorder_incremental
+    analog for the ANN layout: the coarse quantizer is trained on the
+    base corpus only (vec_id % 5 != 4), then a 20% delta batch of
+    newly-arrived vectors is absorbed by assigning each to its nearest
+    FROZEN center (operators/similarity.grid_assign — the same
+    quantization and ranking arithmetic training used, so incremental ≡
+    batch assignment by construction, law-pinned in
+    tests/test_wave41.py). The row reports per cell how the delta
+    landed: (n_base, n_delta, frac_delta) — the drift audit that tells
+    a deployment when delta skew has degraded cell balance enough to
+    schedule a re-train, exactly how the z-order layout re-records its
+    bounds at compaction.
+
+    Scale: the delta assignment is a MAP-ONLY pass (n_cells-row center
+    broadcast, each row's cell decided locally — no shuffle of the
+    existing corpus, no Lloyd rounds); appended rows land in by-cell
+    partitions so probes keep pruning across base+delta; the audit
+    itself is one digest-sized (cell) groupBy. The oracle replays Lloyd
+    on the filtered base plus the frozen-center assignment of the full
+    table, value-exactly."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign,
+        grid_ivf,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    is_base = F.col("vec_id") % _IVF_DELTA_MOD != _IVF_DELTA_REM
+    base = emb.filter(is_base)
+    delta = emb.filter(~is_base)
+    _, centers = grid_ivf(base, n_cells=_N_CELLS, iters=_ITERS)
+    ab = grid_assign(base, centers).withColumn("is_base", F.lit(True))
+    ad = grid_assign(delta, centers).withColumn("is_base", F.lit(False))
+    return (
+        ab.unionByName(ad)
+        .groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(F.when(F.col("is_base"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_delta"),
+            (
+                F.sum(F.when(F.col("is_base"), 0).otherwise(1)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("frac_delta"),
+        )
+    )

@@ -218,3 +218,42 @@ def test_refine_unbounded_equals_exact_over_cells(spark):
         .collect()
     }
     assert got == want
+
+
+def test_grid_assign_incremental_equals_batch(spark):
+    """Index-maintenance laws: (1) assignment is row-local, so
+    assigning base and delta SEPARATELY to frozen centers equals one
+    batch assignment of their union — the property that makes
+    incremental maintenance exact, not approximate; (2) grid_assign
+    against grid_ivf's own centers reproduces grid_ivf's final cells —
+    the maintenance path and the training path share one arithmetic."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign,
+        grid_ivf,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+    )
+
+    emb = t(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    cells, centers = grid_ivf(base, n_cells=_N_CELLS, iters=_ITERS)
+
+    batch = {
+        (r.vec_id, r.cell) for r in grid_assign(emb, centers).collect()
+    }
+    incremental = {
+        (r.vec_id, r.cell) for r in grid_assign(base, centers).collect()
+    } | {(r.vec_id, r.cell) for r in grid_assign(delta, centers).collect()}
+    assert incremental == batch
+
+    # (2) training's own final assignment is reproduced by the
+    # maintenance primitive
+    trained = {(r.vec_id, r.cell) for r in cells.collect()}
+    maintained = {
+        (r.vec_id, r.cell) for r in grid_assign(base, centers).collect()
+    }
+    assert maintained == trained
