@@ -67,3 +67,17 @@ def test_refine_no_cartesian_and_equijoined(spark):
     plan = explain_str(q_ann_recall_ivfsq8_refine(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ivf_incremental_no_cartesian(spark):
+    """The maintenance pass must stay map-shaped: centers broadcast to
+    every assignment (training rounds and the frozen-center delta
+    assignment alike), no shuffle cartesian anywhere."""
+    from incubator_flink_old_spark.plans import explain_str
+    from incubator_flink_old_spark.queries.llm_ops26 import (
+        q_ivf_incremental,
+    )
+
+    plan = explain_str(q_ivf_incremental(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
