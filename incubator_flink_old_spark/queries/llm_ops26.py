@@ -306,12 +306,15 @@ def _refine_oracle(refine_c: int = _REFINE_C) -> str:
     """
 
 
-def _ivfsq8_refine_recall_df(
+def _refine_ranked(
     spark, sf_dir, refine_c: int = _REFINE_C, n_probe: int | None = None
 ):
-    """Shared body of q_ann_recall_ivfsq8_refine; the law tests vary
-    ``refine_c`` (monotone recall; refine_c ≥ pool ≡ exact ranking over
-    the probed cells) and ``n_probe``."""
+    """The refine pipeline's RANKED result and its ground truth:
+    returns (it, bt) where it = (q_id, vec_id, rn) — the exact-distance
+    top-k over the code-rank shortlist, rank kept — and bt = the
+    brute-force exact top-k (q_id, vec_id). Shared by the recall row
+    and the rank-aware evaluation row (MRR/nDCG) so both score the
+    same shipped pipeline."""
     from pyspark.sql import Window
 
     from incubator_flink_old_spark.operators.similarity import (
@@ -381,7 +384,7 @@ def _ivfsq8_refine_recall_df(
     it = (
         refined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOPK)
-        .select(F.col("q_id").alias("iq"), F.col("vec_id").alias("ivec"))
+        .select("q_id", "vec_id", "rn")
     )
     # exact full-precision ground truth (the family's shared harness;
     # brute force bounded to the 20-query sample)
@@ -397,6 +400,19 @@ def _ivfsq8_refine_recall_df(
         .filter(F.col("rn") <= _TOPK)
         .select("q_id", "vec_id")
     )
+    return it, bt
+
+
+def _ivfsq8_refine_recall_df(
+    spark, sf_dir, refine_c: int = _REFINE_C, n_probe: int | None = None
+):
+    """Shared body of q_ann_recall_ivfsq8_refine; the law tests vary
+    ``refine_c`` (monotone recall; refine_c ≥ pool ≡ exact ranking over
+    the probed cells) and ``n_probe``."""
+    from incubator_flink_old_spark.queries.llm_ops11 import _TOPK
+
+    it, bt = _refine_ranked(spark, sf_dir, refine_c, n_probe)
+    it = it.select(F.col("q_id").alias("iq"), F.col("vec_id").alias("ivec"))
     return (
         bt.join(it, (bt.q_id == it.iq) & (bt.vec_id == it.ivec), "left")
         .groupBy("q_id")
@@ -533,4 +549,143 @@ def q_ivf_incremental(spark, sf_dir):
                 / F.count(F.lit(1)).cast("double")
             ).alias("frac_delta"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank-aware retrieval evaluation: MRR / nDCG / recall per query
+# --------------------------------------------------------------------------
+
+def _eval_weights() -> tuple[list[float], float]:
+    """Per-rank nDCG discounts 1/log2(i+1), i = 1..k, plus the ideal
+    DCG (their fixed-order sum), computed ONCE in Python. Both the
+    Spark expression and the SQL oracle embed these exact double
+    LITERALS (repr round-trips them losslessly), so neither engine
+    evaluates log() at query time — libm's log is not guaranteed
+    correctly rounded across implementations, and a last-ulp
+    divergence would hash-mismatch."""
+    import math
+
+    from incubator_flink_old_spark.queries.llm_ops11 import _TOPK
+
+    ws = [1.0 / math.log2(i + 1) for i in range(1, _TOPK + 1)]
+    idcg = 0.0
+    for w in ws:
+        idcg += w
+    return ws, idcg
+
+
+def _eval_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import _TOPK
+
+    ws, idcg = _eval_weights()
+    # Reuse the refine oracle's chain up to it/bt (unused `it` CTE is
+    # harmless), appending a rank-keeping re-rank `hr` plus the metric
+    # tail in place of the recall SELECT.
+    head, _tail = _refine_oracle().rsplit("SELECT b.q_id,", 1)
+    hs = ",\n           ".join(
+        f"COALESCE(MAX(CASE WHEN i.rn = {i} AND b.q_id IS NOT NULL "
+        f"THEN 1 END), 0) AS h{i}"
+        for i in range(1, _TOPK + 1)
+    )
+    # every literal is CAST to DOUBLE: DuckDB parses bare numeric
+    # literals as DECIMAL, which both changes the column type and
+    # routes the nDCG arithmetic through decimal rounding
+    mrr_case = " ".join(
+        f"WHEN h{i} = 1 THEN CAST({1.0 / i!r} AS DOUBLE)"
+        for i in range(1, _TOPK + 1)
+    )
+    dcg = " + ".join(
+        f"h{i} * CAST({ws[i - 1]!r} AS DOUBLE)" for i in range(1, _TOPK + 1)
+    )
+    rec = " + ".join(f"h{i}" for i in range(1, _TOPK + 1))
+    return f"""{head},\n    hr AS (
+        SELECT q_id, vec_id, rn FROM (
+            SELECT sl.q_id, sl.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sl.q_id
+                       ORDER BY {_eval_sqdist('qe.k', 'ce.k')},
+                                sl.vec_id) AS rn
+            FROM sl
+            JOIN e ce ON sl.vec_id = ce.vec_id
+            JOIN e qe ON qe.vec_id = sl.q_id) t
+        WHERE rn <= {_TOPK}),
+    hm AS (
+        SELECT i.q_id,
+           {hs}
+        FROM hr i
+        LEFT JOIN bt b ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+        GROUP BY i.q_id)
+    SELECT q_id,
+           CASE {mrr_case} ELSE CAST(0.0 AS DOUBLE) END AS mrr,
+           ({dcg}) / CAST({idcg!r} AS DOUBLE) AS ndcg,
+           CAST(({rec}) AS DOUBLE) / {_TOPK}.0 AS recall
+    FROM hm
+    """
+
+
+def _eval_sqdist(a: str, b: str) -> str:
+    from incubator_flink_old_spark.queries.llm_ops18 import _sq_sql_sqdist
+
+    return _sq_sql_sqdist(a, b)
+
+
+@register("q_ann_eval_refine", oracle=_eval_oracle())
+def q_ann_eval_refine(spark, sf_dir):
+    """Rank-aware retrieval EVALUATION over the refine tier — the eval
+    harness a training-data platform runs nightly, as one distributed
+    query: per query vector, MRR (reciprocal rank of the first true
+    neighbor), nDCG@5 (rank-discounted gain against the ideal ordering)
+    and recall@5, all against the exact brute-force truth. recall says
+    WHETHER the truth was found; MRR/nDCG say WHERE it landed — an
+    index can hold recall while quietly pushing truth to the bottom
+    ranks, and only the rank-aware metrics catch that drift.
+
+    Cross-engine exactness: the rank pipeline is the shipped refine
+    chain (integer arithmetic end to end); the per-rank hit flags are
+    0/1 integers pivoted in fixed rank order; the nDCG discounts
+    1/log2(i+1) and the ideal DCG are Python-computed double LITERALS
+    embedded in BOTH engines' expressions (libm log at query time is
+    not correctly-rounded-portable), and every sum is a fixed-order
+    5-term chain — bit-identical on any engine.
+
+    Scale: adds one ≤k-row-per-query pivot on top of the refine
+    pipeline — digest-sized; the metrics aggregate is O(queries)."""
+    from incubator_flink_old_spark.queries.llm_ops11 import _TOPK
+
+    ws, idcg = _eval_weights()
+    it, bt = _refine_ranked(spark, sf_dir)
+    bt_hit = bt.select("q_id", "vec_id", F.lit(1).alias("__hit"))
+    hm = (
+        it.join(bt_hit, on=["q_id", "vec_id"], how="left")
+        .groupBy("q_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            (F.col("rn") == i) & F.col("__hit").isNotNull(),
+                            F.lit(1),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias(f"h{i}")
+                for i in range(1, _TOPK + 1)
+            ]
+        )
+    )
+    mrr = F.lit(0.0)
+    for i in range(_TOPK, 0, -1):
+        mrr = F.when(F.col(f"h{i}") == 1, F.lit(1.0 / i)).otherwise(mrr)
+    dcg = F.col("h1") * F.lit(ws[0])
+    for i in range(2, _TOPK + 1):
+        dcg = dcg + F.col(f"h{i}") * F.lit(ws[i - 1])
+    rec = F.col("h1")
+    for i in range(2, _TOPK + 1):
+        rec = rec + F.col(f"h{i}")
+    return hm.select(
+        "q_id",
+        mrr.alias("mrr"),
+        (dcg / F.lit(idcg)).alias("ndcg"),
+        (rec.cast("double") / F.lit(float(_TOPK))).alias("recall"),
     )
