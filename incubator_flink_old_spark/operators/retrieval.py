@@ -26,6 +26,53 @@ from pyspark.sql import functions as F
 from incubator_flink_old_spark.operators.text import tokens
 
 
+def bm25_index_stats(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text: str = "text",
+    key: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Per-SOURCE BM25 index statistics in their mergeable (raw-count)
+    form: a 1-row (n docs, toks tokens) frame and a per-term (w, dft)
+    document-frequency frame. These are the corpus-level numbers a
+    lexical index maintains; per-document postings (tf, dl) never need
+    merging — appending a delta batch is a map-only postings write plus
+    THIS digest-sized stats merge (:func:`merge_bm25_stats`), the exact
+    lexical analog of the IVF layout's frozen-center delta assignment."""
+    tk = df.select(F.col(key), F.explode(tokens(text)).alias("w"))
+    tf = tk.groupBy(key, "w").agg(F.count(F.lit(1)).alias("tf"))
+    counts = df.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        tk.agg(F.count(F.lit(1)).alias("toks"))
+    )
+    dft = (
+        tf.filter(F.col("w").isin(list(terms)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("dft"))
+    )
+    return counts, dft
+
+
+def merge_bm25_stats(
+    *stats: tuple[DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame]:
+    """Merge per-source index statistics into the (scalars, dft) pair
+    :func:`bm25_topk` scores with. Counts merge by integer SUM — exact —
+    and avgdl is computed from the merged longs, so the merged result is
+    BIT-IDENTICAL to recomputing over the union corpus (law-pinned in
+    tests/test_wave41.py; the merged sums are the same integers, and
+    toks/n divides the same operands)."""
+    counts = stats[0][0]
+    dft = stats[0][1]
+    for c, d in stats[1:]:
+        counts = counts.unionByName(c)
+        dft = dft.unionByName(d)
+    scalars = counts.agg(
+        F.sum("n").alias("n"), F.sum("toks").alias("toks")
+    ).select("n", (F.col("toks").cast("double") / F.col("n")).alias("avgdl"))
+    dft = dft.groupBy("w").agg(F.sum("dft").alias("dft"))
+    return scalars, dft
+
+
 def bm25_topk(
     df: DataFrame,
     terms: tuple[str, ...],
@@ -34,6 +81,7 @@ def bm25_topk(
     top_k: int = 20,
     text: str = "text",
     key: str = "doc_id",
+    index_stats: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval: score every document containing at least
     one query term and return the ``top_k`` by total score.
@@ -50,6 +98,12 @@ def bm25_topk(
 
     Output: (key, bm25) — the ``top_k`` rows by (bm25 desc, key), a
     distributed TakeOrdered, never a single-partition window.
+
+    ``index_stats`` injects pre-merged corpus statistics (the
+    (scalars, dft) pair from :func:`merge_bm25_stats`) instead of
+    recomputing them from ``df`` — the incremental-index path. The
+    merge is integer-exact, so the injected ranking is bit-identical
+    to the recomputed one.
     """
     terms = tuple(terms)
     if not terms:
@@ -59,13 +113,18 @@ def bm25_topk(
     tk = df.select(F.col(key), F.explode(tokens(text)).alias("w"))
     tf = tk.groupBy(key, "w").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy(key).agg(F.sum("tf").alias("dl"))
-    scalars = (
-        df.agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(tk.agg(F.count(F.lit(1)).alias("toks")))
-        .select("n", (F.col("toks").cast("double") / F.col("n")).alias("avgdl"))
-    )
     qtf = tf.filter(F.col("w").isin(list(terms)))
-    dft = qtf.groupBy("w").agg(F.count(F.lit(1)).alias("dft"))
+    if index_stats is not None:
+        scalars, dft = index_stats
+    else:
+        scalars = (
+            df.agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(tk.agg(F.count(F.lit(1)).alias("toks")))
+            .select(
+                "n", (F.col("toks").cast("double") / F.col("n")).alias("avgdl")
+            )
+        )
+        dft = qtf.groupBy("w").agg(F.count(F.lit(1)).alias("dft"))
     idf = F.log(
         (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1.0
     )

@@ -689,3 +689,57 @@ def q_ann_eval_refine(spark, sf_dir):
         (dcg / F.lit(idcg)).alias("ndcg"),
         (rec.cast("double") / F.lit(float(_TOPK))).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental BM25 index maintenance: merged corpus stats, exact ranking
+# --------------------------------------------------------------------------
+
+def _bm25_incremental_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops18 import _bm25_ctes
+
+    # The oracle scores the union corpus DIRECTLY — the whole claim of
+    # the incremental path is that merged statistics rank identically,
+    # so the strongest oracle is the non-incremental computation.
+    return f"""
+    WITH {_bm25_ctes(n_candidates=20)}
+    SELECT doc_id, bm25 FROM cand
+    """
+
+
+@register("q_bm25_incremental", oracle=_bm25_incremental_oracle())
+def q_bm25_incremental(spark, sf_dir):
+    """Incremental LEXICAL index maintenance — the BM25 twin of
+    q_ivf_incremental: a 20% delta batch of new documents
+    (doc_id % 5 == 4) is absorbed by MERGING per-source corpus
+    statistics (doc count, token count, per-term document frequency —
+    operators/retrieval.bm25_index_stats / merge_bm25_stats) instead of
+    recomputing them over the union, and the union corpus is ranked
+    with the merged stats injected into the shipped scorer. The merge
+    is integer SUM on raw counts and avgdl divides the same merged
+    longs, so the incremental ranking is BIT-IDENTICAL to a full
+    recompute — which is exactly what the oracle checks: it scores the
+    union corpus directly, no merge in sight.
+
+    Scale: appending documents to a lexical index is a map-only
+    postings write (per-doc tf/dl never cross documents) plus this
+    digest-sized stats merge (one 1-row frame and one |terms|-row frame
+    per source) — the existing corpus is never re-tokenized. The same
+    mergeability is why the stats survive any partitioning: they are
+    sums, the canonical algebraic aggregate.
+    """
+    from incubator_flink_old_spark.operators.retrieval import (
+        bm25_index_stats,
+        bm25_topk,
+        merge_bm25_stats,
+    )
+    from incubator_flink_old_spark.queries.llm_ops18 import _TS_TERMS
+
+    docs = t(spark, sf_dir, "documents")
+    is_base = F.col("doc_id") % _IVF_DELTA_MOD != _IVF_DELTA_REM
+    base, delta = docs.filter(is_base), docs.filter(~is_base)
+    merged = merge_bm25_stats(
+        bm25_index_stats(base, _TS_TERMS),
+        bm25_index_stats(delta, _TS_TERMS),
+    )
+    return bm25_topk(docs, terms=_TS_TERMS, index_stats=merged)

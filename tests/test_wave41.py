@@ -257,3 +257,42 @@ def test_grid_assign_incremental_equals_batch(spark):
         (r.vec_id, r.cell) for r in grid_assign(base, centers).collect()
     }
     assert maintained == trained
+
+
+def test_bm25_merged_stats_bit_identical(spark):
+    """Lexical index-maintenance law: merged per-source corpus stats
+    (integer sums; avgdl from the merged longs) rank the union corpus
+    BIT-IDENTICALLY to a full recompute — every (doc_id, bm25) row
+    equal, not just the top-k set."""
+    from incubator_flink_old_spark.operators.retrieval import (
+        bm25_index_stats,
+        bm25_topk,
+        merge_bm25_stats,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops18 import _TS_TERMS
+
+    docs = t(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 4)
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    merged = merge_bm25_stats(
+        bm25_index_stats(base, _TS_TERMS),
+        bm25_index_stats(delta, _TS_TERMS),
+    )
+    k = 200  # deep cut: compare well past the headline top-20
+    inc = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(
+            docs, terms=_TS_TERMS, top_k=k, index_stats=merged
+        ).collect()
+    ]
+    full = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(docs, terms=_TS_TERMS, top_k=k).collect()
+    ]
+    assert inc == full
+    # and the merged scalar really is the union scalar, bit-exactly
+    ms, md = merged
+    fs = docs.agg(F.count(F.lit(1)).alias("n")).first()
+    got = ms.first()
+    assert got.n == fs.n
