@@ -193,24 +193,49 @@ def _grid_vec(col: str = "embedding"):
     )
 
 
-def _sq_codes(eg):
-    """SQ8-encode a grid frame (vec_id, k array<long>) → (vec_id, code
-    array<double>): per-dim min-max bounds (ONE 64-row broadcast from a
-    map-side-combined aggregate), then the integer quantizer
-    (v − lo)·levels div (hi − lo) — bit-identical on any engine (no
-    float division). Factored from q_ann_recall_sq8 so the IVF
-    composition encodes with the exact same arithmetic."""
-    dims = eg.select("vec_id", F.posexplode("k").alias("p0", "v")).select(
+def _sq_dims(eg):
+    """Explode a grid frame to (vec_id, p 1-based, v) — the per-(vector,
+    dim) view both the bounds aggregate and the encoder consume."""
+    return eg.select("vec_id", F.posexplode("k").alias("p0", "v")).select(
         "vec_id", (F.col("p0") + 1).alias("p"), "v"
     )
-    mm = dims.groupBy("p").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-    qd = dims.join(F.broadcast(mm), on="p").select(
-        "vec_id",
-        "p",
-        F.when(F.col("hi") == F.col("lo"), F.lit(0))
-        .otherwise(F.expr(f"(v - lo) * {_SQ_LEVELS} div (hi - lo)"))
-        .alias("c"),
+
+
+def _sq_bounds(eg):
+    """Per-dim (p, lo, hi) min-max bounds — the SQ8 quantizer table
+    (ONE 64-row broadcast from a map-side-combined aggregate). Factored
+    so the incremental encoder (llm_ops26) can FREEZE the base corpus's
+    bounds and encode delta batches against them."""
+    return _sq_dims(eg).groupBy("p").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
     )
+
+
+def _sq_codes(eg, bounds=None, clamp: bool = False):
+    """SQ8-encode a grid frame (vec_id, k array<long>) → (vec_id, code
+    array<double>): per-dim min-max bounds (:func:`_sq_bounds`), then
+    the integer quantizer (v − lo)·levels div (hi − lo) — bit-identical
+    on any engine (no float division). Factored from q_ann_recall_sq8
+    so the IVF composition encodes with the exact same arithmetic.
+
+    ``bounds`` injects a FROZEN quantizer table instead of recomputing
+    from ``eg`` (the incremental-index path); ``clamp`` two-sides the
+    code into [0, levels] for values outside the frozen bounds — out of
+    range low would otherwise go negative, where Spark's `div`
+    (truncate) and DuckDB's `//` (floor) disagree; post-clamp both land
+    on the boundary code, identically (the operators/layout.quantize
+    clamp discipline)."""
+    dims = _sq_dims(eg)
+    mm = _sq_bounds(eg) if bounds is None else bounds
+    c = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.expr(f"(v - lo) * {_SQ_LEVELS} div (hi - lo)")
+    )
+    if clamp:
+        c = F.least(
+            F.greatest(c, F.lit(0).cast("long")),
+            F.lit(_SQ_LEVELS).cast("long"),
+        )
+    qd = dims.join(F.broadcast(mm), on="p").select("vec_id", "p", c.alias("c"))
     return qd.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("p", "c"))),

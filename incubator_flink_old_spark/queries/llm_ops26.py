@@ -743,3 +743,112 @@ def q_bm25_incremental(spark, sf_dir):
         bm25_index_stats(delta, _TS_TERMS),
     )
     return bm25_topk(docs, terms=_TS_TERMS, index_stats=merged)
+
+
+# --------------------------------------------------------------------------
+# SQ8 incremental encoding: frozen quantizer bounds, boundary clamping
+# --------------------------------------------------------------------------
+
+def _sq8_incremental_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _GRID,
+        _SQ_LEVELS,
+    )
+
+    return f"""
+    WITH bdims AS (
+        SELECT r.p AS p, k[r.p] AS v FROM (
+            SELECT list_transform(embedding::DOUBLE[],
+                       x -> CAST(FLOOR(x * {_GRID}) AS BIGINT)) AS k
+            FROM embeddings
+            WHERE vec_id % {_IVF_DELTA_MOD} <> {_IVF_DELTA_REM}) b,
+            range(1, 65) r(p)),
+    mm AS (SELECT p, MIN(v) AS lo, MAX(v) AS hi FROM bdims GROUP BY p),
+    ddims AS (
+        SELECT r.p AS p, k[r.p] AS v FROM (
+            SELECT list_transform(embedding::DOUBLE[],
+                       x -> CAST(FLOOR(x * {_GRID}) AS BIGINT)) AS k
+            FROM embeddings
+            WHERE vec_id % {_IVF_DELTA_MOD} = {_IVF_DELTA_REM}) d,
+            range(1, 65) r(p)),
+    enc AS (
+        SELECT d.p, d.v, m.lo, m.hi,
+               CASE WHEN m.hi = m.lo THEN 0
+                    ELSE LEAST(GREATEST(
+                        (d.v - m.lo) * {_SQ_LEVELS} // (m.hi - m.lo),
+                        0), {_SQ_LEVELS})
+               END AS c
+        FROM ddims d JOIN mm m ON d.p = m.p)
+    SELECT p, lo, hi,
+           CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamp_lo,
+           CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamp_hi,
+           CAST(SUM(c) AS BIGINT) AS code_sum
+    FROM enc
+    GROUP BY p, lo, hi
+    """
+
+
+@register("q_sq8_incremental", oracle=_sq8_incremental_oracle())
+def q_sq8_incremental(spark, sf_dir):
+    """SQ8 incremental encoding — the quantized tier's maintenance
+    story, completing the matrix (z-order re-records bounds at
+    compaction, IVF assigns deltas to frozen centers, BM25 merges count
+    stats): a 20% delta batch is encoded against the BASE corpus's
+    FROZEN per-dim (lo, hi) quantizer table, with out-of-bounds values
+    clamped to the boundary codes (0 / 255) — correct-but-degraded,
+    exactly the operators/layout.quantize discipline; re-encode at the
+    next compaction if drift is systematic. The row reports the drift
+    audit per dimension: (lo, hi, n_clamp_lo, n_clamp_hi, code_sum) —
+    clamp counts say how far the delta distribution has walked out of
+    the frozen range, code_sum is an exact integer fingerprint of the
+    encoded batch.
+
+    Cross-engine note: a below-lo value makes the pre-clamp code
+    negative, where Spark's div (truncate toward zero) and DuckDB's //
+    (floor) genuinely disagree — but both then clamp to 0, so the
+    shipped (clamped) codes are bit-identical; the clamp is what makes
+    the incremental path oracle-checkable at all.
+
+    Scale: encoding a delta batch is a MAP-ONLY pass (the 64-row frozen
+    bounds table broadcasts; no shuffle of the existing corpus); the
+    audit is one digest-sized per-dim aggregate."""
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _grid_vec,
+        _sq_bounds,
+        _sq_dims,
+        _SQ_LEVELS,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    is_base = F.col("vec_id") % _IVF_DELTA_MOD != _IVF_DELTA_REM
+    base_eg = emb.filter(is_base).select("vec_id", _grid_vec().alias("k"))
+    delta_eg = emb.filter(~is_base).select("vec_id", _grid_vec().alias("k"))
+    mm = _sq_bounds(base_eg)
+    c = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.expr(f"(v - lo) * {_SQ_LEVELS} div (hi - lo)")
+    )
+    enc = (
+        _sq_dims(delta_eg)
+        .join(F.broadcast(mm), on="p")
+        .select(
+            "p",
+            "v",
+            "lo",
+            "hi",
+            F.least(
+                F.greatest(c, F.lit(0).cast("long")),
+                F.lit(_SQ_LEVELS).cast("long"),
+            ).alias("c"),
+        )
+    )
+    return enc.groupBy("p", "lo", "hi").agg(
+        F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamp_lo"),
+        F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamp_hi"),
+        F.sum("c").cast("long").alias("code_sum"),
+    )

@@ -296,3 +296,24 @@ def test_bm25_merged_stats_bit_identical(spark):
     fs = docs.agg(F.count(F.lit(1)).alias("n")).first()
     got = ms.first()
     assert got.n == fs.n
+
+
+def test_sq_codes_bounds_injection_identity(spark):
+    """Refactor guard: encoding a corpus against ITS OWN bounds with
+    clamping enabled is the identity — every value is in-bounds, so the
+    clamped/injected path must reproduce the original _sq_codes
+    byte-for-byte (the q_ann_recall_sq8 family rides this)."""
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _grid_vec,
+        _sq_bounds,
+        _sq_codes,
+    )
+
+    eg = t(spark, SF, "embeddings").select("vec_id", _grid_vec().alias("k"))
+    plain = {r.vec_id: r.code for r in _sq_codes(eg).collect()}
+    injected = {
+        r.vec_id: r.code
+        for r in _sq_codes(eg, bounds=_sq_bounds(eg), clamp=True).collect()
+    }
+    assert injected == plain
