@@ -581,8 +581,12 @@ def _eval_oracle() -> str:
     ws, idcg = _eval_weights()
     # Reuse the refine oracle's chain up to it/bt (unused `it` CTE is
     # harmless), appending a rank-keeping re-rank `hr` plus the metric
-    # tail in place of the recall SELECT.
-    head, _tail = _refine_oracle().rsplit("SELECT b.q_id,", 1)
+    # tail in place of the recall SELECT. Guard the splice: if the
+    # refine oracle's tail shape ever changes, fail loudly here instead
+    # of silently corrupting the eval oracle.
+    base = _refine_oracle()
+    assert base.count("SELECT b.q_id,") == 1, "refine oracle shape changed"
+    head, _tail = base.rsplit("SELECT b.q_id,", 1)
     hs = ",\n           ".join(
         f"COALESCE(MAX(CASE WHEN i.rn = {i} AND b.q_id IS NOT NULL "
         f"THEN 1 END), 0) AS h{i}"
