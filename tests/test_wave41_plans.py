@@ -81,3 +81,40 @@ def test_ivf_incremental_no_cartesian(spark):
     plan = explain_str(q_ivf_incremental(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_incremental_scan_prunes_text_only(spark):
+    """The incremental BM25 path reads (doc_id, text) — never the
+    documents table's metadata columns; at 100 TB an unprojected column
+    class dominates IO."""
+    from incubator_flink_old_spark.plans import scan_pushdown
+    from incubator_flink_old_spark.queries.llm_ops26 import (
+        q_bm25_incremental,
+    )
+
+    info = scan_pushdown(q_bm25_incremental(spark, SF))
+    assert info["read_schema"]
+    # tokenization scans read (doc_id, text); doc-COUNT scans prune all
+    # the way to doc_id alone — nothing ever reads a metadata column
+    assert any("text" in rs for rs in info["read_schema"])
+    for rs in info["read_schema"]:
+        assert "url" not in rs and "lang" not in rs
+
+
+def test_sq8_incremental_map_only_shape(spark):
+    """The frozen-bounds delta encode must be map-shaped: the 64-row
+    bounds table broadcasts, no shuffle cartesian, and the embeddings
+    scan projects only (vec_id, embedding)."""
+    from incubator_flink_old_spark.plans import explain_str, scan_pushdown
+    from incubator_flink_old_spark.queries.llm_ops26 import (
+        q_sq8_incremental,
+    )
+
+    df = q_sq8_incremental(spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    info = scan_pushdown(df)
+    assert info["read_schema"]
+    for rs in info["read_schema"]:
+        assert "label" not in rs  # embeddings' unused column stays unread
