@@ -97,13 +97,18 @@ def _hybrid_topk(
     n_probe: int | None = None,
     final_k: int | None = None,
     cand=None,
+    index=None,
 ):
     """Shared hybrid body (BM25 top-``n_candidates`` ∪ IVF-probed dense
     top-``dense_n`` → exact dense rerank → top-``final_k``), factored so
     the candidate sweep and the law tests measure the SHIPPED algorithm.
     ``cand`` overrides stage 1 with an explicit (doc_id, bm25) frame;
     ``n_probe`` widened to n_cells makes the dense arm an unpruned scan
-    (the all-cells composition law)."""
+    (the all-cells composition law). ``index`` injects a PREBUILT
+    (cells, centers) pair — in production the IVF index is a table
+    maintained by grid_assign deltas (q_ivf_incremental), amortized
+    across every query, not rebuilt per query; None retrains inline
+    (the self-contained driver-row form)."""
     from incubator_flink_old_spark.operators.retrieval import bm25_topk
     from incubator_flink_old_spark.operators.similarity import (
         as_double_array,
@@ -144,7 +149,11 @@ def _hybrid_topk(
     # 100 TB the scan is partition-pruned under the by-cell layout
     # (q_ann_recall_ivf_layout's posture) and the TakeOrdered tail
     # merges per-partition top-k — never a global window.
-    cells, centers = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
+    cells, centers = (
+        grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
+        if index is None
+        else index
+    )
     probes = (
         F.broadcast(qvec)
         .crossJoin(F.broadcast(centers))

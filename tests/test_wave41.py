@@ -317,3 +317,29 @@ def test_sq_codes_bounds_injection_identity(spark):
         for r in _sq_codes(eg, bounds=_sq_bounds(eg), clamp=True).collect()
     }
     assert injected == plain
+
+
+def test_hybrid_prebuilt_index_identity(spark):
+    """Index-as-a-table law: injecting a prebuilt (cells, centers) pair
+    — in production maintained by grid_assign deltas and amortized
+    across queries — must reproduce the inline-retrain result exactly
+    (the index holds the same data either way)."""
+    from incubator_flink_old_spark.operators.similarity import grid_ivf
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+    )
+    from incubator_flink_old_spark.queries.llm_ops26 import _hybrid_topk
+
+    docs, emb = _frames(spark)
+    idx = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
+    idx = (idx[0].localCheckpoint(eager=True), idx[1].localCheckpoint(eager=True))
+    inline = [
+        (r.doc_id, r.bm25, r.dense_ip)
+        for r in _hybrid_topk(docs, emb).collect()
+    ]
+    injected = [
+        (r.doc_id, r.bm25, r.dense_ip)
+        for r in _hybrid_topk(docs, emb, index=idx).collect()
+    ]
+    assert injected == inline
