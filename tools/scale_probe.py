@@ -9,6 +9,7 @@ Usage: python tools/scale_probe.py [N]
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -23,11 +24,22 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
 
     from incubator_flink_old_spark import get_spark
-    from incubator_flink_old_spark.queries._util import dsum
-    from incubator_flink_old_spark.sources import load_table
 
     spark = get_spark("scale-probe")
     out = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        _probe(spark, sf_dir, n, out)
+    finally:
+        # the Nx replicas must not accumulate in /tmp, success or not
+        spark.stop()
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _probe(spark, sf_dir: str, n: int, out: str) -> None:
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from incubator_flink_old_spark.queries._util import dsum
+    from incubator_flink_old_spark.sources import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -84,7 +96,6 @@ def main() -> None:
     timings["topk"] = round(time.perf_counter() - t0, 2)
 
     print(timings)
-    spark.stop()
 
 
 if __name__ == "__main__":
