@@ -261,6 +261,59 @@ def grid_assign(
     return _assign_grid(e, centers).select(F.col("__c").alias(key), "cell")
 
 
+def grid_assign_map(
+    df: DataFrame,
+    centers_rows,
+    grid: float = 1_000_000.0,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Frozen-center assignment as a PURE MAP: the centers arrive as
+    collected rows (bounded — n_cells of them) and are embedded as a
+    literal (cell, cv) array, so each row's cell is an expression-level
+    argmax fold with NO join, NO window, NO shuffle. This is the form
+    that runs under Structured Streaming (window functions and
+    arbitrary joins are off-limits there) — a live stream of new
+    vectors lands in its by-cell partitions through exactly this map.
+
+    Semantics match :func:`grid_assign` bit-for-bit (law-pinned in
+    tests/test_wave41.py): same floor quantization, same cosine_safe,
+    and the fold walks cells in ascending id keeping only STRICT
+    improvements — equal similarities keep the earlier (smaller) cell,
+    reproducing the (sim desc, cell asc) ROW_NUMBER tie-break. Returns
+    (key, cell)."""
+    ordered = sorted(centers_rows, key=lambda r: r.cell)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.cell)).alias("cell"),
+                F.array(*[F.lit(int(v)) for v in r.cv]).alias("cv"),
+            )
+            for r in ordered
+        ]
+    )
+    k = F.transform(
+        as_double_array(vec), lambda x: F.floor(x * F.lit(grid)).cast("long")
+    )
+    sims = F.transform(
+        arr,
+        lambda ctr: F.struct(
+            ctr.getField("cell").alias("c"),
+            cosine_safe(
+                as_double_array(k), as_double_array(ctr.getField("cv"))
+            ).alias("s"),
+        ),
+    )
+    best = F.aggregate(
+        sims,
+        F.struct(F.lit(-1).alias("c"), F.lit(-3.0).alias("s")),
+        lambda acc, x: F.when(x.getField("s") > acc.getField("s"), x).otherwise(
+            acc
+        ),
+    )
+    return df.select(F.col(key), best.getField("c").alias("cell"))
+
+
 def grid_ivf(
     corpus: DataFrame,
     n_cells: int = 8,

@@ -15,10 +15,16 @@ reads per query).
 
 from __future__ import annotations
 
+import itertools
+import shutil
+import tempfile
+
 from pyspark.sql import functions as F
 
 from incubator_flink_old_spark.queries import register
 from incubator_flink_old_spark.queries._util import t
+
+_SEQ = itertools.count()
 
 #: Dense candidates retrieved from the probed IVF cells — the second
 #: arm of the hybrid union, sized like the lexical arm so neither stage
@@ -865,3 +871,100 @@ def q_sq8_incremental(spark, sf_dir):
         .alias("n_clamp_hi"),
         F.sum("c").cast("long").alias("code_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming IVF assignment: live vectors land in their cells, map-only
+# --------------------------------------------------------------------------
+
+def _stream_ivf_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _grid_ivf_ctes,
+        _sql_cos,
+    )
+
+    base_src = (
+        f"(SELECT * FROM embeddings WHERE vec_id % {_IVF_DELTA_MOD} "
+        f"<> {_IVF_DELTA_REM}) base_emb"
+    )
+    ivf_ctes, last_centers = _grid_ivf_ctes(src=base_src)
+    return f"""
+    WITH {ivf_ctes},
+    d AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
+        FROM embeddings
+        WHERE vec_id % {_IVF_DELTA_MOD} = {_IVF_DELTA_REM})
+    SELECT vec_id, cell FROM (
+        SELECT d.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY {_sql_cos('d.k', 'c.cv')} DESC, c.cell
+               ) AS rn
+        FROM d CROSS JOIN {last_centers} c) t
+    WHERE rn = 1
+    """
+
+
+@register("q_stream_ivf_assign_parity", oracle=_stream_ivf_oracle())
+def q_stream_ivf_assign_parity(spark, sf_dir):
+    """STREAMING IVF assignment ⇄ batch parity — the maintenance matrix
+    extended into the streaming dimension: new vectors arrive as a REAL
+    multi-batch stream and each lands in its by-cell partition through
+    operators/similarity.grid_assign_map — the map-only form (centers
+    as a literal array, expression-level argmax fold) that Structured
+    Streaming accepts, since the join+window form is off-limits there.
+    The batch twin is q_ivf_incremental's frozen-center assignment; the
+    oracle replays Lloyd on the base corpus plus the delta assignment
+    value-exactly, and the map ≡ join+window law is pinned in
+    tests/test_wave41.py.
+
+    Scale: per micro-batch cost is a pure map over the batch's rows
+    (n_cells × dim literals ship once in the plan; no shuffle, no
+    state) — a live embedding feed lands in cell partitions at ingest
+    throughput, and the q_ivf_incremental drift audit runs downstream
+    on the landed files.
+    """
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign_map,
+        grid_ivf,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+    )
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    emb = t(spark, sf_dir, "embeddings")
+    is_base = F.col("vec_id") % _IVF_DELTA_MOD != _IVF_DELTA_REM
+    _, centers = grid_ivf(emb.filter(is_base), n_cells=_N_CELLS, iters=_ITERS)
+    center_rows = centers.collect()  # n_cells rows — bounded by design
+
+    delta = emb.filter(~is_base).select("vec_id", "embedding")
+    hi = delta.agg(F.max("vec_id")).collect()[0][0]  # 1-row bound
+    cuts = (hi // 3, 2 * (hi // 3))
+    batches = (
+        delta.filter(F.col("vec_id") <= cuts[0]),
+        delta.filter(
+            (F.col("vec_id") > cuts[0]) & (F.col("vec_id") <= cuts[1])
+        ),
+        delta.filter(F.col("vec_id") > cuts[1]),
+    )
+    src = tempfile.mkdtemp(prefix="t2_stream_ivf_")
+    try:
+        for i, b in enumerate(batches):
+            b.repartition(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = grid_assign_map(stream, center_rows)
+        name = f"stream_ivf_{next(_SEQ)}"
+        run_stream_to_memory(out, name, "append", state_partitions=None)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).select("vec_id", "cell")

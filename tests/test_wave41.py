@@ -343,3 +343,29 @@ def test_hybrid_prebuilt_index_identity(spark):
         for r in _hybrid_topk(docs, emb, index=idx).collect()
     ]
     assert injected == inline
+
+
+def test_grid_assign_map_equals_join_form(spark):
+    """The streaming-safe map-only assignment (centers as a literal
+    array, fold-argmax) must reproduce the join+window form
+    bit-for-bit on every vector — including the strict-improvement
+    fold's tie-break matching ROW_NUMBER's (sim desc, cell asc)."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign,
+        grid_assign_map,
+        grid_ivf,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+    )
+
+    emb = t(spark, SF, "embeddings")
+    _, centers = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
+    rows = centers.collect()
+    joined = {(r.vec_id, r.cell) for r in grid_assign(emb, centers).collect()}
+    mapped = {
+        (r.vec_id, r.cell) for r in grid_assign_map(emb, rows).collect()
+    }
+    assert mapped == joined

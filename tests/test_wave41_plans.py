@@ -118,3 +118,22 @@ def test_sq8_incremental_map_only_shape(spark):
     assert info["read_schema"]
     for rs in info["read_schema"]:
         assert "label" not in rs  # embeddings' unused column stays unread
+
+
+def test_stream_ivf_assign_is_pure_map(spark):
+    """The streaming assignment must be a pure projection over the
+    stream — no Exchange, no join, no state operator: the property that
+    lets it run at ingest throughput."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign_map,
+        grid_ivf,
+    )
+    from incubator_flink_old_spark.plans import explain_str
+    from incubator_flink_old_spark.queries._util import t
+
+    emb = t(spark, SF, "embeddings")
+    _, centers = grid_ivf(emb, n_cells=4, iters=1)
+    out = grid_assign_map(emb, centers.collect())
+    plan = explain_str(out)
+    for op in ("Exchange", "Join", "Window", "Aggregate"):
+        assert op not in plan, op
