@@ -68,7 +68,21 @@ def merge_bm25_stats(
         dft = dft.unionByName(d)
     scalars = counts.agg(
         F.sum("n").alias("n"), F.sum("toks").alias("toks")
-    ).select("n", (F.col("toks").cast("double") / F.col("n")).alias("avgdl"))
+    ).select(
+        "n",
+        # Non-empty-corpus precondition made explicit: n=0 would yield a
+        # NULL avgdl that silently NULLs every downstream bm25 score —
+        # raise at execution time instead (ADVICE r07).
+        F.when(
+            F.col("n") > 0, F.col("toks").cast("double") / F.col("n")
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("merge_bm25_stats: merged corpus is empty (n=0)")
+            )
+        )
+        .alias("avgdl"),
+    )
     dft = dft.groupBy("w").agg(F.sum("dft").alias("dft"))
     return scalars, dft
 

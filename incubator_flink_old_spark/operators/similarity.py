@@ -282,6 +282,13 @@ def grid_assign_map(
     improvements — equal similarities keep the earlier (smaller) cell,
     reproducing the (sim desc, cell asc) ROW_NUMBER tie-break. Returns
     (key, cell)."""
+    if not centers_rows:
+        # Centers are n_cells rows by design; an empty list is a caller
+        # bug. Without this check the fold never improves on the init
+        # accumulator and every row silently lands in cell=-1, while the
+        # join form (grid_assign) would return no rows — fail loudly
+        # instead of letting the two forms diverge (ADVICE r07).
+        raise ValueError("grid_assign_map: centers_rows is empty")
     ordered = sorted(centers_rows, key=lambda r: r.cell)
     arr = F.array(
         *[

@@ -93,105 +93,55 @@ _QUERY_MODULES = (
 
 LOAD_ERRORS: dict[str, str] = {}
 
-#: Driver-check priority. The round-1 driver verified exactly the FIRST 50
-#: registered queries (CORRECTNESS_r01.json == list(QUERIES)[:50]); the rest
-#: ran only in bench. Queries named here are moved to the front of the
-#: registry so the driver's next CORRECTNESS pass covers the queries that do
-#: not yet have a green driver row (round-1 gap list, VERDICT.md item 1) and
-#: any newly added ones. Already-green queries keep their relative order
-#: after the priority block. Purely an ordering hint — every query stays
-#: registered and runnable regardless.
+#: Manual re-front override (VERDICT r07 item 1 made the age rotation
+#: STRUCTURAL — see _apply_driver_priority, which now orders green
+#: re-checks oldest-latest-green-row-first straight from the
+#: CORRECTNESS_r*.json union, so this tuple no longer needs to carry the
+#: stale tier by hand). List here ONLY queries whose SHARED CODE changed
+#: this round without earning a fresh driver row — the
+#: code-changed-queries-re-front discipline (VERDICT r06 item 1)
+#: outranks pure age and cannot be derived from the artifacts. Purely an
+#: ordering hint — every query stays registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-7 rotation (VERDICT r06 item 1 + ADVICE r06 item 1):
-    # --- all 244 queries are driver-green, so the window is pure
-    # --- re-confirmation budget. Composition: (a) q_iterate_cc — the
-    # --- one remaining r01-latest row, a flagship delta-iteration
-    # --- query; (b) the 5 queries whose SHARED CODE changed in r06
-    # --- (cosine→cosine_safe in grid_ivf/_grid_probes, the _sql_cos
-    # --- oracle guard, the _sq_ctes/_two_stage_topk refactors) but
-    # --- got no fresh r06 row — the code-changed-queries-re-front
-    # --- discipline outranks pure age; (c) the full 44-query r02
-    # --- tier oldest-first in registration order (tools/
-    # --- rotation_age.py re-derives the ordering from the
-    # --- CORRECTNESS union). Round-7 additions auto-front ahead via
-    # --- _apply_driver_priority, rolling this list's tail to r08
-    # --- along with the r03 tier.
-    "q_iterate_cc",
-    "q_ann_recall_ivf",
-    "q_ann_recall_ivf_layout",
-    "q_ivf_cell_purity",
-    "q_ann_recall_sq8",
-    "q_retrieval_two_stage",
-    "q_pregel_sssp",
-    "q_transitive_closure",
-    "q_triangles",
-    "q_iterate_pagerank",
-    "q_iterate_kmeans",
-    "q_wordcount",
-    "q_text_stats",
-    "q_text_quality",
-    "q_text_lang_id",
-    "q_text_fingerprint",
-    "q_text_dedup",
-    "q_text_simhash",
-    "q_simhash_pairs",
-    "q_dedup_ngram",
-    "q_sim_topk",
-    "q_sim_ivf_topk",
-    "q_sim_lsh_pairs",
-    "q_multimodal_pipeline",
-    "q_text_scrub",
-    "q_text_vocab",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_asof_join",
-    "q_range_join",
-    "q_pivot",
-    "q_agg_percentile",
-    "q_sample_hash",
-    "q_explode_pos",
-    "q_agg_grouping_sets",
-    "q_unpivot",
-    "q_fn_regex",
-    "q_subquery_exists",
-    "q_window_frames",
-    "q_window_ntile",
-    "q_dedup_cluster",
-    "q_text_chunks",
-    "q_training_corpus",
-    "q_sample_stratified",
-    "q_text_repetition",
-    "q_decontaminate",
-    "q_domain_cap",
-    "q_semantic_dedup",
-    "q_broadcast_filter",
-    "q_profile_table",
+    # round-8 code-changed re-fronts: ADVICE r07 fixes touched the
+    # eval-oracle splice guard + stream-assign batching (llm_ops26),
+    # grid_assign_map (similarity.py), and merge_bm25_stats
+    # (retrieval.py); the hybrid dense arm moved to the SQ8 code scan
+    # (VERDICT r07 item 3).
+    "q_retrieval_hybrid",
+    "q_ann_eval_refine",
+    "q_stream_ivf_assign_parity",
+    "q_ivf_incremental",
+    "q_bm25_incremental",
 )
 
 
-_DRIVER_GREEN: Optional[frozenset] = None
+_DRIVER_LATEST: Optional[dict] = None
 
 
-def _driver_green() -> frozenset:
-    """Names with a green CORRECTNESS_r*.json row (union over rounds).
-    Reads the driver artifacts at the repo root (two levels above this
-    package) ONCE per process — the artifacts only change between
-    rounds, and load_all_queries runs in every bench/test/driver
-    session. Missing/corrupt files contribute no green rows, which only
-    ever *fronts more* queries — always safe for the rotation
-    invariant."""
-    global _DRIVER_GREEN
-    if _DRIVER_GREEN is not None:
-        return _DRIVER_GREEN
+def _driver_latest() -> dict:
+    """name -> latest round with a green CORRECTNESS_r*.json row (union
+    over rounds). Reads the driver artifacts at the repo root (two
+    levels above this package) ONCE per process — the artifacts only
+    change between rounds, and load_all_queries runs in every
+    bench/test/driver session. Missing/corrupt files contribute no
+    green rows, which only ever *fronts more* queries — always safe for
+    the rotation invariant."""
+    global _DRIVER_LATEST
+    if _DRIVER_LATEST is not None:
+        return _DRIVER_LATEST
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    green: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -204,28 +154,42 @@ def _driver_green() -> frozenset:
                 and row.get("schema_match")
                 and row.get("hash_match") is not False  # rows-only checks
             ):
-                green.add(name)
-    _DRIVER_GREEN = frozenset(green)
-    return _DRIVER_GREEN
+                latest[name] = max(rnd, latest.get(name, 0))
+    _DRIVER_LATEST = latest
+    return _DRIVER_LATEST
 
 
 def _apply_driver_priority() -> None:
-    """Reorder QUERIES/ORACLES in place: every query lacking a green
-    driver row first — DRIVER_PRIORITY's un-green names in their listed
-    order, then other un-green queries in registration order — and only
-    THEN DRIVER_PRIORITY's green re-check names, then everything else.
-    Un-green-before-re-checks is structural: a newly registered query
-    can never be stranded outside the 50-slot window by a tuple padded
-    with re-confirmations (VERDICT r03 item 2, tightened in r05 when
-    exactly that happened with a full window)."""
-    green = _driver_green()
-    front = [n for n in DRIVER_PRIORITY if n in QUERIES and n not in green]
+    """Reorder QUERIES/ORACLES in place so the driver's 50-slot window
+    always lands on the right queries, with NO manual tuple upkeep
+    (VERDICT r07 item 1 — the static stale-tier tuple was the top
+    verdict risk three rounds running):
+
+    1. queries lacking a green driver row — DRIVER_PRIORITY's un-green
+       names in their listed order, then the rest in registration
+       order. Un-green-before-re-checks is structural: a newly
+       registered query can never be stranded outside the window by
+       re-confirmations (VERDICT r03 item 2, tightened in r05 when
+       exactly that happened).
+    2. DRIVER_PRIORITY's green names (manual code-changed re-fronts) in
+       listed order.
+    3. every other green query, OLDEST latest-green-row FIRST (ties by
+       registration order) — derived from the CORRECTNESS union itself,
+       so the stale tier rotates automatically each round.
+    """
+    latest = _driver_latest()
+    reg = list(QUERIES)
+    reg_pos = {n: i for i, n in enumerate(reg)}
+    front = [n for n in DRIVER_PRIORITY if n in QUERIES and n not in latest]
     seen = set(front)
-    front += [n for n in QUERIES if n not in green and n not in seen]
+    front += [n for n in reg if n not in latest and n not in seen]
     seen.update(front)
     front += [n for n in DRIVER_PRIORITY if n in QUERIES and n not in seen]
-    front_set = set(front)
-    rest = [n for n in QUERIES if n not in front_set]
+    seen.update(front)
+    rest = sorted(
+        (n for n in reg if n not in seen),
+        key=lambda n: (latest[n], reg_pos[n]),
+    )
     for mapping in (QUERIES, ORACLES):
         ordered = {n: mapping[n] for n in front + rest if n in mapping}
         mapping.clear()

@@ -600,7 +600,15 @@ def _eval_oracle() -> str:
     # refine oracle's tail shape ever changes, fail loudly here instead
     # of silently corrupting the eval oracle.
     base = _refine_oracle()
-    assert base.count("SELECT b.q_id,") == 1, "refine oracle shape changed"
+    # Not an assert: this runs at module import inside @register, and
+    # under `python -O` a stripped assert would silently mis-splice the
+    # eval oracle — the exact failure the guard exists to catch
+    # (ADVICE r07).
+    if base.count("SELECT b.q_id,") != 1:
+        raise RuntimeError(
+            "refine oracle shape changed: expected exactly one "
+            "'SELECT b.q_id,' splice point in _refine_oracle()"
+        )
     head, _tail = base.rsplit("SELECT b.q_id,", 1)
     hs = ",\n           ".join(
         f"COALESCE(MAX(CASE WHEN i.rn = {i} AND b.q_id IS NOT NULL "
@@ -769,6 +777,7 @@ def q_bm25_incremental(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def _sq8_incremental_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import _DIM
     from incubator_flink_old_spark.queries.llm_ops18 import (
         _GRID,
         _SQ_LEVELS,
@@ -781,7 +790,7 @@ def _sq8_incremental_oracle() -> str:
                        x -> CAST(FLOOR(x * {_GRID}) AS BIGINT)) AS k
             FROM embeddings
             WHERE vec_id % {_IVF_DELTA_MOD} <> {_IVF_DELTA_REM}) b,
-            range(1, 65) r(p)),
+            range(1, {_DIM + 1}) r(p)),
     mm AS (SELECT p, MIN(v) AS lo, MAX(v) AS hi FROM bdims GROUP BY p),
     ddims AS (
         SELECT r.p AS p, k[r.p] AS v FROM (
@@ -789,7 +798,7 @@ def _sq8_incremental_oracle() -> str:
                        x -> CAST(FLOOR(x * {_GRID}) AS BIGINT)) AS k
             FROM embeddings
             WHERE vec_id % {_IVF_DELTA_MOD} = {_IVF_DELTA_REM}) d,
-            range(1, 65) r(p)),
+            range(1, {_DIM + 1}) r(p)),
     enc AS (
         SELECT d.p, d.v, m.lo, m.hi,
                CASE WHEN m.hi = m.lo THEN 0
@@ -943,14 +952,20 @@ def q_stream_ivf_assign_parity(spark, sf_dir):
 
     delta = emb.filter(~is_base).select("vec_id", "embedding")
     hi = delta.agg(F.max("vec_id")).collect()[0][0]  # 1-row bound
-    cuts = (hi // 3, 2 * (hi // 3))
-    batches = (
-        delta.filter(F.col("vec_id") <= cuts[0]),
-        delta.filter(
-            (F.col("vec_id") > cuts[0]) & (F.col("vec_id") <= cuts[1])
-        ),
-        delta.filter(F.col("vec_id") > cuts[1]),
-    )
+    if hi is None or hi < 3:
+        # Empty/tiny delta split: hi//3 cuts would degenerate (or
+        # TypeError on None) — replay as a single batch; the parity law
+        # is batch-boundary-invariant by construction (ADVICE r07).
+        batches = (delta,)
+    else:
+        cuts = (hi // 3, 2 * (hi // 3))
+        batches = (
+            delta.filter(F.col("vec_id") <= cuts[0]),
+            delta.filter(
+                (F.col("vec_id") > cuts[0]) & (F.col("vec_id") <= cuts[1])
+            ),
+            delta.filter(F.col("vec_id") > cuts[1]),
+        )
     src = tempfile.mkdtemp(prefix="t2_stream_ivf_")
     try:
         for i, b in enumerate(batches):

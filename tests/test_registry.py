@@ -71,3 +71,32 @@ def test_driver_window_wastes_no_slot_on_green_queries():
     )
     unchecked_total = sum(1 for n in QUERIES if n not in green)
     assert len(stranded) == max(0, unchecked_total - 50)
+
+
+def test_green_rechecks_rotate_oldest_first():
+    """VERDICT r07 item 1(b) tripwire: the green portion of the registry
+    ordering must be the STALEST queries first, derived from the
+    CORRECTNESS union itself — i.e. first 50 = un-green queries +
+    DRIVER_PRIORITY code-changed re-fronts + the stalest remaining
+    greens, with no manual stale-tier tuple to regenerate each round."""
+    from incubator_flink_old_spark.queries import _driver_latest
+
+    load_all_queries()
+    latest = _driver_latest()
+    reg = list(QUERIES)
+    reg_pos = {n: i for i, n in enumerate(reg)}
+    # Skip un-green names and manual re-fronts; what remains must be
+    # sorted by (latest green round, registration position).
+    manual = {n for n in DRIVER_PRIORITY if n in QUERIES}
+    tail = [n for n in reg if n in latest and n not in manual]
+    keys = [(latest[n], reg_pos[n]) for n in tail]
+    assert keys == sorted(keys), (
+        "green re-checks are not ordered oldest-latest-row-first; "
+        "_apply_driver_priority regressed to a static ordering"
+    )
+    # And the un-green + manual block must sit strictly before the tail.
+    n_front = len(reg) - len(tail)
+    front = reg[:n_front]
+    assert all(n not in latest or n in manual for n in front), (
+        "a green non-re-front query appears before the age-ordered tail"
+    )

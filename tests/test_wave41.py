@@ -369,3 +369,38 @@ def test_grid_assign_map_equals_join_form(spark):
         (r.vec_id, r.cell) for r in grid_assign_map(emb, rows).collect()
     }
     assert mapped == joined
+
+
+def test_grid_assign_map_rejects_empty_centers(spark):
+    """ADVICE r07: an empty centers list is a caller bug — the fold
+    would otherwise silently assign every row cell=-1 while the join
+    form returns no rows."""
+    import pytest
+
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign_map,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    emb = t(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="centers_rows is empty"):
+        grid_assign_map(emb, [])
+
+
+def test_merge_bm25_stats_empty_corpus_raises(spark):
+    """ADVICE r07: merging only empty sources must fail loudly (n=0 →
+    avgdl would be NULL and silently NULL every bm25 score)."""
+    import pytest
+
+    from incubator_flink_old_spark.operators.retrieval import (
+        bm25_index_stats,
+        merge_bm25_stats,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops18 import _TS_TERMS
+
+    docs = t(spark, SF, "documents").filter("doc_id < 0")  # empty
+    stats = bm25_index_stats(docs, _TS_TERMS)
+    scalars, _ = merge_bm25_stats(stats, stats)
+    with pytest.raises(Exception, match="merged corpus is empty"):
+        scalars.collect()
