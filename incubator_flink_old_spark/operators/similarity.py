@@ -30,6 +30,19 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_long(a: Column, b: Column) -> Column:
+    """Integer dot product over two array<long> columns — EXACT int64
+    arithmetic, so the result is bit-identical on any engine and any
+    fold order (unlike :func:`dot`, whose double sum is order-sensitive
+    once terms exceed 2^53). Used where cross-engine rank parity must
+    survive adversarial magnitudes (the hybrid ADC key)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 

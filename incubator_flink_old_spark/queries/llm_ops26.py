@@ -31,6 +31,12 @@ _SEQ = itertools.count()
 #: dominates the candidate budget.
 _HY_DENSE = 50
 
+#: SQ8 code-rank shortlist kept for the dense arm's full-precision
+#: refine — 4x the dense budget, the refine family's ratio (_REFINE_C =
+#: 4x _TOPK). Stage A ranks the probed pool over int8 CODES (8x less IO
+#: than the double grid); only these rows are re-read at full precision.
+_HY_REFINE = 4 * _HY_DENSE
+
 
 def _hybrid_oracle() -> str:
     from incubator_flink_old_spark.queries.llm_ops11 import (
@@ -43,6 +49,7 @@ def _hybrid_oracle() -> str:
         _TS_FEEDBACK,
         _TS_FINAL,
         _bm25_ctes,
+        _sq_ctes,
     )
 
     ivf_ctes, last_centers = _grid_ivf_ctes()
@@ -55,6 +62,7 @@ def _hybrid_oracle() -> str:
 
     return f"""
     WITH {ivf_ctes},
+    {_sq_ctes()},
     {_bm25_ctes()},
     fb AS (
         SELECT doc_id FROM cand ORDER BY bm25 DESC, doc_id
@@ -72,13 +80,29 @@ def _hybrid_oracle() -> str:
                    ) AS rn
             FROM qvec q CROSS JOIN {last_centers} c) t
         WHERE rn <= {_N_PROBE}),
+    adcw AS (
+        SELECT q.p AS p, CAST(q.v AS BIGINT) * (m.hi - m.lo) AS w
+        FROM qv q JOIN mm m ON q.p = m.p),
+    adc AS (
+        SELECT a.vec_id, SUM(CAST(d.c AS BIGINT) * w.w) AS s
+        FROM pr JOIN af a ON pr.cell = a.cell
+        JOIN qd d ON d.vec_id = a.vec_id
+        JOIN adcw w ON w.p = d.p
+        GROUP BY a.vec_id),
+    sh AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS rn
+            FROM adc) t
+        WHERE rn <= {_HY_REFINE}),
     dc AS (
         SELECT vec_id AS doc_id FROM (
-            SELECT a.vec_id,
+            SELECT s2.vec_id,
                    ROW_NUMBER() OVER (
-                       ORDER BY {_dot('q.qk', 'a.k')} DESC, a.vec_id
+                       ORDER BY {_dot('q.qk', 'e2.k')} DESC, s2.vec_id
                    ) AS rn
-            FROM pr JOIN af a ON pr.cell = a.cell CROSS JOIN qvec q) t
+            FROM sh s2 JOIN e e2 ON s2.vec_id = e2.vec_id
+            CROSS JOIN qvec q) t
         WHERE rn <= {_HY_DENSE}),
     uc AS (
         SELECT COALESCE(c.doc_id, d.doc_id) AS doc_id,
@@ -95,6 +119,52 @@ def _hybrid_oracle() -> str:
     """
 
 
+def _hy_code_shortlist(pool, codes_df, bounds, qvec, dense_refine: int):
+    """Stage A of the hybrid dense arm: rank the probed ``pool``
+    (vec_id) over SQ8 CODES and keep the ``dense_refine`` shortlist —
+    the only corpus-shaped read, at 8x fewer bytes than the double
+    grid. The ranking key is the asymmetric-distance (ADC) score with
+    its rank-invariant parts dropped: for decode(c) = lo + (c+0.5)·
+    (hi−lo)/L,  dot(q, decode(code)) = const + (Σ_p q_p·(hi_p−lo_p)·
+    c_p)/L — so ranking by the integer Σ q_p·(hi_p−lo_p)·c_p is
+    EXACTLY the ADC ranking, computed in int64 on both engines (the
+    double fold would lose exactness past 2^53; see dot_long)."""
+    from incubator_flink_old_spark.operators.similarity import dot_long
+
+    darr = bounds.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("p", (F.col("hi") - F.col("lo")).alias("d"))
+                )
+            ),
+            lambda s: s.getField("d"),
+        ).alias("darr")
+    )
+    wv = (
+        F.broadcast(qvec)
+        .crossJoin(F.broadcast(darr))
+        .select(
+            F.zip_with(
+                "qk", "darr", lambda q, d: q.cast("long") * d
+            ).alias("w")
+        )
+    )
+    return (
+        pool.join(codes_df, on="vec_id")
+        .crossJoin(F.broadcast(wv))
+        .select(
+            "vec_id",
+            dot_long(
+                F.col("w"), F.transform("code", lambda c: c.cast("long"))
+            ).alias("__adc"),
+        )
+        .orderBy(F.col("__adc").desc(), "vec_id")
+        .limit(dense_refine)
+        .select("vec_id")
+    )
+
+
 def _hybrid_topk(
     docs,
     emb,
@@ -104,6 +174,9 @@ def _hybrid_topk(
     final_k: int | None = None,
     cand=None,
     index=None,
+    dense_refine: int = _HY_REFINE,
+    dense_via_codes: bool = True,
+    codes=None,
 ):
     """Shared hybrid body (BM25 top-``n_candidates`` ∪ IVF-probed dense
     top-``dense_n`` → exact dense rerank → top-``final_k``), factored so
@@ -114,7 +187,17 @@ def _hybrid_topk(
     (cells, centers) pair — in production the IVF index is a table
     maintained by grid_assign deltas (q_ivf_incremental), amortized
     across every query, not rebuilt per query; None retrains inline
-    (the self-contained driver-row form)."""
+    (the self-contained driver-row form). ``codes`` likewise injects a
+    prebuilt (codes_df, bounds) SQ8 pair (maintained by
+    q_sq8_incremental's frozen-bounds delta encode).
+
+    Dense arm (VERDICT r07 item 3): the probed pool is ranked over SQ8
+    codes (:func:`_hy_code_shortlist` — 8x less IO than the double
+    grid) and only the ``dense_refine`` shortlist is re-read at full
+    precision for the exact top-``dense_n`` cut. ``dense_refine`` ≥
+    pool makes the arm provably identical to the full-precision form
+    (law-pinned); ``dense_via_codes=False`` keeps that full-precision
+    form for the law tests."""
     from incubator_flink_old_spark.operators.retrieval import bm25_topk
     from incubator_flink_old_spark.operators.similarity import (
         as_double_array,
@@ -133,6 +216,8 @@ def _hybrid_topk(
         _TS_TERMS,
         _grid_vec,
         _prf_qvec,
+        _sq_bounds,
+        _sq_codes,
     )
 
     n_candidates = _TS_CANDIDATES if n_candidates is None else n_candidates
@@ -149,12 +234,13 @@ def _hybrid_topk(
     qvec = _prf_qvec(cand, eg)
 
     # Dense arm: probe the PRF vector's nearest cells, rank ONLY the
-    # probed-cell vectors by exact integer dense score. One 1-row
-    # broadcast (qvec) × one n_cells-row broadcast (centers) picks the
-    # cells; the pool is reached through an equi-join on cell, so at
-    # 100 TB the scan is partition-pruned under the by-cell layout
-    # (q_ann_recall_ivf_layout's posture) and the TakeOrdered tail
-    # merges per-partition top-k — never a global window.
+    # probed-cell vectors — over SQ8 codes, full precision only for the
+    # refine shortlist. One 1-row broadcast (qvec) × one n_cells-row
+    # broadcast (centers) picks the cells; the pool is reached through
+    # an equi-join on cell, so at 100 TB the code scan is
+    # partition-pruned under the by-cell layout
+    # (q_ann_recall_ivf_layout's posture) and the TakeOrdered tails
+    # merge per-partition top-k — never a global window.
     cells, centers = (
         grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
         if index is None
@@ -172,11 +258,16 @@ def _hybrid_topk(
         .select("cell")
     )
     kd = F.transform("k", lambda x: x.cast("double"))
+    pool = F.broadcast(probes).join(cells, on="cell").select("vec_id")
+    if dense_via_codes:
+        if codes is None:
+            bounds = _sq_bounds(eg)
+            codes_df = _sq_codes(eg, bounds=bounds)
+        else:
+            codes_df, bounds = codes
+        pool = _hy_code_shortlist(pool, codes_df, bounds, qvec, dense_refine)
     dense_cand = (
-        F.broadcast(probes)
-        .join(cells, on="cell")
-        .select("vec_id")
-        .join(eg, on="vec_id")
+        pool.join(eg, on="vec_id")
         .crossJoin(F.broadcast(qvec))
         .select(
             F.col("vec_id").alias("doc_id"),
@@ -216,27 +307,35 @@ def q_retrieval_hybrid(spark, sf_dir):
     sees lexically-surfaced docs. Here stage 2 retrieves its own
     candidates from the IVF index (the q_ann_recall_ivfsq8 probe
     machinery): the PRF query vector probes its top cells, the
-    probed-cell vectors are ranked by the same exact integer dense score
-    the rerank uses, and the top-{_HY_DENSE} join the BM25 top-N in one
-    candidate pool. A dense-global winner the terms never mention now
-    reaches the rerank through the index arm.
+    probed-cell pool is ranked over SQ8 CODES (asymmetric-distance
+    integer key, _hy_code_shortlist — VERDICT r07 item 3: the compressed
+    scan reads 8x fewer bytes than the double grid), the
+    top-{_HY_REFINE} shortlist is refined at full precision, and the
+    refined top-{_HY_DENSE} join the BM25 top-N in one candidate pool.
+    A dense-global winner the terms never mention now reaches the
+    rerank through the index arm.
 
     Cross-engine exactness: BM25 per-term conditional sums (the
     established fold), Lloyd/assignment integer arithmetic replayed by
-    _grid_ivf_ctes, PRF sums and dense scores are integer-grid dot
+    _grid_ivf_ctes, SQ8 codes via the shared integer quantizer
+    (_sq_ctes), the ADC ranking key computed in int64 on BOTH engines
+    (dot_long ⇄ BIGINT SUM — terms can exceed 2^53 where a double fold
+    would round), PRF sums and dense scores are integer-grid dot
     products < 2^53 (exact under any fold order), cell probing uses
     cosine_safe ⇄ _sql_cos (exact int operands, correctly-rounded
     sqrt/div — bit-identical), so the full WITH-chain replays
     value-level.
 
     Scale: every candidate arm is bounded (top-N TakeOrdered lexically;
-    probed-cells equi-join + TakeOrdered densely); the corpus is never
-    cross-joined or globally windowed; qvec/centers/probes/query-side
-    unions are 1-to-n_cells-row broadcasts. At 100 TB the dense arm
-    reads only probed-cell partitions of the by-cell layout and the
-    lexical arm rides the vocabulary-keyed shuffles — the two prune
-    dimensions (terms, cells) are independent, which is exactly why the
-    union holds recall where either alone decays."""
+    probed-cells equi-join + code scan + TakeOrdered densely, with full
+    precision touched only for the {_HY_REFINE}-row shortlist and the
+    final union — point reads); the corpus is never cross-joined or
+    globally windowed; qvec/centers/probes/query-side unions are
+    1-to-n_cells-row broadcasts. At 100 TB the dense arm reads only
+    probed-cell partitions of the by-cell CODES layout and the lexical
+    arm rides the vocabulary-keyed shuffles — the two prune dimensions
+    (terms, cells) are independent, which is exactly why the union
+    holds recall where either alone decays."""
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
     return _hybrid_topk(docs, emb)

@@ -70,7 +70,7 @@ def test_hybrid_unpruned_equals_global_dense_topk(spark):
     got = [
         r.doc_id
         for r in _hybrid_topk(
-            docs, emb, dense_n=n, n_probe=_N_CELLS
+            docs, emb, dense_n=n, n_probe=_N_CELLS, dense_refine=n
         ).collect()
     ]
     assert got == _global_dense_topk(docs, emb, len(got))
@@ -404,3 +404,40 @@ def test_merge_bm25_stats_empty_corpus_raises(spark):
     scalars, _ = merge_bm25_stats(stats, stats)
     with pytest.raises(Exception, match="merged corpus is empty"):
         scalars.collect()
+
+
+def test_hybrid_code_arm_unbounded_equals_full_precision(spark):
+    """VERDICT r07 item 3 law: with dense_refine ≥ the probed pool, the
+    SQ8-code stage-A ranking cannot drop anything the full-precision
+    refine would keep, so the code-scan dense arm is IDENTICAL to the
+    full-precision arm — row for row, at the shipped n_probe."""
+    from incubator_flink_old_spark.queries.llm_ops26 import _hybrid_topk
+
+    docs, emb = _frames(spark)
+    n = emb.count()
+    coded = [
+        (r.doc_id, r.bm25, r.dense_ip)
+        for r in _hybrid_topk(docs, emb, dense_refine=n).collect()
+    ]
+    full = [
+        (r.doc_id, r.bm25, r.dense_ip)
+        for r in _hybrid_topk(docs, emb, dense_via_codes=False).collect()
+    ]
+    assert coded == full
+
+
+def test_hybrid_code_arm_default_recall_not_below_two_stage(spark):
+    """The SHIPPED configuration (code scan + 4x refine shortlist) must
+    keep the hybrid dominance that motivated the arm: recall ≥ the
+    lexical-only two-stage at the default candidate count."""
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _TS_FINAL,
+        _two_stage_topk,
+    )
+    from incubator_flink_old_spark.queries.llm_ops26 import _hybrid_topk
+
+    docs, emb = _frames(spark)
+    truth = set(_global_dense_topk(docs, emb, _TS_FINAL))
+    lex = {r.doc_id for r in _two_stage_topk(docs, emb).collect()}
+    hyb = {r.doc_id for r in _hybrid_topk(docs, emb).collect()}
+    assert len(hyb & truth) >= len(lex & truth)

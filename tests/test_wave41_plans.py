@@ -137,3 +137,56 @@ def test_stream_ivf_assign_is_pure_map(spark):
     plan = explain_str(out)
     for op in ("Exchange", "Join", "Window", "Aggregate"):
         assert op not in plan, op
+
+
+def test_hybrid_code_arm_scans_codes_not_grid(spark):
+    """VERDICT r07 item 3 plan pin: in production the SQ8 codes are a
+    maintained TABLE (q_sq8_incremental). With the codes injected as a
+    parquet table, the hybrid dense arm's stage-A shortlist must scan
+    the CODES parquet (8x-compressed) and never touch the
+    full-precision grid/embedding bytes — those are read only by the
+    bounded refine/rerank joins downstream."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incubator_flink_old_spark.plans import explain_str
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _grid_vec,
+        _sq_bounds,
+        _sq_codes,
+    )
+    from incubator_flink_old_spark.queries.llm_ops26 import (
+        _hy_code_shortlist,
+    )
+
+    emb = t(spark, SF, "embeddings")
+    eg = emb.select("vec_id", _grid_vec().alias("k"))
+    tmp = tempfile.mkdtemp(prefix="t2_hybrid_codes_")
+    try:
+        bounds = _sq_bounds(eg)
+        _sq_codes(eg, bounds=bounds).write.parquet(f"{tmp}/codes")
+        bounds.write.parquet(f"{tmp}/bounds")
+        codes_df = spark.read.parquet(f"{tmp}/codes")
+        bounds_df = spark.read.parquet(f"{tmp}/bounds")
+        pool = emb.select("vec_id").limit(100)
+        from incubator_flink_old_spark.queries.llm_ops11 import _DIM
+
+        qvec = spark.range(1).select(
+            F.array(*[F.lit(1.0)] * _DIM).alias("qk")
+        )
+        plan = explain_str(
+            _hy_code_shortlist(pool, codes_df, bounds_df, qvec, 20)
+        )
+        assert f"{tmp}/codes" in plan, "stage A does not scan the codes table"
+        assert "TakeOrderedAndProject" in plan
+        # the full-precision vectors never enter stage A: no scan in
+        # this plan may read the embedding column (the only
+        # embeddings-parquet scan is the pool's vec_id projection)
+        for line in plan.splitlines():
+            if "ReadSchema" in line:
+                assert "embedding" not in line, line
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
