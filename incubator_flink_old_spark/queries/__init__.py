@@ -86,6 +86,7 @@ _QUERY_MODULES = (
     "llm_ops24",
     "llm_ops25",
     "llm_ops26",
+    "llm_ops27",
     "analytics",
     "analytics2",
     "surfaces",

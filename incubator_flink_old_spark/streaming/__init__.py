@@ -558,3 +558,89 @@ def stateful_asof_enrich(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stateful_topk(
+    stream: DataFrame,
+    k: int = 5,
+    group: str = "event_type",
+    order_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming per-group TOP-K BY SCORE with BOUNDED state
+    (applyInPandasWithState) — the order-statistic sibling of
+    :func:`stateful_heavy_hitters` (frequency): per group, state holds
+    only the current k best (score, id) pairs; each microbatch merges
+    the batch's rows into that heap and emits the current top-k
+    (update semantics).
+
+    Top-k selection is an idempotent, commutative, associative merge
+    over sets (a semilattice): topk(A ∪ B) = topk(topk(A) ∪ B), so the
+    final emission is EXACTLY the batch top-k over all rows regardless
+    of how the stream was cut into microbatches or ordered within them
+    — the batch-boundary-invariance law pinned in tests and the parity
+    the driver row hash-checks. No arithmetic touches the score (pure
+    comparisons on the parquet doubles), so the streaming result is
+    bit-identical to the batch window.
+
+    Ordering: (score desc, id asc) — the deterministic total order
+    every top-k row in this repo uses. ``seen`` counts the rows this
+    group has absorbed (monotone across batches), letting a readback
+    select each group's LAST emission without a batch-id channel.
+
+    Output: (group, id, score, seen, batch_rank). Scale: state is
+    O(k) per group forever; emissions are k rows per group per batch;
+    the merge work per batch is sort(|batch rows| + k) per group.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{group} string, {id_col} long, {order_col} double, "
+        "seen long, batch_rank int"
+    )
+    state_schema = "ids array<long>, vs array<double>, seen long"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd  # worker-side import
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        items: list[tuple[int, float]] = []
+        seen = 0
+        if state.exists:
+            ids, vs, seen0 = state.get
+            items = [(int(i), float(v)) for i, v in zip(ids, vs)]
+            seen = int(seen0)
+        for pdf in pdfs:
+            seen += len(pdf)
+            items.extend(
+                zip(
+                    pdf[id_col].astype("int64"),
+                    pdf[order_col].astype("float64"),
+                )
+            )
+        items.sort(key=lambda t: (-t[1], t[0]))
+        items = items[:k]
+        state.update(
+            ([i for i, _ in items], [v for _, v in items], seen)
+        )
+        yield pd.DataFrame(
+            {
+                group: [key_tuple[0]] * len(items),
+                id_col: [int(i) for i, _ in items],
+                order_col: [float(v) for _, v in items],
+                "seen": [seen] * len(items),
+                "batch_rank": list(range(1, len(items) + 1)),
+            }
+        )
+
+    return (
+        stream.select(
+            F.col(group).cast("string").alias(group), id_col, order_col
+        )
+        .groupBy(group)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

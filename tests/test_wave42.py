@@ -1,0 +1,133 @@
+"""Round-8 streaming top-k laws (VERDICT r07 item 4): the bounded-state
+per-group top-k must be invariant to how the stream is cut into
+microbatches and ordered inside them — top-k is a semilattice merge
+(topk(A ∪ B) = topk(topk(A) ∪ B)) and the operator must not break it
+with any order- or boundary-dependent state handling."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="no testdata")
+
+K = 5
+
+
+def _final_topk(spark, src_rows, n_files: int, order_col):
+    """Replay ``src_rows`` as ``n_files`` microbatches (written in
+    ``order_col`` order so the batch composition actually changes) and
+    return the final per-group top-k as a sorted list of tuples."""
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.streaming import (
+        run_stream_to_memory,
+        stateful_topk,
+    )
+
+    src = tempfile.mkdtemp(prefix="t2_topk_law_")
+    try:
+        (
+            src_rows.orderBy(order_col)
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_type string, event_id long, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = f"topk_law_{n_files}_{order_col}"
+        run_stream_to_memory(
+            stateful_topk(stream, k=K), name, "update", state_partitions=2
+        )
+        tbl = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    w = Window.partitionBy("event_type")
+    return sorted(
+        (r.event_type, r.event_id, r.value, r.batch_rank)
+        for r in tbl.withColumn("mx", F.max("seen").over(w))
+        .filter(F.col("seen") == F.col("mx"))
+        .collect()
+    )
+
+
+def test_stream_topk_batch_boundary_invariance(spark):
+    """The final emission must be identical across single-batch,
+    multi-batch, and multi-batch-with-permuted-row-order replays, and
+    equal the plain batch window — the law q_stream_topk_parity's
+    driver hash rests on."""
+    from incubator_flink_old_spark.queries._util import t
+
+    rows = t(spark, SF, "events").select("event_type", "event_id", "value")
+    single = _final_topk(spark, rows, 1, "event_id")
+    multi = _final_topk(spark, rows, 4, "event_id")
+    permuted = _final_topk(spark, rows, 4, "value")
+    assert single == multi == permuted
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    batch = sorted(
+        (r.event_type, r.event_id, r.value, r.rnk)
+        for r in rows.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K)
+        .collect()
+    )
+    assert single == batch
+
+
+def test_stream_topk_state_is_k_bounded(spark):
+    """Every emission carries at most k rows per group (state and
+    output are O(k) regardless of stream length), and ``seen`` is
+    monotone across a group's emissions."""
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.streaming import (
+        run_stream_to_memory,
+        stateful_topk,
+    )
+
+    rows = t(spark, SF, "events").select("event_type", "event_id", "value")
+    src = tempfile.mkdtemp(prefix="t2_topk_bound_")
+    try:
+        rows.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "event_type string, event_id long, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        run_stream_to_memory(
+            stateful_topk(stream, k=K),
+            "topk_bound",
+            "update",
+            state_partitions=2,
+        )
+        tbl = spark.table("topk_bound").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    per_emission = tbl.groupBy("event_type", "seen").count()
+    assert per_emission.filter(F.col("count") > K).count() == 0
+    # batch_rank within an emission is 1..n with no gaps
+    ranks = tbl.groupBy("event_type", "seen").agg(
+        F.min("batch_rank").alias("lo"),
+        F.max("batch_rank").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    bad = ranks.filter(
+        (F.col("lo") != 1) | (F.col("hi") != F.col("n"))
+    ).count()
+    assert bad == 0
