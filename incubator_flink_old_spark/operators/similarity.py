@@ -518,6 +518,82 @@ def grid_pq(
     return codes, books
 
 
+def grid_pq_encode(
+    corpus: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    grid: float = 1_000_000.0,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against FROZEN product-quantizer codebooks — the
+    PQ member of the index-maintenance family (grid_assign is the IVF
+    analog, _sq_codes(bounds=...) the SQ8 analog): delta batches are
+    absorbed by a broadcast-join assignment whose cost scales with the
+    DELTA, never the corpus, while the codebooks stay the base
+    training's. Exactly :func:`grid_pq`'s assignment arithmetic
+    (integer squared-L2, tie-break by centroid id), factored so the
+    incremental ≡ batch law is structural: encoding is per-row pure
+    given frozen books, so any split of the input encodes identically.
+
+    Returns (key, j, code, qerr) — qerr is the EXACT integer squared-L2
+    between the subvector and its chosen centroid, the per-row
+    quantization-error audit whose per-(j, code) sums say how far a
+    delta's distribution has walked from the frozen codebooks (the PQ
+    twin of q_sq8_incremental's clamp counts)."""
+    from pyspark.sql import Window
+
+    assert dim % m == 0
+    sub = dim // m
+    e = corpus.select(
+        F.col(key).alias("__c"),
+        F.transform(
+            as_double_array(vec),
+            lambda x: F.floor(x * F.lit(grid)).cast("long"),
+        ).alias("__k"),
+    )
+    subs = e.select(
+        "__c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("__k", j * sub + 1, sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("js"),
+    ).select("__c", F.col("js.j").alias("j"), F.col("js.sv").alias("sv"))
+    return (
+        subs.join(F.broadcast(books), on="j")
+        .select(
+            "__c",
+            "j",
+            "sv",
+            "cid",
+            grid_sqdist(as_double_array("sv"), as_double_array("bv")).alias(
+                "__d"
+            ),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__c", "j").orderBy("__d", "cid")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__c").alias(key),
+            "j",
+            F.col("cid").alias("code"),
+            F.col("__d").cast("long").alias("qerr"),
+        )
+    )
+
+
 def lsh_bucket(vec: Column | str, num_bits: int = 4) -> Column:
     """Sign-bit LSH bucket: bit i = (element_i > 0). Deterministic and
     SQL-portable; a production engine would use seeded random hyperplanes

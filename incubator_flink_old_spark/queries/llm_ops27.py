@@ -92,3 +92,111 @@ def q_stream_topk_parity(spark, sf_dir):
             F.col("batch_rank").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PQ incremental maintenance: delta vectors encoded against FROZEN codebooks
+# --------------------------------------------------------------------------
+
+#: Base/delta split — the maintenance family's shared convention
+#: (vec_id % 5 == 4 is the newly arrived 20%).
+_PQ_DELTA_MOD = 5
+_PQ_DELTA_REM = 4
+
+
+def _pq_incremental_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _PQ_M,
+        _PQ_SUB,
+        _grid_pq_ctes,
+        _sql_sqdist,
+    )
+
+    pq_ctes, books = _grid_pq_ctes(include_e=False)
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
+        FROM embeddings
+        WHERE vec_id % {_PQ_DELTA_MOD} <> {_PQ_DELTA_REM}),
+    {pq_ctes},
+    de AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
+        FROM embeddings
+        WHERE vec_id % {_PQ_DELTA_MOD} = {_PQ_DELTA_REM}),
+    dsubs AS (
+        SELECT vec_id, r.j AS j,
+               list_slice(k, r.j * {_PQ_SUB} + 1,
+                          r.j * {_PQ_SUB} + {_PQ_SUB}) AS sv
+        FROM de, range(0, {_PQ_M}) r(j)),
+    denc AS (
+        SELECT vec_id, j, code, d FROM (
+            SELECT s.vec_id, s.j, b.cid AS code,
+                   {_sql_sqdist('s.sv', 'b.bv')} AS d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.j
+                       ORDER BY {_sql_sqdist('s.sv', 'b.bv')}, b.cid
+                   ) AS rn
+            FROM dsubs s JOIN {books} b ON s.j = b.j) t
+        WHERE rn = 1)
+    SELECT CAST(j AS INTEGER) AS j, CAST(code AS INTEGER) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_delta,
+           CAST(SUM(CAST(d AS BIGINT)) AS BIGINT) AS qerr
+    FROM denc GROUP BY j, code
+    """
+
+
+@register("q_pq_incremental", oracle=_pq_incremental_oracle())
+def q_pq_incremental(spark, sf_dir):
+    """PQ index maintenance — delta vectors encoded against FROZEN
+    codebooks (operators/similarity.grid_pq_encode), completing the
+    maintenance matrix: IVF frozen-center assign (q_ivf_incremental),
+    BM25 stats merge (q_bm25_incremental), SQ8 frozen-bounds encode
+    (q_sq8_incremental), and now the PQ codebook tier. The codebooks
+    train on the 80% base corpus only; the 20% delta is absorbed by a
+    broadcast-join assignment — cost scales with the delta, never the
+    corpus (the absorb-vs-retrain shape tools/maintenance_probe.py
+    measures FLAT under 16x growth for the siblings).
+
+    Returned audit: per (subspace, code) delta counts and EXACT integer
+    quantization-error sums — the drift signal a maintenance loop
+    consumes (tools/drift_retrain_probe.py is the consumer pattern):
+    rising qerr per absorbed batch says the frozen codebooks no longer
+    describe the data and the retrain threshold is approaching.
+
+    Cross-engine exactness: the trainer replays via _grid_pq_ctes
+    (integer truncated-mean Lloyd, the established chain) and the delta
+    assignment is exact-integer squared-L2 tie-broken by centroid id;
+    qerr sums ride BIGINT on both engines (per-row d < 2^53 but the
+    SUM may not be — the dot_long lesson).
+
+    Scale: books are m·n_centroids rows, always broadcast; the delta
+    encode is map-shaped (no shuffle of the corpus, one row_number per
+    (vector, subspace) over an m·n_centroids-wide candidate set); the
+    audit output is ≤ m·n_centroids rows."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_pq,
+        grid_pq_encode,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _PQ_CENTROIDS,
+        _PQ_ITERS,
+        _PQ_M,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    is_base = F.col("vec_id") % _PQ_DELTA_MOD != _PQ_DELTA_REM
+    _, books = grid_pq(
+        emb.filter(is_base),
+        m=_PQ_M,
+        n_centroids=_PQ_CENTROIDS,
+        iters=_PQ_ITERS,
+    )
+    denc = grid_pq_encode(emb.filter(~is_base), books, m=_PQ_M)
+    return denc.groupBy("j", "code").agg(
+        F.count(F.lit(1)).alias("n_delta"),
+        F.sum("qerr").alias("qerr"),
+    )

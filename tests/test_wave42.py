@@ -131,3 +131,66 @@ def test_stream_topk_state_is_k_bounded(spark):
         (F.col("lo") != 1) | (F.col("hi") != F.col("n"))
     ).count()
     assert bad == 0
+
+
+def test_pq_encode_frozen_books_matches_trainer_assignment(spark):
+    """grid_pq_encode against the trainer's own final codebooks must
+    reproduce grid_pq's codes exactly — the factored encoder and the
+    trainer's last assignment are the same arithmetic."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_pq,
+        grid_pq_encode,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _PQ_CENTROIDS,
+        _PQ_ITERS,
+        _PQ_M,
+    )
+
+    emb = t(spark, SF, "embeddings")
+    codes, books = grid_pq(
+        emb, m=_PQ_M, n_centroids=_PQ_CENTROIDS, iters=_PQ_ITERS
+    )
+    want = {(r.vec_id, r.j): r.code for r in codes.collect()}
+    got = {
+        (r.vec_id, r.j): r.code
+        for r in grid_pq_encode(emb, books, m=_PQ_M).collect()
+    }
+    assert got == want
+
+
+def test_pq_encode_split_invariance(spark):
+    """Encoding is per-row pure given frozen books: any split of the
+    delta encodes identically to encoding it whole — the incremental ≡
+    batch law the maintenance row rests on (codes AND qerr)."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_pq,
+        grid_pq_encode,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _PQ_CENTROIDS,
+        _PQ_ITERS,
+        _PQ_M,
+    )
+
+    emb = t(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    _, books = grid_pq(
+        base, m=_PQ_M, n_centroids=_PQ_CENTROIDS, iters=_PQ_ITERS
+    )
+    books = books.localCheckpoint(eager=True)
+
+    def enc(df):
+        return {
+            (r.vec_id, r.j): (r.code, r.qerr)
+            for r in grid_pq_encode(df, books, m=_PQ_M).collect()
+        }
+
+    whole = enc(delta)
+    part1 = enc(delta.filter(F.col("vec_id") % 2 == 0))
+    part2 = enc(delta.filter(F.col("vec_id") % 2 == 1))
+    assert {**part1, **part2} == whole
+    assert not (set(part1) & set(part2))
