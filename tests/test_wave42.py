@@ -194,3 +194,43 @@ def test_pq_encode_split_invariance(spark):
     part2 = enc(delta.filter(F.col("vec_id") % 2 == 1))
     assert {**part1, **part2} == whole
     assert not (set(part1) & set(part2))
+
+
+def test_trainer_final_assignment_equals_frozen_reassign(spark):
+    """grid_ivf's returned cells ARE the assignment against its final
+    centers — so the maintained index (trainer cells ∪ frozen-center
+    delta assigns) is exactly grid_assign of the union: the identity
+    q_retrieval_lifecycle's maintained `ma` construction rests on."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign,
+        grid_ivf,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+    )
+
+    emb = t(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    cells, centers = grid_ivf(base, n_cells=_N_CELLS, iters=_ITERS)
+    trained = {(r.vec_id, r.cell) for r in cells.select("vec_id", "cell").collect()}
+    reassigned = {
+        (r.vec_id, r.cell) for r in grid_assign(base, centers).collect()
+    }
+    assert trained == reassigned
+
+
+def test_lifecycle_plan_no_cartesian_take_ordered(spark):
+    """The lifecycle row keeps the hybrid plan posture: no shuffle
+    cartesian (only the deliberate 1-row/n_cells-row broadcast nested
+    loops), TakeOrdered cuts, hash joins on the corpus paths."""
+    from incubator_flink_old_spark.plans import explain_str
+    from incubator_flink_old_spark.queries.llm_ops27 import (
+        q_retrieval_lifecycle,
+    )
+
+    plan = explain_str(q_retrieval_lifecycle(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
