@@ -594,6 +594,100 @@ def grid_pq_encode(
     )
 
 
+def grid_pq_encode_map(
+    df: DataFrame,
+    books_rows,
+    m: int = 4,
+    dim: int = 64,
+    grid: float = 1_000_000.0,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Frozen-codebook PQ encoding as a PURE MAP — the streaming form of
+    :func:`grid_pq_encode`, exactly as :func:`grid_assign_map` is the
+    streaming form of :func:`grid_assign`: the codebooks arrive as
+    collected rows (bounded — m·n_centroids of them) and are embedded
+    as a literal array-of-arrays indexed by subspace, so each row's m
+    codes are expression-level argmin folds with NO join, NO window, NO
+    shuffle — the only shape Structured Streaming admits for a stateless
+    per-row transform.
+
+    Semantics match grid_pq_encode bit-for-bit (law-pinned in
+    tests/test_wave42.py): same floor quantization and subvector
+    slicing, same exact-integer squared-L2, and the fold walks
+    centroids in ascending cid keeping only STRICT improvements —
+    equal distances keep the earlier (smaller) cid, reproducing the
+    (d asc, cid asc) ROW_NUMBER tie-break. Returns (key, j, code,
+    qerr) — m rows per vector."""
+    if not books_rows:
+        # Books are m·n_centroids rows by design; an empty list is a
+        # caller bug — fail loudly instead of emitting code=-1 rows
+        # while the join form would return nothing (the
+        # grid_assign_map discipline).
+        raise ValueError("grid_pq_encode_map: books_rows is empty")
+    assert dim % m == 0
+    sub = dim // m
+    by_j: dict[int, list] = {}
+    for r in books_rows:
+        by_j.setdefault(int(r.j), []).append(r)
+    books_arr = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(r.cid)).alias("cid"),
+                        F.array(*[F.lit(int(v)) for v in r.bv]).alias("bv"),
+                    )
+                    for r in sorted(by_j.get(j, []), key=lambda r: r.cid)
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    k = F.transform(
+        as_double_array(vec), lambda x: F.floor(x * F.lit(grid)).cast("long")
+    )
+    rows = df.select(
+        F.col(key),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(k, j * sub + 1, sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("js"),
+    ).select(key, F.col("js.j").alias("j"), F.col("js.sv").alias("sv"))
+    cand = F.transform(
+        F.element_at(books_arr, F.col("j") + 1),
+        lambda b: F.struct(
+            b.getField("cid").alias("c"),
+            grid_sqdist(
+                as_double_array(F.col("sv")),
+                as_double_array(b.getField("bv")),
+            ).alias("d"),
+        ),
+    )
+    best = F.aggregate(
+        cand,
+        F.struct(
+            F.lit(-1).alias("c"), F.lit(float("inf")).alias("d")
+        ),
+        lambda acc, x: F.when(
+            x.getField("d") < acc.getField("d"), x
+        ).otherwise(acc),
+    )
+    return rows.select(
+        F.col(key),
+        "j",
+        best.getField("c").alias("code"),
+        best.getField("d").cast("long").alias("qerr"),
+    )
+
+
 def lsh_bucket(vec: Column | str, num_bits: int = 4) -> Column:
     """Sign-bit LSH bucket: bit i = (element_i > 0). Deterministic and
     SQL-portable; a production engine would use seeded random hyperplanes

@@ -418,3 +418,123 @@ def q_retrieval_lifecycle(spark, sf_dir):
         index=(mcells, centers),
         codes=(fcodes, fbounds),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming PQ encoding: delta vectors encode against frozen codebooks as a
+# pure map — the PQ tier's streaming dimension
+# --------------------------------------------------------------------------
+
+
+def _stream_pq_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _PQ_M,
+        _PQ_SUB,
+        _grid_pq_ctes,
+        _sql_sqdist,
+    )
+
+    pq_ctes, books = _grid_pq_ctes(include_e=False)
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
+        FROM embeddings
+        WHERE vec_id % {_PQ_DELTA_MOD} <> {_PQ_DELTA_REM}),
+    {pq_ctes},
+    de AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
+        FROM embeddings
+        WHERE vec_id % {_PQ_DELTA_MOD} = {_PQ_DELTA_REM}),
+    dsubs AS (
+        SELECT vec_id, r.j AS j,
+               list_slice(k, r.j * {_PQ_SUB} + 1,
+                          r.j * {_PQ_SUB} + {_PQ_SUB}) AS sv
+        FROM de, range(0, {_PQ_M}) r(j))
+    SELECT vec_id, CAST(j AS INTEGER) AS j, CAST(code AS INTEGER) AS code,
+           CAST(d AS BIGINT) AS qerr
+    FROM (
+        SELECT s.vec_id, s.j, b.cid AS code,
+               {_sql_sqdist('s.sv', 'b.bv')} AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.j
+                   ORDER BY {_sql_sqdist('s.sv', 'b.bv')}, b.cid
+               ) AS rn
+        FROM dsubs s JOIN {books} b ON s.j = b.j) t
+    WHERE rn = 1
+    """
+
+
+@register("q_stream_pq_encode_parity", oracle=_stream_pq_oracle())
+def q_stream_pq_encode_parity(spark, sf_dir):
+    """STREAMING PQ encoding ⇄ batch parity — the PQ tier's streaming
+    dimension, exactly as q_stream_ivf_assign_parity is the IVF tier's:
+    new vectors arrive as a REAL multi-batch stream and each emits its
+    m codes through operators/similarity.grid_pq_encode_map — the
+    map-only form (codebooks as a literal array-of-arrays indexed by
+    subspace, expression-level argmin folds) that Structured Streaming
+    accepts, since the join+window form is off-limits there. The batch
+    twin is q_pq_incremental's frozen-codebook encode; the map ≡
+    join+window law is pinned in tests/test_wave42.py, and the oracle
+    replays the base-corpus trainer plus the delta assignment
+    value-exactly (including the BIGINT qerr audit column).
+
+    Scale: per micro-batch cost is a pure map over the batch's rows
+    (m·n_centroids·(dim/m) literals ship once in the plan; no shuffle,
+    no state) — a live embedding feed lands 64x-compressed at ingest
+    throughput, and q_pq_incremental's qerr drift audit runs downstream
+    on the landed codes."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_pq,
+        grid_pq_encode_map,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _PQ_CENTROIDS,
+        _PQ_ITERS,
+        _PQ_M,
+    )
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    emb = t(spark, sf_dir, "embeddings")
+    is_base = F.col("vec_id") % _PQ_DELTA_MOD != _PQ_DELTA_REM
+    _, books = grid_pq(
+        emb.filter(is_base),
+        m=_PQ_M,
+        n_centroids=_PQ_CENTROIDS,
+        iters=_PQ_ITERS,
+    )
+    book_rows = books.collect()  # m*n_centroids rows — bounded by design
+
+    delta = emb.filter(~is_base).select("vec_id", "embedding")
+    hi = delta.agg(F.max("vec_id")).collect()[0][0]  # 1-row bound
+    if hi is None or hi < 3:
+        batches = (delta,)  # degenerate split: single-batch replay
+    else:
+        cuts = (hi // 3, 2 * (hi // 3))
+        batches = (
+            delta.filter(F.col("vec_id") <= cuts[0]),
+            delta.filter(
+                (F.col("vec_id") > cuts[0]) & (F.col("vec_id") <= cuts[1])
+            ),
+            delta.filter(F.col("vec_id") > cuts[1]),
+        )
+    src = tempfile.mkdtemp(prefix="t2_stream_pq_")
+    try:
+        for i, b in enumerate(batches):
+            b.repartition(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = grid_pq_encode_map(stream, book_rows, m=_PQ_M)
+        name = f"stream_pq_{next(_SEQ)}"
+        run_stream_to_memory(out, name, "append", state_partitions=None)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).select("vec_id", "j", "code", "qerr")

@@ -234,3 +234,71 @@ def test_lifecycle_plan_no_cartesian_take_ordered(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pq_encode_map_equals_join_form(spark):
+    """The streaming-safe map-only PQ encode (codebooks as a literal
+    array-of-arrays, fold-argmin) must reproduce the join+window form
+    bit-for-bit on every (vector, subspace) — codes AND qerr, including
+    the strict-improvement fold's tie-break matching ROW_NUMBER's
+    (d asc, cid asc)."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_pq,
+        grid_pq_encode,
+        grid_pq_encode_map,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _PQ_CENTROIDS,
+        _PQ_ITERS,
+        _PQ_M,
+    )
+
+    emb = t(spark, SF, "embeddings")
+    _, books = grid_pq(
+        emb, m=_PQ_M, n_centroids=_PQ_CENTROIDS, iters=_PQ_ITERS
+    )
+    rows = books.collect()
+    joined = {
+        (r.vec_id, r.j): (r.code, r.qerr)
+        for r in grid_pq_encode(emb, books, m=_PQ_M).collect()
+    }
+    mapped = {
+        (r.vec_id, r.j): (r.code, r.qerr)
+        for r in grid_pq_encode_map(emb, rows, m=_PQ_M).collect()
+    }
+    assert mapped == joined
+
+
+def test_pq_encode_map_rejects_empty_books(spark):
+    """An empty codebook list is a caller bug — fail loudly (the
+    grid_assign_map discipline)."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_pq_encode_map,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    emb = t(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="books_rows is empty"):
+        grid_pq_encode_map(emb, [])
+
+
+def test_stream_pq_encode_is_pure_map(spark):
+    """The streaming PQ encode must be a pure per-row transform over
+    the stream — no Exchange, no join, no window, no aggregate (the
+    explode to m subspace rows is a stateless Generate): the property
+    that lets it land codes at ingest throughput."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_pq,
+        grid_pq_encode_map,
+    )
+    from incubator_flink_old_spark.plans import explain_str
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import _PQ_M
+
+    emb = t(spark, SF, "embeddings")
+    _, books = grid_pq(emb, m=_PQ_M, n_centroids=4, iters=1)
+    out = grid_pq_encode_map(emb, books.collect(), m=_PQ_M)
+    plan = explain_str(out)
+    for op in ("Exchange", "Join", "Window", "Aggregate"):
+        assert op not in plan, op
