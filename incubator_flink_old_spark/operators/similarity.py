@@ -688,6 +688,56 @@ def grid_pq_encode_map(
     )
 
 
+def sq8_encode_map(
+    df: DataFrame,
+    bounds_rows,
+    levels: int = 255,
+    grid: float = 1_000_000.0,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Frozen-bounds SQ8 encoding as a PURE MAP — the streaming form of
+    ``_sq_codes(bounds=..., clamp=True)``, completing the maintenance
+    family's streaming dimension (grid_assign_map is the IVF form,
+    grid_pq_encode_map the PQ form): the 64-row quantizer table arrives
+    as collected rows and is embedded as literal per-dim arrays, so each
+    row's codes come from a stateless posexplode + projection — no
+    join, no window, no shuffle, the shape Structured Streaming admits.
+
+    Arithmetic is the batch encoder's exactly: integer
+    (v − lo)·levels div (hi − lo), two-side clamped into [0, levels]
+    (the clamp is also what reconciles Spark's truncating ``div`` with
+    DuckDB's flooring ``//`` for out-of-range values — both land on the
+    boundary code). Returns per-dim rows (key, p 1-based, c) — the
+    explode is deliberate: per-dim rows are what the clamp-count drift
+    audit (q_sq8_incremental) consumes downstream."""
+    if not bounds_rows:
+        raise ValueError("sq8_encode_map: bounds_rows is empty")
+    ordered = sorted(bounds_rows, key=lambda r: r.p)
+    lo_arr = F.array(*[F.lit(int(r.lo)) for r in ordered])
+    hi_arr = F.array(*[F.lit(int(r.hi)) for r in ordered])
+    k = F.transform(
+        as_double_array(vec), lambda x: F.floor(x * F.lit(grid)).cast("long")
+    )
+    rows = df.select(key, F.posexplode(k).alias("p0", "v")).select(
+        F.col(key),
+        (F.col("p0") + 1).alias("p"),
+        "v",
+        F.element_at(lo_arr, (F.col("p0") + 1).cast("int")).alias("lo"),
+        F.element_at(hi_arr, (F.col("p0") + 1).cast("int")).alias("hi"),
+    )
+    c = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                f"least(greatest((v - lo) * {levels} div (hi - lo), "
+                f"CAST(0 AS BIGINT)), CAST({levels} AS BIGINT))"
+            )
+        )
+    )
+    return rows.select(F.col(key), "p", c.alias("c"))
+
+
 def lsh_bucket(vec: Column | str, num_bits: int = 4) -> Column:
     """Sign-bit LSH bucket: bit i = (element_i > 0). Deterministic and
     SQL-portable; a production engine would use seeded random hyperplanes

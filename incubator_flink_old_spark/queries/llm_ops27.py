@@ -538,3 +538,108 @@ def q_stream_pq_encode_parity(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).select("vec_id", "j", "code", "qerr")
+
+
+# --------------------------------------------------------------------------
+# Streaming SQ8 encoding: delta vectors encode against frozen bounds as a
+# pure map — the SQ8 tier's streaming dimension
+# --------------------------------------------------------------------------
+
+
+def _stream_sq8_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import _DIM
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _GRID,
+        _SQ_LEVELS,
+    )
+
+    return f"""
+    WITH bdims AS (
+        SELECT r.p AS p, k[r.p] AS v FROM (
+            SELECT list_transform(embedding::DOUBLE[],
+                       x -> CAST(FLOOR(x * {_GRID}) AS BIGINT)) AS k
+            FROM embeddings
+            WHERE vec_id % {_PQ_DELTA_MOD} <> {_PQ_DELTA_REM}) b,
+            range(1, {_DIM + 1}) r(p)),
+    mm AS (SELECT p, MIN(v) AS lo, MAX(v) AS hi FROM bdims GROUP BY p),
+    ddims AS (
+        SELECT vec_id, r.p AS p, k[r.p] AS v FROM (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(FLOOR(x * {_GRID}) AS BIGINT)) AS k
+            FROM embeddings
+            WHERE vec_id % {_PQ_DELTA_MOD} = {_PQ_DELTA_REM}) d,
+            range(1, {_DIM + 1}) r(p))
+    SELECT d.vec_id, CAST(d.p AS BIGINT) AS p,
+           CAST(CASE WHEN m.hi = m.lo THEN 0
+                ELSE LEAST(GREATEST(
+                    (d.v - m.lo) * {_SQ_LEVELS} // (m.hi - m.lo),
+                    0), {_SQ_LEVELS})
+           END AS BIGINT) AS c
+    FROM ddims d JOIN mm m ON d.p = m.p
+    """
+
+
+@register("q_stream_sq8_encode_parity", oracle=_stream_sq8_oracle())
+def q_stream_sq8_encode_parity(spark, sf_dir):
+    """STREAMING SQ8 encoding ⇄ batch parity — the third and last tier
+    of the maintenance matrix's streaming dimension (IVF:
+    q_stream_ivf_assign_parity; PQ: q_stream_pq_encode_parity): delta
+    vectors arrive as a REAL multi-batch stream and each emits its 64
+    clamped codes through operators/similarity.sq8_encode_map — the
+    64-row frozen quantizer table embedded as literal per-dim arrays,
+    a stateless posexplode + projection that Structured Streaming
+    accepts. The batch twin is q_sq8_incremental's frozen-bounds
+    encode; the map ≡ batch law is pinned in tests/test_wave42.py, and
+    the per-dim output rows are exactly what the clamp-count drift
+    audit consumes downstream.
+
+    Scale: per micro-batch cost is a pure map (64·2 literal longs ship
+    once in the plan; no shuffle, no state) — a live embedding feed
+    lands 8x-compressed at ingest throughput."""
+    from incubator_flink_old_spark.operators.similarity import (
+        sq8_encode_map,
+    )
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _SQ_LEVELS,
+        _grid_vec,
+        _sq_bounds,
+    )
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    emb = t(spark, sf_dir, "embeddings")
+    is_base = F.col("vec_id") % _PQ_DELTA_MOD != _PQ_DELTA_REM
+    bounds_rows = _sq_bounds(
+        emb.filter(is_base).select("vec_id", _grid_vec().alias("k"))
+    ).collect()  # 64 rows — bounded by design
+
+    delta = emb.filter(~is_base).select("vec_id", "embedding")
+    hi = delta.agg(F.max("vec_id")).collect()[0][0]  # 1-row bound
+    if hi is None or hi < 3:
+        batches = (delta,)  # degenerate split: single-batch replay
+    else:
+        cuts = (hi // 3, 2 * (hi // 3))
+        batches = (
+            delta.filter(F.col("vec_id") <= cuts[0]),
+            delta.filter(
+                (F.col("vec_id") > cuts[0]) & (F.col("vec_id") <= cuts[1])
+            ),
+            delta.filter(F.col("vec_id") > cuts[1]),
+        )
+    src = tempfile.mkdtemp(prefix="t2_stream_sq8_")
+    try:
+        for i, b in enumerate(batches):
+            b.repartition(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = sq8_encode_map(stream, bounds_rows, levels=_SQ_LEVELS)
+        name = f"stream_sq8_{next(_SEQ)}"
+        run_stream_to_memory(out, name, "append", state_partitions=None)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).select("vec_id", "p", "c")

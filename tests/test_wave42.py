@@ -302,3 +302,66 @@ def test_stream_pq_encode_is_pure_map(spark):
     plan = explain_str(out)
     for op in ("Exchange", "Join", "Window", "Aggregate"):
         assert op not in plan, op
+
+
+def test_sq8_encode_map_equals_batch_form(spark):
+    """The streaming-safe map-only SQ8 encode must reproduce the batch
+    frozen-bounds clamped encoder bit-for-bit on every (vector, dim)."""
+    from incubator_flink_old_spark.operators.similarity import (
+        sq8_encode_map,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _SQ_LEVELS,
+        _grid_vec,
+        _sq_bounds,
+        _sq_codes,
+    )
+
+    emb = t(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    beg = base.select("vec_id", _grid_vec().alias("k"))
+    deg = delta.select("vec_id", _grid_vec().alias("k"))
+    bounds = _sq_bounds(beg).localCheckpoint(eager=True)
+    batch = {}
+    for r in _sq_codes(deg, bounds=bounds, clamp=True).collect():
+        for i, c in enumerate(r.code):
+            batch[(r.vec_id, i + 1)] = int(c)
+    mapped = {
+        (r.vec_id, r.p): int(r.c)
+        for r in sq8_encode_map(
+            delta, bounds.collect(), levels=_SQ_LEVELS
+        ).collect()
+    }
+    assert mapped == batch
+
+
+def test_sq8_encode_map_rejects_empty_bounds(spark):
+    from incubator_flink_old_spark.operators.similarity import (
+        sq8_encode_map,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    emb = t(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="bounds_rows is empty"):
+        sq8_encode_map(emb, [])
+
+
+def test_stream_sq8_encode_is_pure_map(spark):
+    """No Exchange/Join/Window/Aggregate — lands at ingest throughput."""
+    from incubator_flink_old_spark.operators.similarity import (
+        sq8_encode_map,
+    )
+    from incubator_flink_old_spark.plans import explain_str
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _grid_vec,
+        _sq_bounds,
+    )
+
+    emb = t(spark, SF, "embeddings")
+    bounds = _sq_bounds(emb.select("vec_id", _grid_vec().alias("k")))
+    plan = explain_str(sq8_encode_map(emb, bounds.collect()))
+    for op in ("Exchange", "Join", "Window", "Aggregate"):
+        assert op not in plan, op
