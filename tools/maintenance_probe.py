@@ -186,6 +186,34 @@ def _probe(spark, sf_dir: str, n_scale: int, out: str) -> None:
             flush=True,
         )
 
+        # --- PQ: retrain codebooks + encode union vs frozen-books
+        # delta encode (the round-8 tier, q_pq_incremental)
+        from incubator_flink_old_spark.operators.similarity import (
+            grid_pq,
+            grid_pq_encode,
+        )
+        from incubator_flink_old_spark.queries.llm_ops11 import (
+            _PQ_CENTROIDS,
+            _PQ_ITERS,
+            _PQ_M,
+        )
+
+        books = grid_pq(
+            ebase, m=_PQ_M, n_centroids=_PQ_CENTROIDS, iters=_PQ_ITERS
+        )[1].localCheckpoint(eager=True)
+        t_pq_retrain = _best(
+            lambda: grid_pq(
+                eunion, m=_PQ_M, n_centroids=_PQ_CENTROIDS, iters=_PQ_ITERS
+            )[0]
+        )
+        t_pq_delta = _best(lambda: grid_pq_encode(edelta, books, m=_PQ_M))
+        print(
+            f"scale={scale} PQ: retrain+encode={t_pq_retrain:.2f}s "
+            f"delta_frozen={t_pq_delta:.2f}s "
+            f"ratio={t_pq_retrain / t_pq_delta:.1f}x",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()
