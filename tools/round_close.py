@@ -1,0 +1,69 @@
+"""Round-close protocol, codified (VERDICT r07 item 2's process fix):
+
+1. run bench TWICE on a quiet box, committing BOTH sidecars
+   (bench_results_run1.json + bench_results.json) so the min-of-two
+   scan is judge-reproducible from artifacts;
+2. run tools/regression_scan.py with the PREVIOUS round's quiet sidecar
+   as OLD and both fresh sidecars as NEW — against the FINAL files, so
+   a refresh can never outrun the scan again (the r07 gap);
+3. print the scan verdict; every hit owes a tools/adjudicate.py session
+   before the round ends.
+
+Usage: python tools/round_close.py PREV_SIDECAR
+  (PREV_SIDECAR = the committed quiet sidecar of the previous round,
+   e.g. a git-show'd copy: `git show <r07-tag>:bench_results.json >
+   /tmp/prev.json`)
+
+QUIET BOX ONLY: concurrent pytest/driver_sim inflates all timings ~1.5x
+uniformly and the run must then be discarded.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    if len(sys.argv) != 2:
+        sys.exit("usage: python tools/round_close.py PREV_SIDECAR")
+    prev = sys.argv[1]
+    if not os.path.exists(prev):
+        sys.exit(f"previous sidecar not found: {prev}")
+    env = dict(os.environ)
+    for out in ("bench_results_run1.json", "bench_results.json"):
+        env["SPARK_GRAFT_BENCH_OUT"] = out
+        print(f"== bench -> {out}", flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py")],
+            env=env,
+            cwd=ROOT,
+        )
+        if r.returncode != 0:
+            sys.exit(f"bench failed (rc {r.returncode}) writing {out}")
+    print("== regression scan vs previous round (final sidecars)",
+          flush=True)
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "tools", "regression_scan.py"),
+            prev,
+            os.path.join(ROOT, "bench_results_run1.json"),
+            os.path.join(ROOT, "bench_results.json"),
+        ],
+        cwd=ROOT,
+    )
+    if r.returncode != 0:
+        print(
+            "HITS FOUND: adjudicate each (tools/adjudicate.py) before "
+            "round close",
+            flush=True,
+        )
+    return r.returncode
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
