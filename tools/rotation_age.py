@@ -9,6 +9,13 @@ green round per query, and prints all registered queries oldest-first
 DRIVER_PRIORITY tuple of the first 50.
 
 Usage: python tools/rotation_age.py [N]   (N = tuple size, default 50)
+
+NOTE (round 8): _apply_driver_priority now derives the oldest-first
+ordering from the CORRECTNESS union ITSELF — DRIVER_PRIORITY is only
+the manual code-changed re-front list, and no tuple needs regenerating.
+This tool remains the REPORT (which tiers are stale, what the window
+will be); its printed tuple is only needed if the structural ordering
+ever has to be overridden wholesale.
 """
 
 from __future__ import annotations
