@@ -643,3 +643,81 @@ def q_stream_sq8_encode_parity(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).select("vec_id", "p", "c")
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC latest-wins compaction: the upsert MERGE view maintained live
+# --------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+    WITH r AS (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    SELECT user_id, event_id, event_type, value
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+    """
+
+
+@register("q_stream_cdc_parity", oracle=_CDC_ORACLE)
+def q_stream_cdc_parity(spark, sf_dir):
+    """Streaming latest-wins compaction ⇄ batch parity
+    (streaming.stateful_latest): the CDC/upsert MERGE view
+    (q_cdc_latest's semantics, same oracle) maintained continuously
+    over a REAL 4-file multi-batch replay. Latest-wins is an argmax
+    semilattice over the (ts, event_id) total order, so the final
+    emission per key is EXACTLY the batch ROW_NUMBER window whatever
+    the batch boundaries — boundary invariance law-pinned in
+    tests/test_wave42.py. Epoch micros are computed Spark-side before
+    the state worker (the stateful_session epoch lesson); the 'error'
+    tombstone drops the key at readback exactly as the batch form
+    filters it.
+
+    Scale: state is ONE row per key forever — the property that makes
+    a continuously-fresh upsert view viable over an unbounded change
+    stream; emissions are one row per key per batch and the readback
+    scans emissions, never the log."""
+    from incubator_flink_old_spark.streaming import (
+        run_stream_to_memory,
+        stateful_latest,
+    )
+
+    src = tempfile.mkdtemp(prefix="t2_cdc_src_")
+    try:
+        (
+            t(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                "event_id",
+                "event_type",
+                "value",
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts_us long, event_id long, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stateful_latest(stream)
+        name = f"stream_cdc_{next(_SEQ)}"
+        run_stream_to_memory(out, name, "update", state_partitions=4)
+        tbl = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    w = Window.partitionBy("user_id")
+    return (
+        tbl.withColumn("mx", F.max("seen").over(w))
+        .filter(
+            (F.col("seen") == F.col("mx"))
+            & (F.col("event_type") != "error")
+        )
+        .select("user_id", "event_id", "event_type", "value")
+    )

@@ -644,3 +644,89 @@ def stateful_topk(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stateful_latest(
+    stream: DataFrame,
+    key: str = "user_id",
+    order_cols: tuple[str, str] = ("ts_us", "event_id"),
+    payload_cols: tuple[str, ...] = ("event_type", "value"),
+) -> DataFrame:
+    """Streaming LATEST-WINS compaction with O(1) state per key
+    (applyInPandasWithState) — the CDC/upsert MERGE semantics
+    (q_cdc_latest) maintained continuously: per key, state holds only
+    the current winning row by the (ts, id) total order; each
+    microbatch arg-maxes the batch's rows against it and emits the
+    current winner (update semantics).
+
+    Latest-wins is an idempotent, commutative, associative merge
+    (argmax over a total order — a semilattice), so the final emission
+    equals the batch ROW_NUMBER window whatever the microbatch
+    boundaries or intra-batch order — the invariance the law test
+    permutes. No arithmetic touches any column (pure comparisons), so
+    streaming ≡ batch bit-for-bit. Order columns must be longs (epoch
+    micros computed Spark-side BEFORE the state worker — the
+    stateful_session epoch lesson); ties break by the second order
+    column descending, matching the batch window's (ts DESC, id DESC).
+
+    Output: (key, *order_cols, *payload_cols, seen) — ``seen`` counts
+    rows absorbed per key (monotone), so a readback selects each key's
+    LAST emission without a batch-id channel. Scale: state is one row
+    per key forever; emissions are one row per key per batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    o1, o2 = order_cols
+    out_schema = (
+        f"{key} long, {o1} long, {o2} long, "
+        + ", ".join(f"{c} string" if c == "event_type" else f"{c} double"
+                    for c in payload_cols)
+        + ", seen long"
+    )
+    state_schema = (
+        f"{o1} long, {o2} long, "
+        + ", ".join(f"{c} string" if c == "event_type" else f"{c} double"
+                    for c in payload_cols)
+        + ", seen long"
+    )
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd  # worker-side import
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        best = None  # (o1, o2, *payloads)
+        seen = 0
+        if state.exists:
+            row = state.get
+            best = tuple(row[:-1])
+            seen = int(row[-1])
+        for pdf in pdfs:
+            seen += len(pdf)
+            for rec in pdf.itertuples(index=False):
+                cand = (
+                    int(getattr(rec, o1)),
+                    int(getattr(rec, o2)),
+                ) + tuple(getattr(rec, c) for c in payload_cols)
+                if best is None or cand[:2] > best[:2]:
+                    best = cand
+        if best is None:  # pragma: no cover - keyed batch is never empty
+            return
+        state.update(tuple(best) + (seen,))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                o1: [best[0]],
+                o2: [best[1]],
+                **{c: [best[2 + i]] for i, c in enumerate(payload_cols)},
+                "seen": [seen],
+            }
+        )
+
+    return (
+        stream.select(key, o1, o2, *payload_cols)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

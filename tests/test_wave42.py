@@ -365,3 +365,75 @@ def test_stream_sq8_encode_is_pure_map(spark):
     plan = explain_str(sq8_encode_map(emb, bounds.collect()))
     for op in ("Exchange", "Join", "Window", "Aggregate"):
         assert op not in plan, op
+
+
+def _final_latest(spark, rows, n_files: int, order_col):
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.streaming import (
+        run_stream_to_memory,
+        stateful_latest,
+    )
+
+    src = tempfile.mkdtemp(prefix="t2_cdc_law_")
+    try:
+        (
+            rows.orderBy(order_col)
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts_us long, event_id long, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = f"cdc_law_{n_files}_{order_col}"
+        run_stream_to_memory(
+            stateful_latest(stream), name, "update", state_partitions=2
+        )
+        tbl = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    w = Window.partitionBy("user_id")
+    return sorted(
+        (r.user_id, r.event_id, r.event_type, r.value)
+        for r in tbl.withColumn("mx", F.max("seen").over(w))
+        .filter(F.col("seen") == F.col("mx"))
+        .collect()
+    )
+
+
+def test_stream_cdc_batch_boundary_invariance(spark):
+    """Latest-wins is an argmax semilattice: the final per-key winner
+    must be identical across single-batch, multi-batch, and
+    permuted-order replays, and equal the batch ROW_NUMBER window."""
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.queries._util import t
+
+    rows = t(spark, SF, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    single = _final_latest(spark, rows, 1, "event_id")
+    multi = _final_latest(spark, rows, 4, "event_id")
+    permuted = _final_latest(spark, rows, 4, "value")
+    assert single == multi == permuted
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    batch = sorted(
+        (r.user_id, r.event_id, r.event_type, r.value)
+        for r in rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert single == batch
