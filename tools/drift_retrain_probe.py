@@ -269,7 +269,176 @@ def main() -> None:
             f"{t_retrain:.1f}s): {r_retrained:.3f}",
             flush=True,
         )
+    pq_demo(spark, sf_dir, shift)
     spark.stop()
+
+
+
+
+def pq_demo(spark, sf_dir: str, shift: float) -> None:
+    """The PQ tier's drift loop (round-8 sibling of the IVF+SQ8 demo
+    above): absorb a shifted delta with FROZEN codebooks
+    (grid_pq_encode — q_pq_incremental's path), read the qerr audit the
+    row emits, trip a relative threshold (delta mean qerr > 2x base
+    mean qerr), retrain on the union, and print ADC top-K recall on
+    drifted queries before/after. Ground truth = exact full-precision
+    top-K over the union.
+
+    MEASURED FINDING (PERF.md round 8): the qerr audit is a sharp
+    detector (1.0x in-distribution vs 9.5x under hard drift), but a
+    FIXED-CAPACITY retrain is the wrong recovery lever for PQ — recall
+    sits at the codebook-capacity floor (~0.21 here) drifted or not,
+    and under hard drift the retrain is actively harmful (0.05-0.14:
+    Lloyd dedicates whole centroids to the shifted cluster's MEAN,
+    collapsing its interior to identical codes and destroying
+    within-cluster discrimination; more centroids barely help — 0.18
+    at 4x capacity). The production recovery path is the COMPOSED
+    IVF+PQ index, where the IVF tier's retrain (which this tool
+    measures recovering 0.77 → 1.00) re-centers residuals and the PQ
+    codes only ever discriminate within a cell."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_pq,
+        grid_pq_encode,
+        grid_sqdist,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _PQ_CENTROIDS,
+        _PQ_ITERS,
+        _PQ_M,
+        _PQ_SUB,
+    )
+    from incubator_flink_old_spark.queries.llm_ops18 import _grid_vec
+    from incubator_flink_old_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    base = emb.filter(F.col("vec_id") % 5 != 4).select("vec_id", "embedding")
+    delta = emb.filter(F.col("vec_id") % 5 == 4).select(
+        (F.col("vec_id") + max_vec).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(shift)).alias(
+            "embedding"
+        ),
+    )
+    union = base.unionByName(delta).localCheckpoint(eager=True)
+    queries = delta.orderBy("vec_id").limit(N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    ).localCheckpoint(eager=True)
+
+    def sdc_recall(books, codes):
+        """SDC: distance table per (query, j, cid) from the query's own
+        subvectors vs the codebooks; rank by summed table lookups."""
+        qsubs = queries.select(
+            "q_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.slice(
+                                F.transform(
+                                    F.transform(
+                                        "qe", lambda x: x.cast("double")
+                                    ),
+                                    lambda x: F.floor(
+                                        x * F.lit(1_000_000.0)
+                                    ).cast("long"),
+                                ),
+                                j * _PQ_SUB + 1,
+                                _PQ_SUB,
+                            ).alias("sv"),
+                        )
+                        for j in range(_PQ_M)
+                    ]
+                )
+            ).alias("js"),
+        ).select("q_id", F.col("js.j").alias("j"), F.col("js.sv").alias("sv"))
+        dtab = qsubs.join(F.broadcast(books), on="j").select(
+            "q_id",
+            "j",
+            F.col("cid").alias("code"),
+            grid_sqdist(
+                F.transform("sv", lambda x: x.cast("double")),
+                F.transform("bv", lambda x: x.cast("double")),
+            ).alias("d"),
+        )
+        adist = (
+            codes.join(F.broadcast(dtab), on=["j", "code"])
+            .groupBy("q_id", "vec_id")
+            .agg(F.sum("d").alias("ad"))
+        )
+        w = Window.partitionBy("q_id").orderBy("ad", "vec_id")
+        it = (
+            adist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K)
+            .select(F.col("q_id").alias("iq"), F.col("vec_id").alias("ivec"))
+        )
+        ug = union.select("vec_id", _grid_vec().alias("k")).select(
+            "vec_id",
+            F.transform("k", lambda x: x.cast("double")).alias("kd"),
+        )
+        qg = queries.select(
+            "q_id",
+            F.transform(
+                F.transform("qe", lambda x: x.cast("double")),
+                lambda x: F.floor(x * F.lit(1_000_000.0)),
+            ).alias("qv"),
+        )
+        bt = (
+            F.broadcast(qg)
+            .crossJoin(ug)
+            .select(
+                "q_id",
+                "vec_id",
+                grid_sqdist(F.col("qv"), F.col("kd")).alias("d"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("q_id").orderBy("d", "vec_id")
+                ),
+            )
+            .filter(F.col("rn") <= K)
+            .select("q_id", "vec_id")
+        )
+        hits = bt.join(
+            it, (bt.q_id == it.iq) & (bt.vec_id == it.ivec)
+        ).count()
+        return hits / bt.count()
+
+    _, fbooks = grid_pq(
+        base, m=_PQ_M, n_centroids=_PQ_CENTROIDS, iters=_PQ_ITERS
+    )
+    fbooks = fbooks.localCheckpoint(eager=True)
+    enc_base = grid_pq_encode(base, fbooks, m=_PQ_M)
+    enc_delta = grid_pq_encode(delta, fbooks, m=_PQ_M)
+    qb = enc_base.agg(F.avg("qerr")).first()[0]
+    qd = enc_delta.agg(F.avg("qerr")).first()[0]
+    trip = qd > 2.0 * qb
+    print(
+        f"PQ drift: shift={shift} base_mean_qerr={qb:,.0f} "
+        f"delta_mean_qerr={qd:,.0f} ratio={qd / qb:.1f}x "
+        f"(threshold 2.0x) -> retrain_triggered={trip}",
+        flush=True,
+    )
+    fcodes = enc_base.unionByName(enc_delta).select(
+        "vec_id", "j", "code"
+    ).localCheckpoint(eager=True)
+    r_frozen = sdc_recall(fbooks, fcodes)
+    print(f"PQ recall@{K} with FROZEN books (absorb path): {r_frozen:.3f}",
+          flush=True)
+    if trip or os.environ.get("DRIFT_FORCE_RETRAIN"):
+        rcodes, rbooks = grid_pq(
+            union, m=_PQ_M, n_centroids=_PQ_CENTROIDS, iters=_PQ_ITERS
+        )
+        r_retrained = sdc_recall(
+            rbooks.localCheckpoint(eager=True),
+            rcodes.localCheckpoint(eager=True),
+        )
+        print(
+            f"PQ recall@{K} after RETRAIN (union codebooks): "
+            f"{r_retrained:.3f}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
