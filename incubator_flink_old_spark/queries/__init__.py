@@ -114,6 +114,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_ivf_assign_parity",
     "q_ivf_incremental",
     "q_bm25_incremental",
+    "q_sq8_incremental",
 )
 
 
