@@ -216,3 +216,85 @@ def test_empty_global_prefix_agg(spark):
     out = global_prefix_agg(e, [F.col("k")], {"m": (F.col("v"), "max")})
     assert out.count() == 0
     assert set(out.columns) == {"k", "v", "m"}
+
+
+def test_empty_round8_encoders(spark):
+    """The round-8 maintenance encoders degrade to empty results on an
+    empty delta — the routine no-new-data batch must not throw."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_pq,
+        grid_pq_encode,
+        grid_pq_encode_map,
+        sq8_encode_map,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    emb = t(spark, sf, "embeddings")
+    empty = emb.filter("vec_id < 0")
+    _, books = grid_pq(emb, m=4, n_centroids=4, iters=1)
+    assert grid_pq_encode(empty, books, m=4).count() == 0
+    assert grid_pq_encode_map(empty, books.collect(), m=4).count() == 0
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _grid_vec,
+        _sq_bounds,
+    )
+
+    bounds = _sq_bounds(emb.select("vec_id", _grid_vec().alias("k")))
+    assert sq8_encode_map(empty, bounds.collect()).count() == 0
+
+
+def test_empty_stream_stateful_ops(spark):
+    """stateful_topk / stateful_latest over an empty replay produce an
+    empty table (no keys, no state, no emissions)."""
+    import shutil
+    import tempfile
+
+    from incubator_flink_old_spark.sources import from_elements
+    from incubator_flink_old_spark.streaming import (
+        run_stream_to_memory,
+        stateful_latest,
+        stateful_topk,
+    )
+
+    src = tempfile.mkdtemp(prefix="t2_empty_stream_")
+    try:
+        from_elements(
+            spark, [], "event_type string, event_id long, value double"
+        ).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "event_type string, event_id long, value double"
+            )
+            .parquet(src)
+        )
+        run_stream_to_memory(
+            stateful_topk(stream, k=3), "empty_topk", "update",
+            state_partitions=2,
+        )
+        assert spark.table("empty_topk").count() == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    src = tempfile.mkdtemp(prefix="t2_empty_cdc_")
+    try:
+        from_elements(
+            spark,
+            [],
+            "user_id long, ts_us long, event_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts_us long, event_id long, "
+                "event_type string, value double"
+            )
+            .parquet(src)
+        )
+        run_stream_to_memory(
+            stateful_latest(stream), "empty_cdc", "update",
+            state_partitions=2,
+        )
+        assert spark.table("empty_cdc").count() == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
