@@ -721,3 +721,197 @@ def q_stream_cdc_parity(spark, sf_dir):
         )
         .select("user_id", "event_id", "event_type", "value")
     )
+
+
+# --------------------------------------------------------------------------
+# Dimension-truncated ANN tier: rank the probed pool over a PREFIX of the
+# dimensions, refine the shortlist at full dimensionality — the Matryoshka-
+# style compression axis (truncate dims) next to SQ8 (quantize values) and
+# PQ (quantize subspaces)
+# --------------------------------------------------------------------------
+
+#: Prefix length for stage A — 16 of 64 dims = 4x fewer bytes scanned.
+_MRL_DIM = 16
+
+
+def _prefix_refine_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _N_PROBE,
+        _N_QUERIES,
+        _TOPK,
+        _grid_ivf_ctes,
+        _sql_cos,
+        _sql_sqdist,
+    )
+    from incubator_flink_old_spark.queries.llm_ops26 import _REFINE_C
+
+    ivf_ctes, last_centers = _grid_ivf_ctes()
+
+    def _pfx(col: str) -> str:
+        return f"list_slice({col}, 1, {_MRL_DIM})"
+
+    return f"""
+    WITH {ivf_ctes},
+    q AS (
+        SELECT vec_id AS q_id, k FROM e WHERE vec_id < {_N_QUERIES}),
+    pr AS (
+        SELECT q_id, cell FROM (
+            SELECT q.q_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_sql_cos('q.k', 'c.cv')} DESC, c.cell
+                   ) AS rn
+            FROM q CROSS JOIN {last_centers} c) t
+        WHERE rn <= {_N_PROBE}),
+    sh AS (
+        SELECT q_id, vec_id FROM (
+            SELECT p.q_id, a.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY {_sql_sqdist(_pfx('q.k'), _pfx('a.k'))},
+                                a.vec_id
+                   ) AS rn
+            FROM pr p JOIN af a ON p.cell = a.cell
+            JOIN q ON q.q_id = p.q_id) t
+        WHERE rn <= {_REFINE_C}),
+    it AS (
+        SELECT q_id, vec_id FROM (
+            SELECT s.q_id, s.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.q_id
+                       ORDER BY {_sql_sqdist('q.k', 'e2.k')}, s.vec_id
+                   ) AS rn
+            FROM sh s JOIN e e2 ON s.vec_id = e2.vec_id
+            JOIN q ON q.q_id = s.q_id) t
+        WHERE rn <= {_TOPK}),
+    bt AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_sql_sqdist('q.k', 'c.k')}, c.vec_id) AS rn
+            FROM q CROSS JOIN e c) t
+        WHERE rn <= {_TOPK})
+    SELECT b.q_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(i.vec_id) AS DOUBLE) / {_TOPK}.0 AS recall
+    FROM bt b
+    LEFT JOIN it i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+    GROUP BY b.q_id
+    """
+
+
+def _prefix_refine_recall_df(spark, sf_dir, refine_c=None, prefix=None):
+    """Shared body of q_ann_recall_prefix; the law tests vary refine_c
+    (refine_c ≥ pool ≡ exact-over-cells) and the prefix length
+    (prefix = full dim ⇒ stage A IS the exact ranking)."""
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_ivf,
+        grid_sqdist,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+        _N_QUERIES,
+        _TOPK,
+        _grid_probes,
+    )
+    from incubator_flink_old_spark.queries.llm_ops18 import _grid_vec
+    from incubator_flink_old_spark.queries.llm_ops26 import _REFINE_C
+
+    refine_c = _REFINE_C if refine_c is None else refine_c
+    prefix = _MRL_DIM if prefix is None else prefix
+    emb = t(spark, sf_dir, "embeddings")
+    cells, centers = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
+    eg = emb.select("vec_id", _grid_vec().alias("k"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    probes = _grid_probes(queries, centers)
+    cand = probes.join(cells, on="cell").select("q_id", "vec_id")
+    # stage A: prefix-dim scan — the only corpus-shaped read, at
+    # (prefix/dim)x the bytes of the full vectors
+    pk = eg.select(
+        "vec_id",
+        F.transform(
+            F.slice("k", 1, prefix), lambda x: x.cast("double")
+        ).alias("pk"),
+    )
+    qpk = pk.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("pk").alias("qp")
+    )
+    wc = Window.partitionBy("q_id").orderBy("pd", "vec_id")
+    shortlist = (
+        cand.join(pk, on="vec_id")
+        .join(F.broadcast(qpk), on="q_id")
+        .select(
+            "q_id", "vec_id", grid_sqdist(F.col("qp"), F.col("pk")).alias("pd")
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= refine_c)
+        .select("q_id", "vec_id")
+    )
+    # stage B: full-dim refine over the shortlist (point reads)
+    kd = eg.select(
+        "vec_id", F.transform("k", lambda x: x.cast("double")).alias("kd")
+    )
+    qk = kd.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("kd").alias("qv")
+    )
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    it = (
+        shortlist.join(kd, on="vec_id")
+        .join(F.broadcast(qk), on="q_id")
+        .select(
+            "q_id", "vec_id", grid_sqdist(F.col("qv"), F.col("kd")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(F.col("q_id").alias("iq"), F.col("vec_id").alias("ivec"))
+    )
+    bt = (
+        F.broadcast(qk)
+        .crossJoin(kd.select("vec_id", F.col("kd").alias("cv")))
+        .select(
+            "q_id", "vec_id", grid_sqdist(F.col("qv"), F.col("cv")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    return (
+        bt.join(it, (bt.q_id == it.iq) & (bt.vec_id == it.ivec), "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("ivec").alias("hits"),
+            (F.count("ivec").cast("double") / _TOPK).alias("recall"),
+        )
+    )
+
+
+@register("q_ann_recall_prefix", oracle=_prefix_refine_oracle())
+def q_ann_recall_prefix(spark, sf_dir):
+    """MEASURED recall@5 for IVF + DIMENSION-TRUNCATED scan + full-dim
+    refine — the Matryoshka-style compression axis added to the ANN
+    matrix: where SQ8 quantizes VALUES (8x) and PQ quantizes SUBSPACES
+    (64x), this tier truncates DIMENSIONS (prefix 16 of 64 = 4x fewer
+    bytes in the corpus-shaped stage-A scan) and removes the truncation
+    error for the refine_c shortlist with full-dim point reads — the
+    recipe embedding providers trained with matryoshka objectives
+    deploy. The probed pool is reached by the family's shared IVF probe;
+    exact integer prefix squared-L2 tie-broken by vec_id; ground truth
+    is the brute-force full-dim top-5 over the 20-query sample.
+
+    Laws (tests/test_wave42.py): refine_c ≥ pool ⇒ identical to the
+    exact ranking over the probed cells (truncation error fully
+    removed); prefix = full dim ⇒ stage A already IS the exact ranking
+    at any refine_c ≥ k. Cross-engine: all arithmetic is exact-integer
+    grid sqdist (the established recipe), list_slice ⇄ F.slice.
+
+    Scale: stage A reads prefix·8 bytes per probed row (a column-pruned
+    scan under a dims-split layout — at 100 TB store the first 16 dims
+    as their own column family); stage B is refine_c point reads per
+    query, corpus-independent."""
+    return _prefix_refine_recall_df(spark, sf_dir)

@@ -437,3 +437,39 @@ def test_stream_cdc_batch_boundary_invariance(spark):
         .collect()
     )
     assert single == batch
+
+
+def test_prefix_refine_laws(spark):
+    """Dimension-truncation tier laws: (1) refine_c ≥ pool ⇒ identical
+    recall to the exact full-dim ranking over the probed cells (the
+    truncation can no longer cost anything); (2) prefix = full dim ⇒
+    stage A IS the exact ranking, so recall matches at the shipped
+    refine_c too; (3) recall is monotone nondecreasing in refine_c."""
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import _DIM
+    from incubator_flink_old_spark.queries.llm_ops27 import (
+        _prefix_refine_recall_df,
+    )
+
+    n = t(spark, SF, "embeddings").count()
+    unbounded = {
+        r.q_id: r.hits
+        for r in _prefix_refine_recall_df(spark, SF, refine_c=n).collect()
+    }
+    fulldim = {
+        r.q_id: r.hits
+        for r in _prefix_refine_recall_df(
+            spark, SF, refine_c=n, prefix=_DIM
+        ).collect()
+    }
+    assert unbounded == fulldim
+    prev = None
+    for c in (5, 20, 80):
+        cur = sum(
+            r.hits
+            for r in _prefix_refine_recall_df(spark, SF, refine_c=c).collect()
+        )
+        if prev is not None:
+            assert cur >= prev
+        prev = cur
+    assert prev <= sum(unbounded.values())
