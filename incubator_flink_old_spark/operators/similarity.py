@@ -630,6 +630,17 @@ def grid_pq_encode_map(
     by_j: dict[int, list] = {}
     for r in books_rows:
         by_j.setdefault(int(r.j), []).append(r)
+    missing = [j for j in range(m) if not by_j.get(j)]
+    if missing:
+        # A subspace with no codebook rows would make its literal array
+        # empty, the argmin fold would never improve on the init
+        # accumulator, and every row would silently emit code=-1 with
+        # qerr=inf-cast-to-long — the exact silent divergence the empty-
+        # list check above exists to prevent (ADVICE r08). Fail loudly.
+        raise ValueError(
+            f"grid_pq_encode_map: no codebook rows for subspace(s) "
+            f"{missing} (expected all of 0..{m - 1})"
+        )
     books_arr = F.array(
         *[
             F.array(
@@ -714,17 +725,45 @@ def sq8_encode_map(
     if not bounds_rows:
         raise ValueError("sq8_encode_map: bounds_rows is empty")
     ordered = sorted(bounds_rows, key=lambda r: r.p)
+    if [int(r.p) for r in ordered] != list(range(1, len(ordered) + 1)):
+        # A gapped/duplicated bounds table would make element_at return
+        # NULL lo/hi for the missing dims and the encoder would emit
+        # silent NULL codes (ADVICE r08). The quantizer table is dense
+        # 1..dim by construction (_sq_bounds groups over posexplode) —
+        # anything else is a caller bug; fail loudly.
+        raise ValueError(
+            "sq8_encode_map: bounds_rows p values must be exactly "
+            f"1..{len(ordered)} (got {sorted(int(r.p) for r in bounds_rows)})"
+        )
     lo_arr = F.array(*[F.lit(int(r.lo)) for r in ordered])
     hi_arr = F.array(*[F.lit(int(r.hi)) for r in ordered])
     k = F.transform(
         as_double_array(vec), lambda x: F.floor(x * F.lit(grid)).cast("long")
     )
+    # Vectors longer than the bounds table would read past the literal
+    # arrays (element_at → NULL lo/hi → silent NULL codes); raise
+    # in-plan so a short table fails the batch instead of corrupting
+    # the index (ADVICE r08).
+    def _guarded(arr):
+        return F.when(
+            F.col("p0") >= F.lit(len(ordered)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"sq8_encode_map: vector dim exceeds the "
+                        f"{len(ordered)}-row bounds table at p="
+                    ),
+                    (F.col("p0") + 1).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.element_at(arr, (F.col("p0") + 1).cast("int")))
+
     rows = df.select(key, F.posexplode(k).alias("p0", "v")).select(
         F.col(key),
         (F.col("p0") + 1).alias("p"),
         "v",
-        F.element_at(lo_arr, (F.col("p0") + 1).cast("int")).alias("lo"),
-        F.element_at(hi_arr, (F.col("p0") + 1).cast("int")).alias("hi"),
+        _guarded(lo_arr).alias("lo"),
+        _guarded(hi_arr).alias("hi"),
     )
     c = (
         F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))

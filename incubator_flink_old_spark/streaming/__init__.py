@@ -676,18 +676,22 @@ def stateful_latest(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     o1, o2 = order_cols
+    # Payload types come from the stream's own schema (ADVICE r08: a
+    # name-based special case silently mistyped any non-default payload
+    # set) — latest-wins never transforms a payload value, so the output
+    # carries each column's input type verbatim.
+    in_types = {f.name: f.dataType.simpleString() for f in stream.schema}
+    missing = [c for c in payload_cols if c not in in_types]
+    if missing:
+        raise ValueError(
+            f"stateful_latest: payload column(s) {missing} not in the "
+            f"stream schema ({sorted(in_types)})"
+        )
+    payload_schema = ", ".join(f"{c} {in_types[c]}" for c in payload_cols)
     out_schema = (
-        f"{key} long, {o1} long, {o2} long, "
-        + ", ".join(f"{c} string" if c == "event_type" else f"{c} double"
-                    for c in payload_cols)
-        + ", seen long"
+        f"{key} long, {o1} long, {o2} long, {payload_schema}, seen long"
     )
-    state_schema = (
-        f"{o1} long, {o2} long, "
-        + ", ".join(f"{c} string" if c == "event_type" else f"{c} double"
-                    for c in payload_cols)
-        + ", seen long"
-    )
+    state_schema = f"{o1} long, {o2} long, {payload_schema}, seen long"
 
     def fn(key_tuple, pdfs, state: GroupState):
         import pandas as pd  # worker-side import

@@ -32,8 +32,26 @@ def _min_engine(paths: list[str]) -> dict[str, float]:
         with open(path) as f:
             d = json.load(f)
         for name, m in d.get("engine_metrics", {}).items():
-            runs = m.get("runs_engine_ms") or [m.get("executor_run_time_ms")]
-            lo = min(r for r in runs if r is not None) / 1000.0
+            runs = [
+                r
+                for r in (
+                    m.get("runs_engine_ms")
+                    or [m.get("executor_run_time_ms")]
+                )
+                if r is not None
+            ]
+            if not runs:
+                # A malformed/partial sidecar entry must not abort the
+                # scan that gates round close (ADVICE r08) — warn and
+                # move on; the query still participates via any other
+                # sidecar that carries usable runs.
+                print(
+                    f"WARN {path}: {name} has no usable engine-time "
+                    "runs; skipping entry",
+                    file=sys.stderr,
+                )
+                continue
+            lo = min(runs) / 1000.0
             best[name] = min(best.get(name, float("inf")), lo)
     return best
 
@@ -41,10 +59,14 @@ def _min_engine(paths: list[str]) -> dict[str, float]:
 def main() -> int:
     if len(sys.argv) < 3:
         sys.exit(
-            "usage: python tools/regression_scan.py OLD_SIDECAR "
+            "usage: python tools/regression_scan.py OLD_SIDECAR[,OLD2...] "
             "NEW_SIDECAR [NEW_SIDECAR2 ...]"
         )
-    old = _min_engine([sys.argv[1]])
+    # OLD may be comma-separated: min over ALL of the previous round's
+    # committed sidecars, symmetric with the min over all NEW ones —
+    # an asymmetric min-of-2 vs min-of-4 denominator flattered round 8's
+    # headline 0.93x (symmetric: 0.96x; VERDICT r08).
+    old = _min_engine(sys.argv[1].split(","))
     new = _min_engine(sys.argv[2:])
     shared = sorted(set(old) & set(new))
     if not shared:

@@ -9,10 +9,13 @@
 3. print the scan verdict; every hit owes a tools/adjudicate.py session
    before the round ends.
 
-Usage: python tools/round_close.py PREV_SIDECAR
-  (PREV_SIDECAR = the committed quiet sidecar of the previous round,
-   e.g. a git-show'd copy: `git show <r07-tag>:bench_results.json >
-   /tmp/prev.json`)
+Usage: python tools/round_close.py PREV_SIDECAR [PREV_SIDECAR2 ...]
+  (PREV_SIDECARs = ALL committed quiet sidecars of the previous round —
+   both bench_results_run1.json and bench_results.json, e.g. git-show'd
+   copies. Passing every old sidecar keeps the OLD denominator the same
+   min-of-all the NEW side gets; VERDICT r08 found the asymmetric form
+   flattered the round headline, 0.93x where the symmetric figure was
+   0.96x.)
 
 QUIET BOX ONLY: concurrent pytest/driver_sim inflates all timings ~1.5x
 uniformly and the run must then be discarded.
@@ -28,11 +31,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    if len(sys.argv) != 2:
-        sys.exit("usage: python tools/round_close.py PREV_SIDECAR")
-    prev = sys.argv[1]
-    if not os.path.exists(prev):
-        sys.exit(f"previous sidecar not found: {prev}")
+    if len(sys.argv) < 2:
+        sys.exit(
+            "usage: python tools/round_close.py PREV_SIDECAR "
+            "[PREV_SIDECAR2 ...]"
+        )
+    prevs = sys.argv[1:]
+    for prev in prevs:
+        if not os.path.exists(prev):
+            sys.exit(f"previous sidecar not found: {prev}")
     env = dict(os.environ)
     for out in ("bench_results_run1.json", "bench_results.json"):
         env["SPARK_GRAFT_BENCH_OUT"] = out
@@ -50,7 +57,7 @@ def main() -> int:
         [
             sys.executable,
             os.path.join(ROOT, "tools", "regression_scan.py"),
-            prev,
+            ",".join(prevs),
             os.path.join(ROOT, "bench_results_run1.json"),
             os.path.join(ROOT, "bench_results.json"),
         ],
