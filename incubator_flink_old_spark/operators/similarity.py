@@ -777,6 +777,48 @@ def sq8_encode_map(
     return rows.select(F.col(key), "p", c.alias("c"))
 
 
+def prefix_encode_map(
+    df: DataFrame,
+    prefix: int = 16,
+    grid: float = 1_000_000.0,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Dimension-truncated (Matryoshka-style) stage-A encoding as a
+    PURE MAP — the prefix tier's member of the streaming-absorption
+    family (grid_assign_map: IVF, grid_pq_encode_map: PQ,
+    sq8_encode_map: SQ8): each arriving vector emits its first
+    ``prefix`` grid coordinates, the artifact q_ann_recall_prefix's
+    stage-A scan ranks over. The tier's "index" is just the projection
+    rule, so absorption is the cheapest of the family — a slice, no
+    broadcast table at all; the map is trivially batch-split-invariant
+    (per-row pure) and Structured Streaming accepts it stateless.
+
+    Same floor quantization as every grid operator; vectors SHORTER
+    than ``prefix`` would silently emit short artifacts that corrupt
+    the stage-A ranking (sqdist over ragged arrays) — fail loudly
+    in-plan instead (the sq8_encode_map bounds-guard discipline).
+    Returns (key, pk array<long>)."""
+    if prefix < 1:
+        raise ValueError(f"prefix_encode_map: prefix must be >= 1, got {prefix}")
+    k = F.transform(
+        as_double_array(vec), lambda x: F.floor(x * F.lit(grid)).cast("long")
+    )
+    guarded = F.when(
+        F.size(k) < F.lit(prefix),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"prefix_encode_map: vector has fewer dims than "
+                    f"prefix={prefix}: "
+                ),
+                F.size(k).cast("string"),
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(F.slice(k, 1, prefix))
+    return df.select(F.col(key), guarded.alias("pk"))
+
+
 def lsh_bucket(vec: Column | str, num_bits: int = 4) -> Column:
     """Sign-bit LSH bucket: bit i = (element_i > 0). Deterministic and
     SQL-portable; a production engine would use seeded random hyperplanes

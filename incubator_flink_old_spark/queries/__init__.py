@@ -87,6 +87,7 @@ _QUERY_MODULES = (
     "llm_ops25",
     "llm_ops26",
     "llm_ops27",
+    "llm_ops28",
     "analytics",
     "analytics2",
     "surfaces",
@@ -104,17 +105,24 @@ LOAD_ERRORS: dict[str, str] = {}
 #: outranks pure age and cannot be derived from the artifacts. Purely an
 #: ordering hint — every query stays registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-8 code-changed re-fronts: ADVICE r07 fixes touched the
-    # eval-oracle splice guard + stream-assign batching (llm_ops26),
-    # grid_assign_map (similarity.py), and merge_bm25_stats
-    # (retrieval.py); the hybrid dense arm moved to the SQ8 code scan
-    # (VERDICT r07 item 3).
+    # round-9 code-changed re-fronts: ADVICE r08 guards touched
+    # grid_pq_encode_map/sq8_encode_map (similarity.py) and
+    # stateful_latest (streaming/); _grid_ivf_ctes gained CTE
+    # namespacing (llm_ops11) — its rendered SQL changed for every
+    # oracle built on it, so the whole IVF-CTE family re-fronts.
+    "q_stream_pq_encode_parity",
+    "q_stream_sq8_encode_parity",
+    "q_stream_cdc_parity",
+    "q_ivf_cell_purity",
+    "q_ann_recall_ivf",
+    "q_ann_recall_ivfpq",
+    "q_ann_recall_ivfsq8",
     "q_retrieval_hybrid",
-    "q_ann_eval_refine",
-    "q_stream_ivf_assign_parity",
+    "q_ann_recall_ivfsq8_refine",
     "q_ivf_incremental",
-    "q_bm25_incremental",
-    "q_sq8_incremental",
+    "q_stream_ivf_assign_parity",
+    "q_retrieval_lifecycle",
+    "q_ann_recall_prefix",
 )
 
 

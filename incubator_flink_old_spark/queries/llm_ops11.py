@@ -115,7 +115,10 @@ def _sql_cos(a: str, b: str, transform: bool = True) -> str:
 
 
 def _grid_ivf_ctes(
-    n_cells: int = _N_CELLS, iters: int = _ITERS, src: str = "embeddings"
+    n_cells: int = _N_CELLS,
+    iters: int = _ITERS,
+    src: str = "embeddings",
+    prefix: str = "",
 ) -> str:
     """CTE chain replaying operators/similarity.grid_ivf exactly:
     ``e`` (vec_id, label, k grid vector) → seeds ``c0`` → per round i an
@@ -124,8 +127,14 @@ def _grid_ivf_ctes(
     integer-exact on both engines (see grid_ivf's docstring), so the CTE
     chain is a value-level replay, not an approximation. ``src`` swaps
     the training corpus (default: the full embeddings table; the
-    incremental-maintenance oracle trains on a filtered base) — the
-    rendered SQL is unchanged for the default."""
+    incremental-maintenance oracle trains on a filtered base).
+    ``prefix`` namespaces every CTE name (``e`` → ``{prefix}e`` etc.) so
+    TWO chains — e.g. the drift row's frozen base-train and union
+    retrain — compose in one WITH without collisions. The rendered SQL
+    is unchanged for the defaults."""
+
+    def n(name: str) -> str:
+        return f"{prefix}{name}"
 
     def assign(aname: str, cname: str) -> str:
         return f"""
@@ -136,37 +145,39 @@ def _grid_ivf_ctes(
                        PARTITION BY e.vec_id
                        ORDER BY {_sql_cos('e.k', 'c.cv')} DESC, c.cell
                    ) AS rn
-            FROM e CROSS JOIN {cname} c) t
+            FROM {n('e')} e CROSS JOIN {cname} c) t
         WHERE rn = 1)"""
 
     parts = [
         f"""
-    e AS (
+    {n('e')} AS (
         SELECT vec_id, label,
                list_transform(embedding::DOUBLE[],
                               x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
         FROM {src}),
-    c0 AS (
+    {n('c0')} AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
                k AS cv
-        FROM (SELECT vec_id, k FROM e ORDER BY vec_id LIMIT {n_cells}) s)"""
+        FROM (SELECT vec_id, k FROM {n('e')} ORDER BY vec_id
+              LIMIT {n_cells}) s)"""
     ]
-    prev = "c0"
+    prev = n("c0")
     for i in range(iters):
-        parts.append(assign(f"a{i}", prev))
+        parts.append(assign(n(f"a{i}"), prev))
         parts.append(
             f"""
-    c{i + 1} AS (
+    {n(f'c{i + 1}')} AS (
         SELECT cell, r.j AS j,
                CAST(CAST(SUM(a.k[r.j]) AS BIGINT)
                     // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS v
-        FROM a{i} a, range(1, {_DIM + 1}) r(j)
+        FROM {n(f'a{i}')} a, range(1, {_DIM + 1}) r(j)
         GROUP BY cell, r.j),
-    c{i + 1}l AS (
-        SELECT cell, list(v ORDER BY j) AS cv FROM c{i + 1} GROUP BY cell)"""
+    {n(f'c{i + 1}l')} AS (
+        SELECT cell, list(v ORDER BY j) AS cv
+        FROM {n(f'c{i + 1}')} GROUP BY cell)"""
         )
-        prev = f"c{i + 1}l"
-    parts.append(assign("af", prev))
+        prev = n(f"c{i + 1}l")
+    parts.append(assign(n("af"), prev))
     return ",".join(parts), prev
 
 

@@ -1,0 +1,558 @@
+"""Training-data pipeline queries, wave 43 (round 9, VERDICT r08 items
+1-3): the DRIFT-GATED COARSE RETRAIN promoted from a tools/ demo to a
+driver-checked row, the streaming END-TO-END retrieval lifecycle (the
+three pure-map encoders composed with the hybrid serve), and the prefix
+tier's streaming absorption — closing the ANN tier × maintenance matrix
+on both axes for all four tiers (IVF, PQ, SQ8, prefix).
+"""
+
+from __future__ import annotations
+
+import itertools
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.queries import register
+from incubator_flink_old_spark.queries._util import t
+
+_SEQ = itertools.count()
+
+# --------------------------------------------------------------------------
+# Drift-gated coarse-tier retrain: the maintenance loop's recovery path as a
+# checked row (tools/drift_retrain_probe.py's measured recipe, registered)
+# --------------------------------------------------------------------------
+
+#: Base/delta split — the maintenance family's shared convention.
+_D_MOD = 5
+_D_REM = 4
+
+#: Drift shift applied to every delta coordinate. 0.375 = 3/8 is exactly
+#: representable in binary floating point, so the Spark literal and the
+#: DuckDB `CAST(0.375 AS DOUBLE)` are the SAME double and the shifted
+#: grid quantization is bit-identical across engines (the fixture's
+#: value range is ~[-0.53, 0.46], so 0.375 is a hard drift — a new
+#: source whose distribution walked away from the training corpus).
+_DRIFT_SHIFT = 0.375
+
+#: Audit thresholds — tools/drift_retrain_probe.py's measured policy:
+#: the delta's mean PQ quantization error vs the base's (the sharp
+#: detector: ~1.0x in-distribution, ~9.5x under hard drift, PERF.md
+#: round 8), and the maintained index's worst cell-level delta
+#: concentration relative to the corpus-wide delta fraction.
+_QERR_RATIO_THRESHOLD = 2.0
+_CELL_SKEW_THRESHOLD = 3.0
+#: Cells smaller than this are excluded from the skew audit: a 3-row
+#: cell with 2 delta members reads as 3.3x skew from pure sampling
+#: noise. At any real scale cells are millions of rows and this floor
+#: is irrelevant; at fixture scale it keeps the no-drift gate honest.
+_SKEW_MIN_CELL = 20
+
+
+def _shifted_delta(emb):
+    """The drifted delta batch: the vec_id % 5 == 4 rows with every
+    coordinate shifted by the exact constant (float → double promotion,
+    one correctly-rounded double add — replayed verbatim in SQL)."""
+    return emb.filter(F.col("vec_id") % _D_MOD == _D_REM).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x + F.lit(_DRIFT_SHIFT)
+        ).alias("embedding"),
+    )
+
+
+def _drift_retrain_df(spark, sf_dir, shift=_DRIFT_SHIFT):
+    """Shared body of q_drift_retrain; the law tests call it with
+    shift=0.0 to prove the gate does NOT trip in-distribution."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign,
+        grid_ivf,
+        grid_pq,
+        grid_pq_encode,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+        _PQ_CENTROIDS,
+        _PQ_ITERS,
+        _PQ_M,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    is_base = F.col("vec_id") % _D_MOD != _D_REM
+    base = emb.filter(is_base).select("vec_id", "embedding")
+    delta = emb.filter(~is_base).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(shift)).alias(
+            "embedding"
+        ),
+    )
+    union = base.unionByName(delta)
+    isd = (F.col("vec_id") % _D_MOD == _D_REM).cast("long")
+
+    # Frozen coarse tier + maintained assignment (the absorb path)
+    bcells, centers = grid_ivf(base, n_cells=_N_CELLS, iters=_ITERS)
+    ma = bcells.select("vec_id", "cell").unionByName(
+        grid_assign(delta, centers)
+    )
+
+    # Audit 1 — cell skew over the maintained assignment: worst
+    # per-cell delta fraction (cells above the noise floor) relative to
+    # the corpus-wide delta fraction. All-integer counts; the divisions
+    # are single correctly-rounded double ops, identical across engines.
+    tot = ma.agg(
+        F.count(F.lit(1)).alias("n_union"), F.sum(isd).alias("n_delta")
+    )
+    percell = ma.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(isd).alias("nd")
+    )
+    mf = percell.filter(F.col("n") >= _SKEW_MIN_CELL).agg(
+        F.max(
+            F.col("nd").cast("double") / F.col("n").cast("double")
+        ).alias("max_frac")
+    )
+    aud = mf.crossJoin(tot).select(
+        (
+            F.col("max_frac")
+            / (F.col("n_delta").cast("double") / F.col("n_union").cast("double"))
+        ).alias("cell_skew")
+    )
+
+    # Audit 2 — PQ quantization-error drift against FROZEN codebooks
+    # (books stay frozen through the whole row: the measured finding is
+    # that retraining them under drift is actively harmful — recall
+    # 0.21 frozen vs 0.05-0.14 retrained, PERF.md round 8 — the
+    # production lever is the coarse tier below).
+    _, books = grid_pq(
+        base, m=_PQ_M, n_centroids=_PQ_CENTROIDS, iters=_PQ_ITERS
+    )
+    benc = grid_pq_encode(base, books, m=_PQ_M)
+    denc = grid_pq_encode(delta, books, m=_PQ_M)
+    dq = denc.agg(F.sum("qerr").alias("ds"), F.count(F.lit(1)).alias("dn"))
+    bq = benc.agg(F.sum("qerr").alias("bs"), F.count(F.lit(1)).alias("bn"))
+    qr = dq.crossJoin(bq).select(
+        (
+            (F.col("ds").cast("double") / F.col("dn").cast("double"))
+            / (F.col("bs").cast("double") / F.col("bn").cast("double"))
+        ).alias("qerr_ratio")
+    )
+
+    # The GATE: this row exists to check the recovery path, so an
+    # un-tripped audit is a broken precondition, not a quiet no-op —
+    # fail loudly (the llm_ops26 splice-guard discipline). The law test
+    # calls with shift=0.0 and asserts exactly this error.
+    audit = aud.crossJoin(qr).first()  # 1-row bound
+    skew, ratio = audit["cell_skew"], audit["qerr_ratio"]
+    # skew is NULL when no cell clears the noise floor (only possible
+    # at sub-fixture scale) — a NULL audit can't justify a retrain.
+    tripped = (ratio is not None and ratio > _QERR_RATIO_THRESHOLD) or (
+        skew is not None and skew > _CELL_SKEW_THRESHOLD
+    )
+    if not tripped:
+        raise RuntimeError(
+            "q_drift_retrain: drift audit did not trip "
+            f"(qerr_ratio={ratio} <= {_QERR_RATIO_THRESHOLD}, "
+            f"cell_skew={skew} <= {_CELL_SKEW_THRESHOLD}) — the delta "
+            "is in-distribution; stay on the flat-cost absorb path "
+            "(q_ivf_incremental)"
+        )
+
+    # The RECOVERY: retrain the COARSE tier on the union (grid_ivf —
+    # Lloyd re-centers the drifted region into its own cells), PQ books
+    # untouched. Output = the post-retrain assignment (per-cell union
+    # and delta populations) carrying the audit that justified it.
+    rcells, _ = grid_ivf(union, n_cells=_N_CELLS, iters=_ITERS)
+    return (
+        rcells.select("vec_id", "cell")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vec"), F.sum(isd).alias("n_delta"))
+        .crossJoin(F.broadcast(aud))
+        .crossJoin(F.broadcast(qr))
+        .select("cell", "n_vec", "n_delta", "cell_skew", "qerr_ratio")
+    )
+
+
+def _drift_retrain_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _PQ_M,
+        _PQ_SUB,
+        _grid_ivf_ctes,
+        _grid_pq_ctes,
+        _sql_cos,
+        _sql_sqdist,
+    )
+
+    base_src = (
+        f"(SELECT vec_id, label, embedding FROM embeddings "
+        f"WHERE vec_id % {_D_MOD} <> {_D_REM}) base_emb"
+    )
+    ivf_b, centers_b = _grid_ivf_ctes(src=base_src)
+    pq_ctes, books = _grid_pq_ctes(include_e=False)
+    union_src = (
+        f"(SELECT vec_id, label, embedding FROM embeddings "
+        f"WHERE vec_id % {_D_MOD} <> {_D_REM} "
+        "UNION ALL "
+        "SELECT vec_id, label, "
+        "list_transform(embedding::DOUBLE[], "
+        f"x -> x + CAST({_DRIFT_SHIFT} AS DOUBLE)) AS embedding "
+        f"FROM embeddings WHERE vec_id % {_D_MOD} = {_D_REM}) union_emb"
+    )
+    ivf_r, _ = _grid_ivf_ctes(src=union_src, prefix="r")
+    return f"""
+    WITH {ivf_b},
+    {pq_ctes},
+    de AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(FLOOR((x + CAST({_DRIFT_SHIFT} AS DOUBLE))
+                                   * 1000000.0) AS BIGINT)) AS k
+        FROM embeddings WHERE vec_id % {_D_MOD} = {_D_REM}),
+    da AS (
+        SELECT vec_id, cell FROM (
+            SELECT de.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY de.vec_id
+                       ORDER BY {_sql_cos('de.k', 'c.cv')} DESC, c.cell
+                   ) AS rn
+            FROM de CROSS JOIN {centers_b} c) t
+        WHERE rn = 1),
+    ma AS (
+        SELECT vec_id, cell FROM af
+        UNION ALL
+        SELECT vec_id, cell FROM da),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+               CAST(SUM(CASE WHEN vec_id % {_D_MOD} = {_D_REM}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+        FROM ma),
+    mf AS (
+        SELECT MAX(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)) AS max_frac
+        FROM (
+            SELECT cell, COUNT(*) AS n,
+                   SUM(CASE WHEN vec_id % {_D_MOD} = {_D_REM}
+                            THEN 1 ELSE 0 END) AS nd
+            FROM ma GROUP BY cell) pc
+        WHERE n >= {_SKEW_MIN_CELL}),
+    aud AS (
+        SELECT mf.max_frac
+               / (CAST(t.n_delta AS DOUBLE) / CAST(t.n_union AS DOUBLE))
+               AS cell_skew
+        FROM mf, tot t),
+    dsubs AS (
+        SELECT vec_id, r.j AS j,
+               list_slice(k, r.j * {_PQ_SUB} + 1,
+                          r.j * {_PQ_SUB} + {_PQ_SUB}) AS sv
+        FROM de, range(0, {_PQ_M}) r(j)),
+    denc AS (
+        SELECT vec_id, j, d FROM (
+            SELECT s.vec_id, s.j, {_sql_sqdist('s.sv', 'b.bv')} AS d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.j
+                       ORDER BY {_sql_sqdist('s.sv', 'b.bv')}, b.cid
+                   ) AS rn
+            FROM dsubs s JOIN {books} b ON s.j = b.j) t
+        WHERE rn = 1),
+    benc AS (
+        SELECT vec_id, j, d FROM (
+            SELECT s.vec_id, s.j, {_sql_sqdist('s.sv', 'b.bv')} AS d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.j
+                       ORDER BY {_sql_sqdist('s.sv', 'b.bv')}, b.cid
+                   ) AS rn
+            FROM subs s JOIN {books} b ON s.j = b.j) t
+        WHERE rn = 1),
+    qr AS (
+        SELECT (CAST((SELECT SUM(CAST(d AS BIGINT)) FROM denc) AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM denc) AS DOUBLE))
+             / (CAST((SELECT SUM(CAST(d AS BIGINT)) FROM benc) AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM benc) AS DOUBLE))
+               AS qerr_ratio),
+    {ivf_r}
+    SELECT r.cell, CAST(COUNT(*) AS BIGINT) AS n_vec,
+           CAST(SUM(CASE WHEN r.vec_id % {_D_MOD} = {_D_REM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+           aud.cell_skew AS cell_skew, qr.qerr_ratio AS qerr_ratio
+    FROM raf r CROSS JOIN aud CROSS JOIN qr
+    GROUP BY r.cell, aud.cell_skew, qr.qerr_ratio
+    """
+
+
+@register("q_drift_retrain", oracle=_drift_retrain_oracle())
+def q_drift_retrain(spark, sf_dir):
+    """DRIFT-GATED COARSE-TIER RETRAIN — the maintenance loop's recovery
+    path as a driver-checked row (VERDICT r08 item 1; the operational
+    recipe tools/drift_retrain_probe.py measured, now a checked
+    artifact): a deliberately-drifted delta (every coordinate shifted by
+    the exact constant 3/8) is absorbed by the FROZEN base index; the
+    row reads the SAME audits the maintenance rows emit — the PQ
+    quantization-error ratio against frozen codebooks
+    (q_pq_incremental's qerr, measured a sharp detector: ~1.0x
+    in-distribution vs ~9.5x under hard drift) and the maintained
+    assignment's cell-level delta concentration (q_ivf_incremental's
+    frac_delta) — trips the documented thresholds, and RETRAINS THE
+    COARSE TIER ONLY (grid_ivf on the union; PQ books stay frozen — the
+    round-8 measured finding that fixed-capacity codebook retrain is
+    actively harmful, 0.21 → 0.05-0.14 recall, while the coarse retrain
+    recovers 0.77 → 1.00). An un-tripped audit raises (fail-loudly
+    gate); the law test proves shift=0 does NOT trip.
+
+    Output: the post-retrain assignment (per-cell union and delta
+    populations — Lloyd giving the drifted region its own cells is
+    visible as delta-dominated cells) carrying the audit values that
+    justified the retrain. Cross-engine: the oracle replays BOTH Lloyd
+    chains (frozen base train + union retrain, namespaced CTEs), the PQ
+    trainer, and the exact-integer audits value-exactly; the two audit
+    ratios are fixed-shape chains of correctly-rounded double ops over
+    exact integers.
+
+    Scale: the absorb path stays flat-cost (broadcast maps over the
+    delta); the retrain is the ONE corpus-cost operation and this row
+    is the artifact that says WHEN it's justified — at 100 TB the gate
+    reads digest-sized audits (n_cells rows + two scalars) and the
+    retrain reuses grid_ivf's posture (broadcast centers, d·n_cells
+    partial aggregates, corpus never shuffles)."""
+    return _drift_retrain_df(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Streaming end-to-end retrieval lifecycle: deltas absorbed THROUGH STREAMS,
+# then the hybrid query serves over base ∪ streamed-absorbed state
+# --------------------------------------------------------------------------
+
+
+def _stream_lifecycle_oracle() -> str:
+    # The streamed absorption is value-identical to the batch absorb
+    # (map ≡ join-form laws, test_wave42.py), so the oracle IS the batch
+    # lifecycle's — one oracle, two execution paths, the strongest
+    # parity statement the driver can check.
+    from incubator_flink_old_spark.queries.llm_ops27 import _lifecycle_oracle
+
+    return _lifecycle_oracle()
+
+
+@register("q_stream_lifecycle_parity", oracle=_stream_lifecycle_oracle())
+def q_stream_lifecycle_parity(spark, sf_dir):
+    """STREAMING END-TO-END RETRIEVAL LIFECYCLE (VERDICT r08 item 2):
+    q_retrieval_lifecycle's production recipe with the delta absorbed
+    THROUGH REAL MULTI-BATCH STREAMS instead of batch joins — new
+    vectors arrive as a 3-file replay and land (a) in their IVF cells
+    through grid_assign_map and (b) as clamped SQ8 codes through
+    sq8_encode_map, both pure maps against the frozen base artifacts
+    (literal index tables in the plan: no join, no window, no state);
+    the hybrid serve (BM25 ∪ probed SQ8 code scan → refine → exact
+    rerank) then runs over base ∪ the STREAMED-ABSORBED state, with the
+    BM25 arm riding the digest merge (merge_bm25_stats) exactly as the
+    batch row. The oracle is the batch lifecycle's oracle VERBATIM —
+    the row hash-proves stream-absorbed serving ≡ batch-absorbed
+    serving, which is the deployment claim: a live feed keeps the index
+    continuously fresh and queries never see a difference.
+
+    Scale: ingest-side cost is two stateless maps per micro-batch
+    (ingest-throughput absorption); serve-side is q_retrieval_hybrid's
+    posture unchanged (broadcast probes, partition-pruned code scan,
+    TakeOrdered tails)."""
+    from incubator_flink_old_spark.operators.retrieval import (
+        bm25_index_stats,
+        bm25_topk,
+        merge_bm25_stats,
+    )
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign_map,
+        grid_ivf,
+        sq8_encode_map,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import _ITERS, _N_CELLS
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _SQ_LEVELS,
+        _TS_CANDIDATES,
+        _TS_TERMS,
+        _grid_vec,
+        _sq_bounds,
+        _sq_codes,
+    )
+    from incubator_flink_old_spark.queries.llm_ops26 import _hybrid_topk
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    is_base = F.col("vec_id") % _D_MOD != _D_REM
+    base = emb.filter(is_base)
+
+    # Frozen base artifacts (trained once, amortized across the stream)
+    bcells, centers = grid_ivf(base, n_cells=_N_CELLS, iters=_ITERS)
+    center_rows = centers.collect()  # n_cells rows — bounded by design
+    fbounds = _sq_bounds(base.select("vec_id", _grid_vec().alias("k")))
+    bounds_rows = fbounds.collect()  # 64 rows — bounded by design
+
+    # The delta arrives as a REAL multi-batch stream; each replay runs
+    # one pure-map encoder (same source files, two landing tables).
+    delta = emb.filter(~is_base).select("vec_id", "embedding")
+    hi = delta.agg(F.max("vec_id")).collect()[0][0]  # 1-row bound
+    if hi is None or hi < 3:
+        batches = (delta,)  # degenerate split: single-batch replay
+    else:
+        cuts = (hi // 3, 2 * (hi // 3))
+        batches = (
+            delta.filter(F.col("vec_id") <= cuts[0]),
+            delta.filter(
+                (F.col("vec_id") > cuts[0]) & (F.col("vec_id") <= cuts[1])
+            ),
+            delta.filter(F.col("vec_id") > cuts[1]),
+        )
+    src = tempfile.mkdtemp(prefix="t2_stream_lc_")
+    try:
+        for i, b in enumerate(batches):
+            b.repartition(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(src)
+        stream_of = lambda: (  # noqa: E731 — two replays, one schema
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        n = next(_SEQ)
+        assign_name = f"stream_lc_assign_{n}"
+        run_stream_to_memory(
+            grid_assign_map(stream_of(), center_rows),
+            assign_name,
+            "append",
+            state_partitions=None,
+        )
+        codes_name = f"stream_lc_sq8_{n}"
+        run_stream_to_memory(
+            sq8_encode_map(stream_of(), bounds_rows, levels=_SQ_LEVELS),
+            codes_name,
+            "append",
+            state_partitions=None,
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+    # IVF maintained: base cells ∪ the STREAMED assignments
+    mcells = bcells.select("vec_id", "cell").unionByName(
+        spark.table(assign_name).select("vec_id", "cell")
+    )
+    # SQ8 maintained: base encode (frozen bounds; encoding is per-row
+    # pure, so base-encode ∪ delta-encode ≡ the batch row's one union
+    # encode) ∪ the STREAMED per-dim codes reassembled into code arrays
+    # (the same collect_list shape _sq_codes emits).
+    base_codes = _sq_codes(
+        base.select("vec_id", _grid_vec().alias("k")),
+        bounds=fbounds,
+        clamp=True,
+    )
+    delta_codes = (
+        spark.table(codes_name)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "c"))),
+                lambda s: s.getField("c").cast("double"),
+            ).alias("code")
+        )
+    )
+    fcodes = base_codes.unionByName(delta_codes)
+
+    # BM25 maintained: per-source digests merged (integer-exact)
+    is_dbase = F.col("doc_id") % _D_MOD != _D_REM
+    stats = merge_bm25_stats(
+        bm25_index_stats(docs.filter(is_dbase), _TS_TERMS),
+        bm25_index_stats(docs.filter(~is_dbase), _TS_TERMS),
+    )
+    cand = bm25_topk(
+        docs, terms=_TS_TERMS, top_k=_TS_CANDIDATES, index_stats=stats
+    )
+
+    return _hybrid_topk(
+        docs,
+        emb,
+        cand=cand,
+        index=(mcells, centers),
+        codes=(fcodes, fbounds),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming prefix encoding: the dimension-truncated tier's absorption row —
+# the last empty cell of the tier × maintenance matrix
+# --------------------------------------------------------------------------
+
+
+def _stream_prefix_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops27 import _MRL_DIM
+
+    return f"""
+    SELECT vec_id, CAST(r.p AS INTEGER) AS p, k[r.p] AS v
+    FROM (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS k
+        FROM embeddings
+        WHERE vec_id % {_D_MOD} = {_D_REM}) d,
+        range(1, {_MRL_DIM + 1}) r(p)
+    """
+
+
+@register("q_stream_prefix_encode_parity", oracle=_stream_prefix_oracle())
+def q_stream_prefix_encode_parity(spark, sf_dir):
+    """STREAMING PREFIX (Matryoshka) encoding ⇄ batch parity — the
+    fourth and last tier of the maintenance matrix's streaming
+    dimension (IVF: q_stream_ivf_assign_parity, PQ:
+    q_stream_pq_encode_parity, SQ8: q_stream_sq8_encode_parity;
+    VERDICT r08 item 3): delta vectors arrive as a REAL multi-batch
+    stream and each emits its 16-dim stage-A artifact through
+    operators/similarity.prefix_encode_map — the tier's "index" is just
+    the projection rule, so this is the cheapest absorption of the
+    family (a guarded slice; no broadcast table at all). The landed
+    artifacts are exactly what q_ann_recall_prefix's stage-A scan ranks
+    over; the readback posexplodes them to per-dim rows so the oracle
+    is a pure list_slice replay (exact integers end to end).
+
+    Scale: per micro-batch cost is a stateless slice — a live embedding
+    feed lands its 4x-truncated stage-A column at ingest throughput,
+    completing the tier × {{batch absorb, streaming absorb, drift
+    audit}} matrix on every axis."""
+    from incubator_flink_old_spark.operators.similarity import (
+        prefix_encode_map,
+    )
+    from incubator_flink_old_spark.queries.llm_ops27 import _MRL_DIM
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    emb = t(spark, sf_dir, "embeddings")
+    delta = emb.filter(F.col("vec_id") % _D_MOD == _D_REM).select(
+        "vec_id", "embedding"
+    )
+    hi = delta.agg(F.max("vec_id")).collect()[0][0]  # 1-row bound
+    if hi is None or hi < 3:
+        batches = (delta,)  # degenerate split: single-batch replay
+    else:
+        cuts = (hi // 3, 2 * (hi // 3))
+        batches = (
+            delta.filter(F.col("vec_id") <= cuts[0]),
+            delta.filter(
+                (F.col("vec_id") > cuts[0]) & (F.col("vec_id") <= cuts[1])
+            ),
+            delta.filter(F.col("vec_id") > cuts[1]),
+        )
+    src = tempfile.mkdtemp(prefix="t2_stream_pfx_")
+    try:
+        for i, b in enumerate(batches):
+            b.repartition(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = prefix_encode_map(stream, prefix=_MRL_DIM)
+        name = f"stream_pfx_{next(_SEQ)}"
+        run_stream_to_memory(out, name, "append", state_partitions=None)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select("vec_id", F.posexplode("pk").alias("p0", "v"))
+        .select("vec_id", (F.col("p0") + 1).alias("p"), "v")
+    )

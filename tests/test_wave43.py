@@ -167,3 +167,197 @@ def test_regression_scan_skips_malformed_entry(tmp_path):
     assert "WARN" in r.stderr and "q_bad" in r.stderr
     assert "1 shared queries" in r.stdout
     assert "zero >1.5x/+1s hits" in r.stdout
+
+
+# --------------------------------------------------------------------------
+# Round-9 row laws: drift-gated retrain + prefix-tier streaming absorption
+# --------------------------------------------------------------------------
+
+
+def test_drift_gate_does_not_trip_in_distribution(spark):
+    """The retrain gate's other half: with shift=0 the 'delta' is drawn
+    from the training distribution, the PQ qerr ratio sits at ~1x and no
+    above-noise-floor cell concentrates delta, so the audit must NOT
+    trip and the row must refuse to retrain (RuntimeError) — the gate
+    is a detector, not a rubber stamp."""
+    from incubator_flink_old_spark.queries.llm_ops28 import _drift_retrain_df
+
+    with pytest.raises(RuntimeError, match="did not trip"):
+        _drift_retrain_df(spark, SF, shift=0.0)
+
+
+def test_drift_retrain_recall_recovery(spark):
+    """The recovery law the registered row exists for: on queries drawn
+    from the DRIFTED region, retraining the coarse tier on the union
+    (PQ books untouched) must recover ANN recall vs the frozen index —
+    measured here via the family's shared IVF probe chain with exact
+    integer ranking (deterministic at a fixed fixture: frozen 0.990 →
+    retrained 1.000 at sf0.001, 0.960 → 1.000 at sf0.01; the sf0.1
+    probe measured 0.77 → 1.00, PERF.md round 8)."""
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.operators.similarity import (
+        as_double_array,
+        grid_assign,
+        grid_ivf,
+        grid_sqdist,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+        _grid_probes,
+    )
+    from incubator_flink_old_spark.queries.llm_ops18 import _grid_vec
+    from incubator_flink_old_spark.queries.llm_ops28 import (
+        _D_MOD,
+        _D_REM,
+        _DRIFT_SHIFT,
+    )
+
+    k = 5
+
+    def recall(union_eg, cells, centers, queries):
+        probes = _grid_probes(queries, centers)
+        cand = probes.join(cells, on="cell").select("q_id", "vec_id")
+        kd = union_eg.select(
+            "vec_id",
+            F.transform("k", lambda x: x.cast("double")).alias("kd"),
+        )
+        qk = queries.select(
+            "q_id",
+            F.transform(
+                as_double_array("embedding"),
+                lambda x: F.floor(x * F.lit(1_000_000.0))
+                .cast("long")
+                .cast("double"),
+            ).alias("qv"),
+        )
+        w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+        it = (
+            cand.join(kd, on="vec_id")
+            .join(F.broadcast(qk), on="q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                grid_sqdist(F.col("qv"), F.col("kd")).alias("d"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(F.col("q_id").alias("iq"), F.col("vec_id").alias("ivec"))
+        )
+        bt = (
+            F.broadcast(qk)
+            .crossJoin(kd)
+            .select(
+                "q_id",
+                "vec_id",
+                grid_sqdist(F.col("qv"), F.col("kd")).alias("d"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", "vec_id")
+        )
+        hits = bt.join(it, (bt.q_id == it.iq) & (bt.vec_id == it.ivec)).count()
+        return hits / bt.count()
+
+    emb = t(spark, SF, "embeddings")
+    is_base = F.col("vec_id") % _D_MOD != _D_REM
+    base = emb.filter(is_base).select("vec_id", "embedding")
+    delta = emb.filter(~is_base).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(_DRIFT_SHIFT)).alias(
+            "embedding"
+        ),
+    )
+    union = base.unionByName(delta).localCheckpoint(eager=True)
+    ueg = union.select("vec_id", _grid_vec().alias("k")).localCheckpoint(
+        eager=True
+    )
+    queries = (
+        delta.orderBy("vec_id")
+        .limit(20)
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+
+    bcells, centers = grid_ivf(base, n_cells=_N_CELLS, iters=_ITERS)
+    centers = centers.localCheckpoint(eager=True)
+    fcells = (
+        bcells.select("vec_id", "cell")
+        .unionByName(grid_assign(delta, centers))
+        .localCheckpoint(eager=True)
+    )
+    rcells, rcenters = grid_ivf(union, n_cells=_N_CELLS, iters=_ITERS)
+    rcenters = rcenters.localCheckpoint(eager=True)
+    rcells = rcells.select("vec_id", "cell").localCheckpoint(eager=True)
+
+    r_frozen = recall(ueg, fcells, centers, queries)
+    r_retrained = recall(ueg, rcells, rcenters, queries)
+    assert r_retrained >= r_frozen
+    assert r_retrained >= 0.95
+
+
+def test_prefix_encode_map_equals_batch_slice(spark):
+    """The streaming-safe prefix map must equal the batch F.slice of
+    the grid vector on every (vector, dim) — the tier's map ≡ batch
+    law (trivial by construction; pinned so it stays trivial)."""
+    from incubator_flink_old_spark.operators.similarity import (
+        prefix_encode_map,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops18 import _grid_vec
+    from incubator_flink_old_spark.queries.llm_ops27 import _MRL_DIM
+
+    emb = t(spark, SF, "embeddings")
+    batch = {
+        r.vec_id: tuple(r.pk)
+        for r in emb.select(
+            "vec_id", F.slice(_grid_vec(), 1, _MRL_DIM).alias("pk")
+        ).collect()
+    }
+    mapped = {
+        r.vec_id: tuple(r.pk)
+        for r in prefix_encode_map(emb, prefix=_MRL_DIM).collect()
+    }
+    assert mapped == batch
+    # prefix = full dim reproduces the whole grid vector (the
+    # Matryoshka identity the recall row's prefix=dim law rides on)
+    full = {
+        r.vec_id: tuple(r.pk) for r in prefix_encode_map(emb, prefix=64).collect()
+    }
+    whole = {
+        r.vec_id: tuple(r.k)
+        for r in emb.select("vec_id", _grid_vec().alias("k")).collect()
+    }
+    assert full == whole
+
+
+def test_prefix_encode_map_guards(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from incubator_flink_old_spark.operators.similarity import (
+        prefix_encode_map,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    emb = t(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="prefix must be >= 1"):
+        prefix_encode_map(emb, prefix=0)
+    with pytest.raises(SparkRuntimeException, match="fewer dims than"):
+        prefix_encode_map(emb, prefix=65).collect()
+
+
+def test_stream_prefix_encode_is_pure_map(spark):
+    """No Exchange/Join/Window/Aggregate — the cheapest absorption of
+    the streaming family (a guarded slice, no broadcast table)."""
+    from incubator_flink_old_spark.operators.similarity import (
+        prefix_encode_map,
+    )
+    from incubator_flink_old_spark.plans import explain_str
+    from incubator_flink_old_spark.queries._util import t
+
+    emb = t(spark, SF, "embeddings")
+    plan = explain_str(prefix_encode_map(emb))
+    for op in ("Exchange", "Join", "Window", "Aggregate"):
+        assert op not in plan, op
