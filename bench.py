@@ -193,6 +193,21 @@ def main() -> None:
     # exactly this class — VERDICT r06 item 4).
     for warm in ("q_tpch_q3", "q_dedup_minhash", "q_agg_cube", "q_map_pandas"):
         QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # q_simhash_pairs' pair pipeline (banded self-join + bit_count verify
+    # + distinct) carries a ~3.5-4 s roaming C2 compile that read as a 3x
+    # first-vs-second-run engine spread in the sidecars (116 s outlier in
+    # r07, 24.5/15.8 s in r08 — VERDICT r08 item 4). The compile cost is
+    # data-independent (measured: 64-doc warm 3.8 s, 512-doc warm 4.5 s,
+    # steady-state full run 1.3 s wall), so a tiny-slice warm pays it
+    # once per JVM outside the measurement window; gated on the chunk
+    # that actually measures the query so the other chunk stays lean.
+    if "q_simhash_pairs" in chunk_names:
+        from incubator_flink_old_spark.operators.text import simhash_pairs
+        from incubator_flink_old_spark.sources import load_table
+
+        simhash_pairs(
+            load_table(spark, sf_dir, "documents").limit(64)
+        ).write.format("noop").mode("overwrite").save()
     metrics = StageMetrics(spark)
     metrics.advance()  # consume warmup stages
 
