@@ -87,6 +87,48 @@ def merge_bm25_stats(
     return scalars, dft
 
 
+def streaming_bm25_stats(
+    stream: DataFrame,
+    terms: tuple[str, ...],
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """BM25 corpus statistics maintained LIVE over a document stream —
+    the lexical tier's streaming absorption (grid_assign_map: IVF,
+    grid_pq_encode_map: PQ, sq8_encode_map: SQ8, prefix_encode_map:
+    prefix — this closes the family): each arriving document contributes
+    its digest row MAP-SIDE (1 doc, dl tokens, one contains-flag per
+    query term — per-doc postings never cross documents), and a single
+    streaming global aggregation SUMS them. Every statistic is an
+    integer sum (a commutative monoid), so the aggregate's final state
+    is EXACTLY :func:`bm25_index_stats` over all streamed documents
+    whatever the microbatch boundaries — the same mergeability
+    :func:`merge_bm25_stats` rides, continuous instead of batched.
+
+    Returns the 1-row aggregate (n, toks, dft_0..dft_{len(terms)-1}) —
+    run it in "complete" output mode so the sink always holds the
+    current corpus statistics. Scale: state is ONE row of longs
+    forever; per micro-batch cost is a map over the batch's documents
+    plus a 1-row combine — the live lexical index's stats maintenance
+    at ingest throughput, with per-doc postings landing as map-only
+    writes beside it."""
+    if not terms:
+        raise ValueError("streaming_bm25_stats requires at least one term")
+    tks = tokens(text)
+    per_doc = stream.select(
+        F.size(tks).alias("__dl"),
+        *[
+            F.array_contains(tks, t).cast("long").alias(f"__h{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__dl").alias("toks"),
+        *[F.sum(f"__h{i}").alias(f"dft_{i}") for i in range(len(terms))],
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     terms: tuple[str, ...],

@@ -479,6 +479,102 @@ def q_stream_lifecycle_parity(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def _stream_bm25_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops18 import _bm25_ctes
+
+    # The claim is that LIVE-maintained statistics rank identically to a
+    # full recompute, so the strongest oracle is the plain non-streaming
+    # BM25 over the whole corpus (the q_bm25_incremental discipline).
+    return f"""
+    WITH {_bm25_ctes(n_candidates=20)}
+    SELECT doc_id, bm25 FROM cand
+    """
+
+
+@register("q_stream_bm25_stats_parity", oracle=_stream_bm25_oracle())
+def q_stream_bm25_stats_parity(spark, sf_dir):
+    """STREAMING BM25 statistics ⇄ batch parity — the LEXICAL tier's
+    streaming absorption, closing the maintenance matrix's streaming
+    dimension for every index family (IVF r07; PQ + SQ8 r08; prefix
+    r09; BM25 here): documents arrive as a REAL 4-file multi-batch
+    stream and the corpus statistics (doc count, token count, per-term
+    document frequency) are maintained continuously by
+    operators/retrieval.streaming_bm25_stats — map-side per-doc digest
+    rows summed by ONE streaming global aggregate whose state is a
+    single row of longs. Sums are a commutative monoid, so the final
+    state is bit-identical to bm25_index_stats over the whole corpus
+    whatever the batch boundaries (law-pinned in tests/test_wave43.py);
+    the row then injects the LIVE stats into the shipped scorer
+    (bm25_topk(index_stats=...)) and ranks the corpus — hash-checked
+    against a plain full recompute, no stream in sight (the
+    q_bm25_incremental oracle discipline, one level stronger: the stats
+    were never computed batch-side at all).
+
+    Scale: the live lexical index's statistics cost one row of state
+    and a digest-sized combine per micro-batch; per-doc postings land
+    beside it as map-only writes (they never cross documents). Queries
+    read a continuously-fresh 1-row broadcast."""
+    from incubator_flink_old_spark.operators.retrieval import (
+        bm25_topk,
+        streaming_bm25_stats,
+    )
+    from incubator_flink_old_spark.queries.llm_ops18 import _TS_TERMS
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    docs = t(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="t2_stream_bm25_")
+    try:
+        (
+            docs.select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_bm25_stats(stream, _TS_TERMS)
+        name = f"stream_bm25_{next(_SEQ)}"
+        run_stream_to_memory(out, name, "complete", state_partitions=4)
+        stats_row = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+    # Reassemble the (scalars, dft) pair the scorer injects: avgdl from
+    # the landed longs (merge_bm25_stats' division shape and its n=0
+    # fail-loudly guard), dft rows for terms that actually occur.
+    scalars = stats_row.select(
+        "n",
+        F.when(F.col("n") > 0, F.col("toks").cast("double") / F.col("n"))
+        .otherwise(
+            F.raise_error(
+                F.lit("q_stream_bm25_stats_parity: streamed corpus is empty")
+            )
+        )
+        .alias("avgdl"),
+    )
+    dft = (
+        stats_row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).alias("w"),
+                            F.col(f"dft_{i}").alias("dft"),
+                        )
+                        for i, w in enumerate(_TS_TERMS)
+                    ]
+                )
+            ).alias("td")
+        )
+        .select(F.col("td.w").alias("w"), F.col("td.dft").alias("dft"))
+        .filter(F.col("dft") > 0)
+    )
+    return bm25_topk(docs, terms=_TS_TERMS, index_stats=(scalars, dft))
+
+
 def _stream_prefix_oracle() -> str:
     from incubator_flink_old_spark.queries.llm_ops27 import _MRL_DIM
 

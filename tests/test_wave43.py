@@ -361,3 +361,61 @@ def test_stream_prefix_encode_is_pure_map(spark):
     plan = explain_str(prefix_encode_map(emb))
     for op in ("Exchange", "Join", "Window", "Aggregate"):
         assert op not in plan, op
+
+
+def test_streaming_bm25_stats_equals_batch(spark):
+    """The live-maintained lexical statistics must be bit-identical to
+    bm25_index_stats over the whole corpus whatever the microbatch
+    boundaries — every statistic is an integer sum (a commutative
+    monoid), and this pins it stays that way."""
+    from incubator_flink_old_spark.operators.retrieval import (
+        bm25_index_stats,
+        streaming_bm25_stats,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops18 import _TS_TERMS
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    docs = t(spark, SF, "documents")
+    counts, dft = bm25_index_stats(docs, _TS_TERMS)
+    want = counts.first()
+    want_dft = {r.w: r.dft for r in dft.collect()}
+
+    for n_files in (1, 4):
+        src = tempfile.mkdtemp(prefix="t2_bm25_law_")
+        try:
+            docs.select("doc_id", "text").repartition(
+                n_files
+            ).write.mode("overwrite").parquet(src)
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            name = f"bm25_law_{n_files}"
+            run_stream_to_memory(
+                streaming_bm25_stats(stream, _TS_TERMS),
+                name,
+                "complete",
+                state_partitions=2,
+            )
+            got = spark.table(name).first()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+        assert got.n == want.n and got.toks == want.toks, n_files
+        got_dft = {
+            w: got[f"dft_{i}"]
+            for i, w in enumerate(_TS_TERMS)
+            if got[f"dft_{i}"] > 0
+        }
+        assert got_dft == want_dft, n_files
+
+
+def test_streaming_bm25_stats_rejects_empty_terms(spark):
+    from incubator_flink_old_spark.operators.retrieval import (
+        streaming_bm25_stats,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    with pytest.raises(ValueError, match="at least one term"):
+        streaming_bm25_stats(t(spark, SF, "documents"), ())
