@@ -1567,6 +1567,120 @@ def minhash_lsh_pairs_between(
     return _jaccard_verify(cands, toks_l, toks_r, jaccard_threshold)
 
 
+def streaming_neardup_screen(
+    stream: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.7,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Near-dup screening of a LIVE document stream against a FROZEN
+    corpus index — :func:`minhash_lsh_pairs_between` with the probe side
+    arriving as a stream: each incoming document computes its MinHash
+    signatures, hashed token set and band buckets in ONE map-side
+    projection (minhash_bands' join form is off-limits on a stream),
+    probes the standing corpus's band table through a STREAM-STATIC
+    equi-join on (band, bucket), passes the size-ratio prefilter, and
+    exact-jaccard-verifies against the corpus token sets — the
+    crawl-ingest front door: every new document is screened against the
+    whole standing corpus at ingest, never a corpus x corpus pass.
+
+    Identical arithmetic to the batch form (same salted-md5 signatures,
+    band hashing, prefilter bound, staged-intersect jaccard), so
+    streaming ≡ batch bit-for-bit whatever the microbatch boundaries —
+    each pair's verdict depends only on its own two token sets. The
+    final dropDuplicates collapses multi-band hits; its state is one row
+    per EMITTED pair (each stream doc arrives once, so pairs never recur
+    across batches; at 100 TB key it by ingest time under a watermark).
+
+    Returns (doc_a ∈ stream, doc_b ∈ corpus, jaccard ≥ threshold).
+    Scale: stream-side cost is a pure map per micro-batch; the corpus
+    side is the MATERIALIZED band table (bucketed by (band, bucket) —
+    the q_dedup_minhash_layout posture) plus token sets reached only
+    for surviving candidates."""
+    toks_r = corpus.select(
+        F.col(key).alias("doc_b"),
+        _hashed_set(tokens(text, distinct=True)).alias("tb"),
+    )
+    bands_r = minhash_bands(corpus, num_hashes, band_size, text, key).select(
+        F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket"
+    )
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    dtoks = tokens(text, distinct=True)
+    srows = stream.select(
+        F.col(key).alias("doc_a"),
+        _hashed_set(dtoks).alias("ta"),
+        *[
+            F.array_min(F.transform(dtoks, _salted_md5(j))).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    srows = srows.select(
+        "doc_a",
+        "ta",
+        F.size("ta").alias("na"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.col(f"mh{b * band_size + r}")
+                                        for r in range(band_size)
+                                    ],
+                                ),
+                                "UTF-8",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_a",
+        "ta",
+        "na",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    cand = (
+        srows.join(bands_r, on=["band", "bucket"])
+        .filter(
+            F.least("na", "nb").cast("double") / F.greatest("na", "nb")
+            >= jaccard_threshold
+        )
+        .select("doc_a", "ta", "doc_b")
+    )
+    scored = cand.join(toks_r, on="doc_b").select(
+        "doc_a",
+        "doc_b",
+        _intersect_size("ta", "tb").alias("__i"),
+        (F.size("ta") + F.size("tb")).alias("__s"),
+    )
+    return (
+        _verify_barrier(
+            scored,
+            F.struct(
+                F.col("doc_a"),
+                F.col("doc_b"),
+                (
+                    F.col("__i").cast("double") / (F.col("__s") - F.col("__i"))
+                ).alias("jaccard"),
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def incremental_dedup(
     df: DataFrame,
     split_mod: int = 5,

@@ -474,6 +474,219 @@ def q_stream_lifecycle_parity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Streaming near-dup screening: the crawl-ingest front door — live documents
+# screened against the frozen corpus band index
+# --------------------------------------------------------------------------
+
+_NDS_HASHES = 8
+_NDS_BAND = 4
+_NDS_THRESHOLD = 0.7
+
+
+def _stream_neardup_oracle() -> str:
+    mh_exprs = ",\n               ".join(
+        f"list_aggregate(list_transform(tk, x -> md5('{j}|' || x)), 'min')"
+        f" AS mh{j}"
+        for j in range(_NDS_HASHES)
+    )
+    n_bands = _NDS_HASHES // _NDS_BAND
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, is_new, {b} AS band, md5({expr}) AS bucket"
+        " FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"mh{b * _NDS_BAND + r}" for r in range(_NDS_BAND)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, text, doc_id % {_D_MOD} = {_D_REM} AS is_new
+        FROM documents),
+    toks AS (
+        SELECT doc_id, is_new,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '\s+'), x -> x <> ''
+               )) AS tk
+        FROM base),
+    sigs AS (
+        SELECT doc_id, is_new, tk,
+               {mh_exprs}
+        FROM toks),
+    bands AS (
+        {band_selects}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.is_new AND NOT b.is_new)
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.tk, tb.tk))) AS jaccard
+        FROM cands c
+        JOIN toks ta ON c.doc_a = ta.doc_id
+        JOIN toks tb ON c.doc_b = tb.doc_id) v
+    WHERE jaccard >= {_NDS_THRESHOLD}
+    """
+
+
+@register("q_stream_neardup_screen_parity", oracle=_stream_neardup_oracle())
+def q_stream_neardup_screen_parity(spark, sf_dir):
+    """STREAMING NEAR-DUP SCREENING ⇄ batch parity — the crawl-ingest
+    front door as a checked row (operators/text.streaming_neardup_screen):
+    new documents arrive as a REAL 4-file multi-batch stream, each
+    computes its MinHash signatures + band buckets in one map-side
+    projection and probes the FROZEN corpus band index through a
+    stream-static equi-join, with the exact-jaccard verify emitting
+    (new doc, corpus dup, jaccard) pairs. The batch twin is
+    minhash_lsh_pairs_between (q_incremental_dedup's near arm); each
+    pair's verdict depends only on its own two token sets, so streaming
+    ≡ batch whatever the boundaries, and the oracle replays signatures,
+    banding and verify in SQL with no stream and no prefilter (the
+    size-ratio bound is result-identical by the jaccard inequality).
+
+    Scale: at 100 TB the corpus side is the materialized
+    (band, bucket)-bucketed table (q_dedup_minhash_layout) — the probe
+    join is zero-exchange on the corpus side and each micro-batch costs
+    O(batch candidates); dedup state is one row per emitted pair
+    (stream docs arrive once, so pairs never recur)."""
+    from incubator_flink_old_spark.operators.text import (
+        streaming_neardup_screen,
+    )
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    docs = t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _D_MOD == _D_REM
+    corpus = docs.filter(~is_new)
+    src = tempfile.mkdtemp(prefix="t2_stream_nds_")
+    try:
+        (
+            docs.filter(is_new)
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_neardup_screen(
+            stream,
+            corpus,
+            num_hashes=_NDS_HASHES,
+            band_size=_NDS_BAND,
+            jaccard_threshold=_NDS_THRESHOLD,
+        )
+        name = f"stream_nds_{next(_SEQ)}"
+        run_stream_to_memory(out, name, "append", state_partitions=4)
+        tbl = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return tbl.select("doc_a", "doc_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# Streaming drift audit: the retrain gate's detector maintained LIVE
+# --------------------------------------------------------------------------
+
+
+def _stream_drift_audit_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops27 import (
+        _pq_incremental_oracle,
+    )
+
+    # The audit maintained live must equal the batch audit exactly —
+    # same oracle as q_pq_incremental, no stream in sight.
+    return _pq_incremental_oracle()
+
+
+@register("q_stream_drift_audit_parity", oracle=_stream_drift_audit_oracle())
+def q_stream_drift_audit_parity(spark, sf_dir):
+    """The DRIFT DETECTOR maintained continuously — the missing link
+    between the streaming encoders and the retrain gate: delta vectors
+    arrive as a REAL multi-batch stream, each emits its m codes + exact
+    integer qerr through grid_pq_encode_map (the pure-map frozen-book
+    encode), and ONE streaming aggregation keyed by (subspace, code)
+    sums the per-(j, code) delta counts and quantization-error totals —
+    q_pq_incremental's audit table, live. Integer sums are a
+    commutative monoid, so the final state is bit-identical to the
+    batch audit whatever the microbatch boundaries; the oracle IS
+    q_pq_incremental's (base-trained codebooks + delta encode replayed
+    in SQL, no stream in sight). Downstream, q_drift_retrain's gate
+    reads exactly these columns — with this row the whole loop
+    (absorb → audit → trip → coarse retrain) exists in both batch and
+    streaming forms, every stage driver-checked.
+
+    Scale: state is ≤ m·n_centroids rows of longs forever (32 here); a
+    live embedding feed keeps the retrain trigger's input fresh at
+    ingest throughput instead of waiting for a batch audit job."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_pq,
+        grid_pq_encode_map,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _PQ_CENTROIDS,
+        _PQ_ITERS,
+        _PQ_M,
+    )
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    emb = t(spark, sf_dir, "embeddings")
+    is_base = F.col("vec_id") % _D_MOD != _D_REM
+    _, books = grid_pq(
+        emb.filter(is_base),
+        m=_PQ_M,
+        n_centroids=_PQ_CENTROIDS,
+        iters=_PQ_ITERS,
+    )
+    book_rows = books.collect()  # m*n_centroids rows — bounded by design
+
+    delta = emb.filter(~is_base).select("vec_id", "embedding")
+    hi = delta.agg(F.max("vec_id")).collect()[0][0]  # 1-row bound
+    if hi is None or hi < 3:
+        batches = (delta,)  # degenerate split: single-batch replay
+    else:
+        cuts = (hi // 3, 2 * (hi // 3))
+        batches = (
+            delta.filter(F.col("vec_id") <= cuts[0]),
+            delta.filter(
+                (F.col("vec_id") > cuts[0]) & (F.col("vec_id") <= cuts[1])
+            ),
+            delta.filter(F.col("vec_id") > cuts[1]),
+        )
+    src = tempfile.mkdtemp(prefix="t2_stream_audit_")
+    try:
+        for i, b in enumerate(batches):
+            b.repartition(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        audit = (
+            grid_pq_encode_map(stream, book_rows, m=_PQ_M)
+            .groupBy("j", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n_delta"),
+                F.sum("qerr").alias("qerr"),
+            )
+        )
+        name = f"stream_audit_{next(_SEQ)}"
+        run_stream_to_memory(audit, name, "complete", state_partitions=4)
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out.select("j", "code", "n_delta", "qerr")
+
+
+# --------------------------------------------------------------------------
 # Streaming prefix encoding: the dimension-truncated tier's absorption row —
 # the last empty cell of the tier × maintenance matrix
 # --------------------------------------------------------------------------

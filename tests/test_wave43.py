@@ -419,3 +419,109 @@ def test_streaming_bm25_stats_rejects_empty_terms(spark):
 
     with pytest.raises(ValueError, match="at least one term"):
         streaming_bm25_stats(t(spark, SF, "documents"), ())
+
+
+def _replay_stream(spark, df, n_files, schema, build, name):
+    """Write df as n_files parquet files, replay 1 file/microbatch
+    through build(stream), land in memory table `name`, return it."""
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    src = tempfile.mkdtemp(prefix="t2_replay_")
+    try:
+        df.repartition(n_files).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out, mode = build(stream)
+        run_stream_to_memory(out, name, mode, state_partitions=2)
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_neardup_screen_equals_batch(spark):
+    """The stream-static screen must emit exactly the batch
+    minhash_lsh_pairs_between pairs (ids AND jaccard) at any microbatch
+    split — each pair's verdict depends only on its own two token sets."""
+    from incubator_flink_old_spark.operators.text import (
+        minhash_lsh_pairs_between,
+        streaming_neardup_screen,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    corpus = docs.filter(~is_new)
+    batch = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs_between(
+            docs.filter(is_new), corpus, band_size=4
+        ).collect()
+    }
+    for n_files in (1, 4):
+        tbl = _replay_stream(
+            spark,
+            docs.filter(is_new).select("doc_id", "text"),
+            n_files,
+            "doc_id long, text string",
+            lambda s: (
+                streaming_neardup_screen(s, corpus, band_size=4),
+                "append",
+            ),
+            f"nds_law_{n_files}",
+        )
+        got = {(r.doc_a, r.doc_b): r.jaccard for r in tbl.collect()}
+        assert got == batch, n_files
+
+
+def test_stream_drift_audit_equals_batch(spark):
+    """The live (j, code) audit must equal q_pq_incremental's batch
+    audit exactly — integer sums are boundary-invariant."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_pq,
+        grid_pq_encode,
+        grid_pq_encode_map,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _PQ_CENTROIDS,
+        _PQ_ITERS,
+        _PQ_M,
+    )
+
+    emb = t(spark, SF, "embeddings")
+    is_base = F.col("vec_id") % 5 != 4
+    _, books = grid_pq(
+        emb.filter(is_base),
+        m=_PQ_M,
+        n_centroids=_PQ_CENTROIDS,
+        iters=_PQ_ITERS,
+    )
+    book_rows = books.collect()
+    batch = {
+        (r.j, r.code): (r.n_delta, r.qerr)
+        for r in grid_pq_encode(emb.filter(~is_base), books, m=_PQ_M)
+        .groupBy("j", "code")
+        .agg(F.count(F.lit(1)).alias("n_delta"), F.sum("qerr").alias("qerr"))
+        .collect()
+    }
+    tbl = _replay_stream(
+        spark,
+        emb.filter(~is_base).select("vec_id", "embedding"),
+        3,
+        "vec_id long, embedding array<float>",
+        lambda s: (
+            grid_pq_encode_map(s, book_rows, m=_PQ_M)
+            .groupBy("j", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n_delta"),
+                F.sum("qerr").alias("qerr"),
+            ),
+            "complete",
+        ),
+        "drift_audit_law",
+    )
+    got = {(r.j, r.code): (r.n_delta, r.qerr) for r in tbl.collect()}
+    assert got == batch
