@@ -50,18 +50,6 @@ _CELL_SKEW_THRESHOLD = 3.0
 _SKEW_MIN_CELL = 20
 
 
-def _shifted_delta(emb):
-    """The drifted delta batch: the vec_id % 5 == 4 rows with every
-    coordinate shifted by the exact constant (float → double promotion,
-    one correctly-rounded double add — replayed verbatim in SQL)."""
-    return emb.filter(F.col("vec_id") % _D_MOD == _D_REM).select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: x + F.lit(_DRIFT_SHIFT)
-        ).alias("embedding"),
-    )
-
-
 def _drift_retrain_df(spark, sf_dir, shift=_DRIFT_SHIFT):
     """Shared body of q_drift_retrain; the law tests call it with
     shift=0.0 to prove the gate does NOT trip in-distribution."""
