@@ -100,12 +100,15 @@ def _drift_retrain_df(spark, sf_dir, shift=_DRIFT_SHIFT):
             F.col("nd").cast("double") / F.col("n").cast("double")
         ).alias("max_frac")
     )
+    # 1-row frame, pinned: the gate's .first() below AND the returned
+    # plan both read it — without the checkpoint the whole audit lineage
+    # (base train + maintained assignment) would execute twice.
     aud = mf.crossJoin(tot).select(
         (
             F.col("max_frac")
             / (F.col("n_delta").cast("double") / F.col("n_union").cast("double"))
         ).alias("cell_skew")
-    )
+    ).localCheckpoint(eager=True)
 
     # Audit 2 — PQ quantization-error drift against FROZEN codebooks
     # (books stay frozen through the whole row: the measured finding is
@@ -119,12 +122,14 @@ def _drift_retrain_df(spark, sf_dir, shift=_DRIFT_SHIFT):
     denc = grid_pq_encode(delta, books, m=_PQ_M)
     dq = denc.agg(F.sum("qerr").alias("ds"), F.count(F.lit(1)).alias("dn"))
     bq = benc.agg(F.sum("qerr").alias("bs"), F.count(F.lit(1)).alias("bn"))
+    # 1-row frame, pinned for the same double-execution reason (its
+    # lineage carries the PQ trainer + both frozen-book encodes).
     qr = dq.crossJoin(bq).select(
         (
             (F.col("ds").cast("double") / F.col("dn").cast("double"))
             / (F.col("bs").cast("double") / F.col("bn").cast("double"))
         ).alias("qerr_ratio")
-    )
+    ).localCheckpoint(eager=True)
 
     # The GATE: this row exists to check the recovery path, so an
     # un-tripped audit is a broken precondition, not a quiet no-op —
