@@ -212,6 +212,91 @@ def bm25_topk(
     )
 
 
+def bm25_multi_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    text: str = "text",
+    key: str = "doc_id",
+    q_key: str = "q_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 ranked retrieval for a BATCH OF QUERIES — the multi-query
+    harness :func:`bm25_topk` (one fixed term tuple compiled into the
+    plan) cannot express, and the missing piece for rank-aware index
+    evaluation (MRR/recall need many queries, not one). ``queries`` is
+    (q_key, terms array<string>); every query is scored against the
+    corpus in ONE term-keyed join pass — the corpus is tokenized once,
+    queries ride a |Σ terms|-row broadcast, and the per-(query, doc)
+    score sum is a fold over the matched terms SORTED BY TERM, so the
+    float addition order is a pure function of the term set — identical
+    on any engine/partitioning (the bm25_topk fixed-order discipline,
+    generalized to variable term sets). Same Lucene idf / k1 / b
+    arithmetic as bm25_topk; a term no document contains simply
+    contributes no row (its idf is never evaluated).
+
+    Output: (q_key, key, bm25 rounded 6dp, rnk 1..top_k) — per-query
+    top-k by (bm25 desc, key). Scale: one corpus tokenization shared by
+    all queries; the scored frame is |queries| · |docs matching ≥1
+    term| rows keyed by term then (query, doc) — the same digest-sized
+    shuffles as single-query BM25, amortized across the whole eval
+    batch; the per-query top-k is a window over each query's candidate
+    set, never a global sort."""
+    from pyspark.sql import Window
+
+    qt = queries.select(
+        F.col(q_key), F.explode(F.array_distinct(terms_col)).alias("w")
+    )
+    tk = df.select(F.col(key), F.explode(tokens(text)).alias("w"))
+    tf = tk.groupBy(key, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(key).agg(F.sum("tf").alias("dl"))
+    scalars = (
+        df.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(tk.agg(F.count(F.lit(1)).alias("toks")))
+        .select(
+            "n", (F.col("toks").cast("double") / F.col("n")).alias("avgdl")
+        )
+    )
+    dft = (
+        tf.join(F.broadcast(qt.select("w").distinct()), on="w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("dft"))
+    )
+    s = F.log(
+        (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1.0
+    ) * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        F.broadcast(qt)
+        .join(tf, on="w")
+        .join(dl, on=key)
+        .join(F.broadcast(dft), on="w")
+        .crossJoin(F.broadcast(scalars))
+        .select(q_key, key, "w", s.alias("s"))
+    )
+    per = scored.groupBy(q_key, key).agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("w", "s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x.getField("s"),
+            ),
+            6,
+        ).alias("bm25")
+    )
+    wr = Window.partitionBy(q_key).orderBy(F.col("bm25").desc(), key)
+    return (
+        per.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= top_k)
+        .select(q_key, key, "bm25", "rnk")
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame, text: str = "text", key: str = "doc_id"
 ) -> DataFrame:

@@ -467,6 +467,190 @@ def q_stream_lifecycle_parity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Multi-query BM25 + rank-aware retrieval evaluation (the parked gap: every
+# prior retrieval row is single-query; MRR/recall need a query BATCH)
+# --------------------------------------------------------------------------
+
+#: The literal evaluation query set: the family's fixed terms, a wider
+#: set, the one RARE fixture token ('dup', df≈26 vs ≈900 for the rest),
+#: a two-term set, and a set containing a term NO document contains
+#: (exercises the missing-dft path: it contributes no score rows).
+_MQ_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("hash", "join", "scan")),
+    (1, ("sort", "stream", "vector", "window")),
+    (2, ("dup",)),
+    (3, ("customer", "order")),
+    (4, ("filter", "nosuchterm")),
+)
+_MQ_TOPK = 10
+
+#: BM25 scoring CTE chain shared by both multi-query oracles: from a
+#: ``q`` CTE of (q_id, w) rows to ``ranked`` (q_id, doc_id, bm25, rnk).
+_MQ_SQL_TAIL = r"""
+    tk AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tk GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    sc AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                  CAST((SELECT COUNT(*) FROM tk) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM documents) AS avgdl),
+    dft AS (SELECT w, COUNT(*) AS dft FROM tf
+            WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY w),
+    s AS (
+        SELECT q.q_id, tf.doc_id, tf.w,
+               LN((sc.n - dft.dft + 0.5) / (dft.dft + 0.5) + 1.0)
+               * (tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / sc.avgdl)))
+                   AS s
+        FROM q JOIN tf USING (w) JOIN dl USING (doc_id)
+        JOIN dft USING (w) CROSS JOIN sc),
+    per AS (
+        SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(s ORDER BY w), 'sum'), 6) AS bm25
+        FROM s GROUP BY q_id, doc_id),
+    ranked AS (
+        SELECT q_id, doc_id, bm25, CAST(rnk AS INT) AS rnk FROM (
+            SELECT q_id, doc_id, bm25,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rnk
+            FROM per) t)"""
+
+
+def _mq_oracle() -> str:
+    values = ", ".join(
+        "({}, [{}])".format(q, ", ".join(f"'{w}'" for w in ts))
+        for q, ts in _MQ_QUERIES
+    )
+    return f"""
+    WITH q AS (
+        SELECT CAST(q_id AS BIGINT) AS q_id, unnest(terms) AS w
+        FROM (VALUES {values}) t(q_id, terms)),
+    {_MQ_SQL_TAIL}
+    SELECT q_id, doc_id, bm25, rnk FROM ranked WHERE rnk <= {_MQ_TOPK}
+    """
+
+
+@register("q_bm25_multi_query", oracle=_mq_oracle())
+def q_bm25_multi_query(spark, sf_dir):
+    """BATCH-OF-QUERIES BM25 (operators/retrieval.bm25_multi_topk) —
+    the multi-query harness the single-query rows can't express: five
+    query term sets (the family terms, a wide set, the one rare fixture
+    token, a pair, and a set with a term no document contains) are
+    scored against the corpus in ONE term-keyed pass; per-(query, doc)
+    sums fold over matched terms SORTED BY TERM, so the float addition
+    order is a pure function of the term set and both engines round the
+    same 6dp value (bm25_topk's fixed-order discipline generalized).
+    Law (tests/test_wave43.py): a single-query batch reproduces
+    bm25_topk's ranking exactly.
+
+    Scale: the corpus tokenizes once for the whole query batch; scores
+    ride term-keyed digest joins and per-query TakeOrdered windows —
+    this is how an index evaluation (hundreds of queries) runs as one
+    job instead of hundreds."""
+    from incubator_flink_old_spark.operators.retrieval import bm25_multi_topk
+    from incubator_flink_old_spark.sources import local_rows
+
+    queries = local_rows(
+        spark,
+        [(int(q), list(ts)) for q, ts in _MQ_QUERIES],
+        "q_id bigint, terms array<string>",
+    )
+    return bm25_multi_topk(
+        t(spark, sf_dir, "documents"), queries, top_k=_MQ_TOPK
+    )
+
+
+_EVAL_N_QUERIES = 10
+_EVAL_N_TERMS = 3
+
+
+def _eval_mrr_oracle() -> str:
+    return f"""
+    WITH qtf AS (
+        SELECT doc_id AS q_id, w, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS w
+            FROM documents WHERE doc_id < {_EVAL_N_QUERIES}) t
+        GROUP BY q_id, w),
+    q AS (
+        SELECT q_id, w FROM (
+            SELECT q_id, w,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY c DESC, w) AS tr
+            FROM qtf) t
+        WHERE tr <= {_EVAL_N_TERMS}),
+    {_MQ_SQL_TAIL}
+    SELECT q.q_id, COALESCE(r.rnk, 0) AS self_rank,
+           COALESCE(1.0 / r.rnk, 0.0) AS rr
+    FROM (SELECT DISTINCT q_id FROM q) q
+    LEFT JOIN (SELECT q_id, rnk FROM ranked
+               WHERE doc_id = q_id AND rnk <= {_MQ_TOPK}) r
+        ON q.q_id = r.q_id
+    """
+
+
+@register("q_retrieval_eval_mrr", oracle=_eval_mrr_oracle())
+def q_retrieval_eval_mrr(spark, sf_dir):
+    """RANK-AWARE retrieval evaluation over the multi-query harness —
+    the known-item protocol: each of the first {10} documents becomes a
+    query (its top-3 tokens by frequency, ties to the smaller token),
+    the whole batch is BM25-ranked in one bm25_multi_topk job, and each
+    query reports the rank of its OWN source document in its top-10
+    (self_rank, 0 = missed) and the reciprocal rank 1/r — the per-query
+    rows an MRR@10 averages. Per-query RR is an exact division of 1.0
+    by a small integer, bit-identical across engines; the term
+    extraction and ranking replay value-exactly in SQL.
+
+    This closes the parked gap every prior retrieval row shared: recall
+    rows measure ANN candidate quality against brute force, but nothing
+    measured RANKING quality over a query batch — the evaluation loop
+    an index deployment actually runs (swap an index variant, re-run
+    the eval batch, compare MRR).
+
+    Scale: queries are a digest-sized side input; everything corpus-
+    shaped is shared across the batch (one tokenization, term-keyed
+    joins), so eval cost grows with the query batch, not
+    queries × corpus."""
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.operators.retrieval import bm25_multi_topk
+    from incubator_flink_old_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    qtf = (
+        docs.filter(F.col("doc_id") < _EVAL_N_QUERIES)
+        .select(F.col("doc_id").alias("q_id"), F.explode(tokens("text")).alias("w"))
+        .groupBy("q_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = Window.partitionBy("q_id").orderBy(F.col("c").desc(), "w")
+    queries = (
+        qtf.withColumn("tr", F.row_number().over(wt))
+        .filter(F.col("tr") <= _EVAL_N_TERMS)
+        .groupBy("q_id")
+        .agg(F.array_sort(F.collect_list("w")).alias("terms"))
+    )
+    ranked = bm25_multi_topk(docs, queries, top_k=_MQ_TOPK)
+    self_hit = ranked.filter(F.col("doc_id") == F.col("q_id")).select(
+        "q_id", "rnk"
+    )
+    return (
+        queries.select("q_id")
+        .join(self_hit, on="q_id", how="left")
+        .select(
+            "q_id",
+            F.coalesce("rnk", F.lit(0)).alias("self_rank"),
+            F.coalesce(F.lit(1.0) / F.col("rnk"), F.lit(0.0)).alias("rr"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming near-dup screening: the crawl-ingest front door — live documents
 # screened against the frozen corpus band index
 # --------------------------------------------------------------------------

@@ -525,3 +525,33 @@ def test_stream_drift_audit_equals_batch(spark):
     )
     got = {(r.j, r.code): (r.n_delta, r.qerr) for r in tbl.collect()}
     assert got == batch
+
+
+def test_bm25_multi_topk_single_query_equals_bm25_topk(spark):
+    """A one-query batch must reproduce the fixed-term scorer's ranking
+    exactly — same idf/k1/b arithmetic, and the sorted-term fold equals
+    bm25_topk's fixed left-to-right fold when the term tuple is given
+    sorted (as _TS_TERMS is)."""
+    from incubator_flink_old_spark.operators.retrieval import (
+        bm25_multi_topk,
+        bm25_topk,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops18 import _TS_TERMS
+    from incubator_flink_old_spark.sources import local_rows
+
+    docs = t(spark, SF, "documents")
+    single = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(docs, terms=_TS_TERMS, top_k=15).collect()
+    ]
+    queries = local_rows(
+        spark, [(0, list(_TS_TERMS))], "q_id bigint, terms array<string>"
+    )
+    multi = [
+        (r.doc_id, r.bm25)
+        for r in bm25_multi_topk(docs, queries, top_k=15)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert multi == single
