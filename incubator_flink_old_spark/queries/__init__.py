@@ -88,6 +88,7 @@ _QUERY_MODULES = (
     "llm_ops26",
     "llm_ops27",
     "llm_ops28",
+    "llm_ops29",
     "analytics",
     "analytics2",
     "surfaces",
