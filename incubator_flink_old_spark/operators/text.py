@@ -1575,6 +1575,8 @@ def streaming_neardup_screen(
     jaccard_threshold: float = 0.7,
     text: str = "text",
     key: str = "doc_id",
+    event_time: str | None = None,
+    watermark_delay: str = "10 seconds",
 ) -> DataFrame:
     """Near-dup screening of a LIVE document stream against a FROZEN
     corpus index — :func:`minhash_lsh_pairs_between` with the probe side
@@ -1593,13 +1595,34 @@ def streaming_neardup_screen(
     each pair's verdict depends only on its own two token sets. The
     final dropDuplicates collapses multi-band hits; its state is one row
     per EMITTED pair (each stream doc arrives once, so pairs never recur
-    across batches; at 100 TB key it by ingest time under a watermark).
+    across batches).
+
+    ``event_time`` names a timestamp column on the stream and switches
+    the pair dedup to ``dropDuplicatesWithinWatermark`` under a
+    ``watermark_delay`` watermark — the UNBOUNDED-ingest form: pair
+    state is EVICTED once the watermark passes a pair's event time,
+    so state holds only the in-flight horizon instead of every pair
+    ever emitted. Result-identical to the unbounded dedup for ANY
+    delay ≥ 0 (law-pinned in tests/test_wave44.py): a document's
+    multi-band duplicate hits all derive from its single arrival row,
+    so they land in the SAME microbatch and carry the SAME event time —
+    no duplicate can straddle the watermark. The emitted column set is
+    unchanged (the event-time column is internal to the dedup).
 
     Returns (doc_a ∈ stream, doc_b ∈ corpus, jaccard ≥ threshold).
     Scale: stream-side cost is a pure map per micro-batch; the corpus
     side is the MATERIALIZED band table (bucketed by (band, bucket) —
     the q_dedup_minhash_layout posture) plus token sets reached only
     for surviving candidates."""
+    if event_time is not None and event_time not in stream.columns:
+        # A typo'd event-time column would otherwise surface as an
+        # unresolved-attribute error deep inside the dedup plan — fail
+        # loudly at the API boundary (house fail-loudly discipline).
+        raise ValueError(
+            f"streaming_neardup_screen: event_time column {event_time!r}"
+            f" not in stream schema {stream.columns}"
+        )
+    ts = [F.col(event_time)] if event_time is not None else []
     toks_r = corpus.select(
         F.col(key).alias("doc_b"),
         _hashed_set(tokens(text, distinct=True)).alias("tb"),
@@ -1612,6 +1635,7 @@ def streaming_neardup_screen(
     dtoks = tokens(text, distinct=True)
     srows = stream.select(
         F.col(key).alias("doc_a"),
+        *ts,
         _hashed_set(dtoks).alias("ta"),
         *[
             F.array_min(F.transform(dtoks, _salted_md5(j))).alias(f"mh{j}")
@@ -1620,6 +1644,7 @@ def streaming_neardup_screen(
     )
     srows = srows.select(
         "doc_a",
+        *ts,
         "ta",
         F.size("ta").alias("na"),
         F.explode(
@@ -1646,6 +1671,7 @@ def streaming_neardup_screen(
         ).alias("bb"),
     ).select(
         "doc_a",
+        *ts,
         "ta",
         "na",
         F.col("bb.band").alias("band"),
@@ -1657,27 +1683,32 @@ def streaming_neardup_screen(
             F.least("na", "nb").cast("double") / F.greatest("na", "nb")
             >= jaccard_threshold
         )
-        .select("doc_a", "ta", "doc_b")
+        .select("doc_a", *ts, "ta", "doc_b")
     )
     scored = cand.join(toks_r, on="doc_b").select(
         "doc_a",
+        *ts,
         "doc_b",
         _intersect_size("ta", "tb").alias("__i"),
         (F.size("ta") + F.size("tb")).alias("__s"),
     )
+    verified = _verify_barrier(
+        scored,
+        F.struct(
+            F.col("doc_a"),
+            *ts,
+            F.col("doc_b"),
+            (
+                F.col("__i").cast("double") / (F.col("__s") - F.col("__i"))
+            ).alias("jaccard"),
+        ),
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    if event_time is None:
+        return verified.dropDuplicates(["doc_a", "doc_b"])
     return (
-        _verify_barrier(
-            scored,
-            F.struct(
-                F.col("doc_a"),
-                F.col("doc_b"),
-                (
-                    F.col("__i").cast("double") / (F.col("__s") - F.col("__i"))
-                ).alias("jaccard"),
-            ),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .dropDuplicates(["doc_a", "doc_b"])
+        verified.withWatermark(event_time, watermark_delay)
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+        .drop(event_time)
     )
 
 

@@ -6,6 +6,7 @@ batch oracle; fail-loudly on a missing event-time column)."""
 
 from __future__ import annotations
 
+import itertools
 import os
 
 import pytest
@@ -15,6 +16,8 @@ from pyspark.sql import functions as F
 SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="no testdata")
+
+_W44_SEQ = itertools.count()
 
 
 def test_dense_mrr_all_cells_equals_brute(spark):
@@ -86,3 +89,81 @@ def test_dense_mrr_plan_has_no_cartesian(spark):
 
     plan = q_retrieval_eval_mrr_dense(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def _neardup_stream_run(spark, tmpdir, event_time, in_order=True):
+    """Drive streaming_neardup_screen over a 4-batch file replay of the
+    sf0.001 'new' slice; returns (emitted rows, stopped query handle)."""
+    import time
+
+    from incubator_flink_old_spark.operators.text import (
+        streaming_neardup_screen,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops28 import _D_MOD, _D_REM
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    docs = t(spark, SF, "documents")
+    is_new = F.col("doc_id") % _D_MOD == _D_REM
+    new_docs = docs.filter(is_new).select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+    )
+    quartiled = new_docs.withColumn(
+        "__b", F.ntile(4).over(Window.orderBy("doc_id"))
+    )
+    for g in range(1, 5):
+        (
+            quartiled.filter(F.col("__b") == g)
+            .drop("__b")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tmpdir)
+        )
+        time.sleep(0.15)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir)
+    )
+    out = streaming_neardup_screen(
+        stream,
+        docs.filter(~is_new),
+        event_time=event_time,
+        watermark_delay="30 seconds",
+    )
+    name = f"w44_ndw_{next(_W44_SEQ)}"
+    q = run_stream_to_memory(out, name, "append", state_partitions=4)
+    rows = spark.table(name).collect()
+    return rows, q
+
+
+def test_neardup_watermark_parity_and_eviction(spark, tmp_path):
+    """The watermarked screen must emit exactly the unwatermarked
+    screen's pairs under in-event-time-order replay (a pair's multi-band
+    hits share one arrival row ⇒ one event time ⇒ none straddle the
+    watermark), AND its final dedup state must hold strictly fewer rows
+    than the pairs emitted — eviction really ran as the watermark
+    advanced across batches (the unbounded form keeps one state row per
+    pair forever)."""
+    wm_rows, q = _neardup_stream_run(spark, str(tmp_path / "wm"), "ts")
+    plain_rows, _ = _neardup_stream_run(spark, str(tmp_path / "pl"), None)
+    key = lambda r: (r.doc_a, r.doc_b, round(r.jaccard, 9))
+    assert sorted(map(key, wm_rows)) == sorted(map(key, plain_rows))
+    assert len(wm_rows) > 0
+    state = q.lastProgress["stateOperators"][0]
+    assert state["numRowsTotal"] < len(wm_rows)
+
+
+def test_neardup_watermark_rejects_missing_column(spark):
+    """A typo'd event-time column must fail at the API boundary, not as
+    an unresolved attribute deep in the dedup plan."""
+    from incubator_flink_old_spark.operators.text import (
+        streaming_neardup_screen,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents")
+    with pytest.raises(ValueError, match="event_time column"):
+        streaming_neardup_screen(docs, docs, event_time="ingest_ts")
