@@ -1521,6 +1521,64 @@ def pack_sequences(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    epochs: int = 2,
+    n_shards: int = 8,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle + shard assignment
+    — the dataloader-reproducibility primitive: for each epoch, every
+    document gets a 60-bit portable hash of (epoch, key) (first 15 hex
+    digits of md5 — the :func:`_tok_hash60` recipe, so DuckDB replays it
+    bit-for-bit), its shard is ``hash % n_shards`` and its position
+    within the shard is the hash-order rank. The result is a seeded,
+    engine-independent permutation per epoch: re-running the job — on a
+    different cluster, partitioning, or engine — materializes the SAME
+    training order, which rand()-based shuffles cannot promise, and two
+    epochs never share an order (the epoch salts the hash).
+
+    Scale: ONE hash-partition-by-(epoch, shard) + in-partition sort per
+    epoch — exactly the physical job that writes a 100 TB corpus as
+    n_shards dataloader files per epoch; no global sort, no driver
+    participation, and shard sizes concentrate tightly around n/n_shards
+    (binomial balance — audited by the registered row's law test).
+
+    Returns (epoch int, key, shard int, pos long) — ``pos`` is 1-based
+    within (epoch, shard)."""
+    from pyspark.sql import Window
+
+    ep = df.select(
+        F.col(key),
+        F.explode(F.array(*[F.lit(e) for e in range(epochs)])).alias("epoch"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "|",
+                        F.col("epoch").cast("string"),
+                        F.col(key).cast("string"),
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = ep.select(
+        "epoch", key, h.alias("__h"), (h % n_shards).cast("int").alias("shard")
+    )
+    win = Window.partitionBy("epoch", "shard").orderBy("__h", key)
+    return d.select(
+        "epoch", key, "shard", F.row_number().over(win).cast("long").alias("pos")
+    )
+
+
 def minhash_lsh_pairs_between(
     left_df: DataFrame,
     right_df: DataFrame,

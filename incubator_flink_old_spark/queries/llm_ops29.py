@@ -319,3 +319,54 @@ def q_stream_neardup_watermark_parity(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return tbl.select("doc_a", "doc_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle: reproducible dataloader order + sharding
+# --------------------------------------------------------------------------
+
+_ES_EPOCHS = 2
+_ES_SHARDS = 8
+
+
+def _epoch_shuffle_oracle() -> str:
+    return f"""
+    WITH ep AS (
+        SELECT d.doc_id, CAST(r.e AS INTEGER) AS epoch
+        FROM documents d, range(0, {_ES_EPOCHS}) r(e)),
+    h AS (
+        SELECT epoch, doc_id,
+               ('0x' || substr(md5(epoch::VARCHAR || '|' || doc_id::VARCHAR),
+                               1, 15))::BIGINT AS h60
+        FROM ep)
+    SELECT epoch, doc_id,
+           CAST(h60 % {_ES_SHARDS} AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch, h60 % {_ES_SHARDS}
+               ORDER BY h60, doc_id) AS BIGINT) AS pos
+    FROM h
+    """
+
+
+@register("q_epoch_shuffle", oracle=_epoch_shuffle_oracle())
+def q_epoch_shuffle(spark, sf_dir):
+    """DETERMINISTIC EPOCH SHUFFLE (operators/text.epoch_shuffle) — the
+    training-dataloader primitive no prior row covered: each of 2 epochs
+    assigns every document a portable 60-bit md5 hash salted by the
+    epoch, shard = hash % 8, in-shard position = hash-order rank. A
+    seeded, engine-independent permutation per epoch: rerunning on any
+    cluster/partitioning/engine materializes the SAME training order
+    (rand()-based shuffles cannot promise that), different epochs never
+    share an order, and the whole job is one hash-partition + in-shard
+    sort — the physical plan that writes a 100 TB corpus as per-epoch
+    dataloader shards with no global sort.
+
+    Laws (tests/test_wave44.py): per (epoch, shard) the positions are
+    exactly 1..shard_size (a true permutation, no gaps/ties) and the two
+    epochs produce different orders; shard sizes stay within binomial
+    bounds of n/8."""
+    from incubator_flink_old_spark.operators.text import epoch_shuffle
+
+    return epoch_shuffle(
+        t(spark, sf_dir, "documents"), epochs=_ES_EPOCHS, n_shards=_ES_SHARDS
+    )

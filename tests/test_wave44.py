@@ -167,3 +167,36 @@ def test_neardup_watermark_rejects_missing_column(spark):
     docs = t(spark, SF, "documents")
     with pytest.raises(ValueError, match="event_time column"):
         streaming_neardup_screen(docs, docs, event_time="ingest_ts")
+
+
+def test_epoch_shuffle_laws(spark):
+    """Per (epoch, shard) the positions are exactly 1..shard_size (a
+    true permutation — no gaps, no ties), the two epochs order the same
+    documents DIFFERENTLY (the epoch salt works), re-running reproduces
+    the identical assignment (determinism), and shard sizes stay within
+    loose binomial bounds of n/n_shards (no hash pathologies)."""
+    from collections import defaultdict
+
+    from incubator_flink_old_spark.operators.text import epoch_shuffle
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents")
+    rows = epoch_shuffle(docs, epochs=2, n_shards=8).collect()
+    n = docs.count()
+    assert len(rows) == 2 * n
+    by_es = defaultdict(list)
+    for r in rows:
+        by_es[(r.epoch, r.shard)].append(r.pos)
+    for (_, _), poss in by_es.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    order = {
+        e: sorted(((r.shard, r.pos), r.doc_id) for r in rows if r.epoch == e)
+        for e in (0, 1)
+    }
+    assert [d for _, d in order[0]] != [d for _, d in order[1]]
+    again = epoch_shuffle(docs, epochs=2, n_shards=8).collect()
+    key = lambda r: (r.epoch, r.doc_id, r.shard, r.pos)
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    sizes = [len(v) for v in by_es.values()]
+    mean = 2 * n / 16
+    assert min(sizes) > mean * 0.5 and max(sizes) < mean * 1.5
