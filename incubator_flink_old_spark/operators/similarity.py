@@ -900,6 +900,86 @@ def quantize_embeddings(
     )
 
 
+def _sem_assigned(
+    corpus: DataFrame, n_cells: int, key: str, vec: str
+) -> DataFrame:
+    """One-shot coarse assignment shared by :func:`semantic_dedup` and
+    :func:`semantic_pairs`: unit-normalize, lowest-key seeds, nearest
+    centroid via max_by over (sim, -cell) — a combinable aggregation
+    (map-side partials), no per-vector window needed. Returns a
+    PERSISTED (__c, cell, __u) frame — the caller unpersists. Persisted
+    because the consumers (both pair-join sides + the final assignment)
+    would otherwise each re-run the assignment crossJoin (static plan
+    shows no exchange reuse across the renamed sides). At 100 TB the
+    same role is played by writing the corpus partitioned by cell — the
+    IVF layout."""
+    from pyspark.sql import Window
+
+    u = (
+        corpus.select(F.col(key).alias("__c"), as_double_array(vec).alias("__v"))
+        .withColumn("__nrm", norm(F.col("__v")))
+        .select(
+            "__c", F.transform("__v", lambda x: x / F.col("__nrm")).alias("__u")
+        )
+    )
+    seeds = (
+        u.orderBy("__c")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy("__c")).alias("cell"),
+            F.col("__u").alias("__cu"),
+        )
+    )
+    return (
+        u.crossJoin(F.broadcast(seeds))
+        .select("__c", "__u", "cell", dot(F.col("__u"), F.col("__cu")).alias("sim"))
+        .groupBy("__c")
+        .agg(
+            F.max_by("cell", F.struct(F.col("sim"), -F.col("cell"))).alias("cell"),
+            F.first("__u").alias("__u"),
+        )
+        .persist()
+    )
+
+
+def semantic_pairs(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.35,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """The PAIR view of :func:`semantic_dedup`'s decision — every
+    within-cell pair at cosine ≥ threshold, lower key first: exactly the
+    pairs whose higher-key member semantic_dedup drops, exposed so the
+    semantic dedup tier can be JOINED against other tiers' pair sets
+    (the lexical-vs-semantic agreement audit). Same quantizer, same
+    unit-normalized single-dot-product pair arithmetic, same documented
+    cross-cell recall sacrifice.
+
+    Output: (vec_a, vec_b, cos) with vec_a < vec_b. Scale: identical to
+    semantic_dedup — the O(n²) join runs per cell only."""
+    assigned = _sem_assigned(corpus, n_cells, key, vec)
+    try:
+        a = assigned.select(
+            F.col("__c").alias("vec_a"), "cell", F.col("__u").alias("__ua")
+        )
+        b = assigned.select(
+            F.col("__c").alias("vec_b"), "cell", F.col("__u").alias("__ub")
+        )
+        out = (
+            a.join(b, on="cell")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a", "vec_b", dot(F.col("__ua"), F.col("__ub")).alias("cos")
+            )
+            .filter(F.col("cos") >= threshold)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        assigned.unpersist()
+
+
 def semantic_dedup(
     corpus: DataFrame,
     n_cells: int = 8,
@@ -925,40 +1005,7 @@ def semantic_dedup(
 
     Output: (vec_id, cell, keep) for every corpus vector.
     """
-    from pyspark.sql import Window
-
-    u = (
-        corpus.select(F.col(key).alias("__c"), as_double_array(vec).alias("__v"))
-        .withColumn("__nrm", norm(F.col("__v")))
-        .select(
-            "__c", F.transform("__v", lambda x: x / F.col("__nrm")).alias("__u")
-        )
-    )
-    seeds = (
-        u.orderBy("__c")
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy("__c")).alias("cell"),
-            F.col("__u").alias("__cu"),
-        )
-    )
-    # nearest centroid: max_by over (sim, -cell) — a combinable
-    # aggregation (map-side partials), no per-vector window needed.
-    # Persisted: three consumers (both pair-join sides + the final
-    # assignment) would otherwise each re-run the assignment crossJoin
-    # (static plan shows no exchange reuse across the renamed sides).
-    # At 100 TB the same role is played by writing the corpus
-    # partitioned by cell — the IVF layout.
-    assigned = (
-        u.crossJoin(F.broadcast(seeds))
-        .select("__c", "__u", "cell", dot(F.col("__u"), F.col("__cu")).alias("sim"))
-        .groupBy("__c")
-        .agg(
-            F.max_by("cell", F.struct(F.col("sim"), -F.col("cell"))).alias("cell"),
-            F.first("__u").alias("__u"),
-        )
-        .persist()
-    )
+    assigned = _sem_assigned(corpus, n_cells, key, vec)
     try:
         a = assigned.select(F.col("__c").alias("__a"), F.col("cell"), F.col("__u").alias("__ua"))
         b = assigned.select(F.col("__c").alias("__b"), F.col("cell"), F.col("__u").alias("__ub"))

@@ -106,6 +106,10 @@ LOAD_ERRORS: dict[str, str] = {}
 #: outranks pure age and cannot be derived from the artifacts. Purely an
 #: ordering hint — every query stays registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # round-9 (continued) code-changed re-front: semantic_dedup's
+    # assignment block moved into the shared _sem_assigned helper when
+    # semantic_pairs landed (same semantics, sf0.01+sf0.1 SIM-rechecked).
+    "q_semantic_dedup",
     # round-9 code-changed re-fronts: ADVICE r08 guards touched
     # grid_pq_encode_map/sq8_encode_map (similarity.py) and
     # stateful_latest (streaming/); _grid_ivf_ctes gained CTE

@@ -370,3 +370,103 @@ def q_epoch_shuffle(spark, sf_dir):
     return epoch_shuffle(
         t(spark, sf_dir, "documents"), epochs=_ES_EPOCHS, n_shards=_ES_SHARDS
     )
+
+
+# --------------------------------------------------------------------------
+# Lexical vs semantic dedup agreement: which tier catches which pairs
+# --------------------------------------------------------------------------
+
+
+def _dedup_agreement_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops import _minhash_oracle
+
+    lex_sql = _minhash_oracle(band_size=4).strip()
+    return f"""
+    WITH lex AS MATERIALIZED ({lex_sql}),
+    svv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+    su AS (
+        SELECT vec_id,
+               list_transform(ve, x -> x / sqrt(list_dot_product(ve, ve))) AS uv
+        FROM svv),
+    sseeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, uv AS cu
+        FROM (SELECT * FROM su ORDER BY vec_id LIMIT 8)),
+    ssim AS (
+        SELECT su.vec_id, s.cell, list_dot_product(su.uv, s.cu) AS sim
+        FROM su, sseeds s),
+    sasg AS (
+        SELECT vec_id, cell
+        FROM (SELECT vec_id, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cell) AS rn
+              FROM ssim)
+        WHERE rn = 1),
+    sau AS (SELECT a.vec_id, a.cell, u.uv FROM sasg a JOIN su u USING (vec_id)),
+    sem AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sau a JOIN sau b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.uv, b.uv) >= 0.35),
+    j AS (
+        SELECT l.doc_a IS NOT NULL AS lex_hit, s.vec_a IS NOT NULL AS sem_hit
+        FROM lex l FULL OUTER JOIN sem s
+            ON l.doc_a = s.vec_a AND l.doc_b = s.vec_b)
+    SELECT CASE WHEN lex_hit AND sem_hit THEN 'both'
+                WHEN lex_hit THEN 'lex_only'
+                ELSE 'sem_only' END AS category,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1
+    """
+
+
+@register("q_dedup_agreement", oracle=_dedup_agreement_oracle())
+def q_dedup_agreement(spark, sf_dir):
+    """CROSS-TIER DEDUP AGREEMENT AUDIT — the question a curation team
+    asks before choosing dedup tiers and thresholds: of all pairs
+    flagged by EITHER the lexical tier (MinHash-LSH, exact-jaccard
+    verified ≥ 0.7 — q_dedup_minhash's pipeline) or the semantic tier
+    (SemDeDup within-cell unit-cosine ≥ 0.35 over the documents'
+    embeddings — q_semantic_dedup's pair set, exposed by
+    operators/similarity.semantic_pairs), how many does each tier catch
+    alone and how many do both agree on. 'lex_only' pairs are
+    boilerplate/templates semantic embeddings blur together with
+    everything else; 'sem_only' pairs are paraphrases token-level
+    jaccard can't see — the two failure modes a layered dedup stack
+    exists to cover.
+
+    Both pair sets are the EXACT pipelines of their standing rows (same
+    signatures, banding, verify; same quantizer, normalization, dot) —
+    this row only full-outer-joins them on the shared id space
+    (embedding vec_id ≡ document doc_id, the q_retrieval_hybrid
+    convention) and counts.
+
+    Scale: each tier's pair set is candidate-pruned by its own index
+    (band buckets / cells); the agreement join is an equi-join on the
+    pair key — digest-sized relative to the corpus."""
+    from incubator_flink_old_spark.operators.similarity import semantic_pairs
+    from incubator_flink_old_spark.operators.text import minhash_lsh_pairs
+
+    lex = minhash_lsh_pairs(t(spark, sf_dir, "documents"), band_size=4).select(
+        "doc_a", "doc_b", F.lit(True).alias("lex_hit")
+    )
+    sem = semantic_pairs(t(spark, sf_dir, "embeddings")).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit(True).alias("sem_hit"),
+    )
+    j = lex.join(sem, on=["doc_a", "doc_b"], how="full_outer")
+    return (
+        j.select(
+            F.when(
+                F.coalesce("lex_hit", F.lit(False))
+                & F.coalesce("sem_hit", F.lit(False)),
+                F.lit("both"),
+            )
+            .when(F.coalesce("lex_hit", F.lit(False)), F.lit("lex_only"))
+            .otherwise(F.lit("sem_only"))
+            .alias("category")
+        )
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -200,3 +200,23 @@ def test_epoch_shuffle_laws(spark):
     sizes = [len(v) for v in by_es.values()]
     mean = 2 * n / 16
     assert min(sizes) > mean * 0.5 and max(sizes) < mean * 1.5
+
+
+def test_semantic_pairs_consistent_with_dedup(spark):
+    """semantic_pairs is the PAIR view of semantic_dedup's decision:
+    a vector is dropped (keep=False) iff it appears as the HIGHER key
+    of at least one emitted pair — same quantizer, same threshold, same
+    arithmetic, shared via _sem_assigned."""
+    from incubator_flink_old_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_pairs,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    emb = t(spark, SF, "embeddings")
+    pairs = semantic_pairs(emb).collect()
+    assert pairs and all(r.vec_a < r.vec_b for r in pairs)
+    dropped_by_pairs = {r.vec_b for r in pairs}
+    dedup = semantic_dedup(emb).collect()
+    dropped_by_dedup = {r.vec_id for r in dedup if not r.keep}
+    assert dropped_by_pairs == dropped_by_dedup
