@@ -239,3 +239,41 @@ def merge_upsert(
             .alias(name)
         )
     return joined.filter(keep).select(*out_cols)
+
+
+def join_hotkey_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    threshold: int = 1_000_000,
+) -> DataFrame:
+    """Pre-flight SKEW DETECTOR for an equi-join — the audit you run
+    BEFORE a 100 TB join to find the keys that would explode it: per
+    join key, each side's row count and their product (the key's exact
+    output cardinality under an inner equi-join), flagged ``hot`` at
+    ``threshold``. Hot keys are what :func:`salted_join` (the standing
+    mitigation) and AQE's skew-join splitting exist for — this operator
+    tells you WHICH keys and HOW BAD before the shuffle is paid, from
+    two digest-sized count aggregations instead of the join itself.
+
+    Self-join audits (funnels, transition mining, pair generation) pass
+    the same frame twice — est_rows is then count², the quadratic blowup
+    a single celebrity key hides until the join OOMs.
+
+    Scale: one combinable groupBy per side (map-side partials, shuffle =
+    distinct keys, never the rows), one equi-join of the two count
+    digests. Returns (key, cnt_left, cnt_right, est_rows, hot).
+    """
+    right_key = right_key or left_key
+    lc = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt_left")
+    )
+    rc = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt_right")
+    )
+    return (
+        lc.join(rc, on="key")
+        .withColumn("est_rows", F.col("cnt_left") * F.col("cnt_right"))
+        .withColumn("hot", F.col("est_rows") >= F.lit(threshold))
+    )

@@ -2306,6 +2306,30 @@ def k_anonymity(
     )
 
 
+def l_diversity(
+    df: DataFrame, quasi: tuple[str, ...], sensitive: str, l: int = 3
+) -> DataFrame:
+    """The audit k-anonymity alone misses: an equivalence class can be
+    large (k_ok) yet carry only ONE sensitive value — releasing it still
+    discloses that value for everyone in the class (the homogeneity
+    attack). Per quasi-identifier class, the number of DISTINCT
+    sensitive values and the ``l``-diversity policy flag; classes below
+    ``l`` are the generalize-or-suppress worklist.
+
+    Same scale shape as :func:`k_anonymity` — one hash groupBy over the
+    quasi columns; count_distinct is partial-aggregated (per-partition
+    distinct sets, merged digests), never a row shuffle of the class.
+    """
+    return (
+        df.groupBy(*quasi)
+        .agg(
+            F.count("*").alias("class_size"),
+            F.countDistinct(sensitive).alias("n_sensitive"),
+        )
+        .withColumn("l_ok", F.col("n_sensitive") >= F.lit(l))
+    )
+
+
 def negative_samples(
     df: DataFrame,
     query_filter: Column,

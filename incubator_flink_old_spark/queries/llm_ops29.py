@@ -470,3 +470,92 @@ def q_dedup_agreement(spark, sf_dir):
         .groupBy("category")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity: the privacy audit k-anonymity alone misses
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_l_diversity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT o_orderpriority) >= 3 AS l_ok
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_l_diversity(spark, sf_dir):
+    """l-DIVERSITY audit (operators/text.l_diversity) — the disclosure
+    k-anonymity alone misses: a quasi-identifier class can be large
+    (k_ok) yet carry a single sensitive value, so releasing it still
+    tells an attacker that value for everyone in the class (the
+    homogeneity attack). Per (nationkey, mktsegment) class over the
+    customer-order release join: class size, distinct sensitive values
+    (order priority), and the l=3 policy flag — the companion worklist
+    to q_k_anonymity's.
+
+    Scale: one hash groupBy; the distinct count partial-aggregates
+    (per-partition distinct sets), so shuffle volume is classes ×
+    distinct sensitive values, never the release rows."""
+    from incubator_flink_old_spark.operators.text import l_diversity
+
+    joined = (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select("c_nationkey", "c_mktsegment", "o_orderpriority")
+    )
+    return l_diversity(
+        joined,
+        quasi=("c_nationkey", "c_mktsegment"),
+        sensitive="o_orderpriority",
+        l=3,
+    )
+
+
+# --------------------------------------------------------------------------
+# Join hot-key audit: the skew detector beside q_salted_join's mitigation
+# --------------------------------------------------------------------------
+
+_HOTKEY_THRESHOLD = 5000
+
+
+@register(
+    "q_join_hotkeys",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id)
+    SELECT key, cnt AS cnt_left, cnt AS cnt_right,
+           cnt * cnt AS est_rows,
+           cnt * cnt >= {_HOTKEY_THRESHOLD} AS hot
+    FROM c
+    """,
+)
+def q_join_hotkeys(spark, sf_dir):
+    """JOIN HOT-KEY AUDIT (operators/joins.join_hotkey_audit) — the
+    pre-flight skew detector beside the standing mitigation
+    (q_salted_join): per join key, each side's row count and their
+    product = the key's EXACT output cardinality under the inner
+    equi-join, flagged at a threshold. Run here as the self-join audit
+    for the events funnel family (q_funnel / q_event_transitions
+    self-join events on user_id): est_rows is count² — the quadratic
+    blowup one celebrity user hides until the join OOMs at 100 TB.
+    Two digest-sized count aggregations instead of paying the shuffle
+    to find out.
+
+    Scale: shuffle = distinct keys (map-side combinable counts), one
+    equi-join of the two digests — cost independent of the join's
+    output size, which is the whole point."""
+    from incubator_flink_old_spark.operators.joins import join_hotkey_audit
+
+    ev = t(spark, sf_dir, "events")
+    return join_hotkey_audit(
+        ev, ev, "user_id", threshold=_HOTKEY_THRESHOLD
+    )

@@ -220,3 +220,53 @@ def test_semantic_pairs_consistent_with_dedup(spark):
     dedup = semantic_dedup(emb).collect()
     dropped_by_dedup = {r.vec_id for r in dedup if not r.keep}
     assert dropped_by_pairs == dropped_by_dedup
+
+
+def test_join_hotkey_audit_estimate_is_exact(spark):
+    """The audit's est_rows is not an estimate at all for inner
+    equi-joins — per key it must equal the ACTUAL join output count,
+    and its sum the actual join size (the whole point: exact explosion
+    numbers from count digests, without paying the join)."""
+    from incubator_flink_old_spark.operators.joins import join_hotkey_audit
+    from incubator_flink_old_spark.queries._util import t
+
+    ev = t(spark, SF, "events")
+    audit = join_hotkey_audit(ev, ev, "user_id", threshold=5000).collect()
+    actual = (
+        ev.select(F.col("user_id").alias("key"))
+        .join(ev.select(F.col("user_id").alias("key")), on="key")
+        .groupBy("key")
+        .count()
+        .collect()
+    )
+    assert {r.key: r.est_rows for r in audit} == {
+        r.key: r["count"] for r in actual
+    }
+    assert any(r.hot for r in audit) and any(not r.hot for r in audit)
+
+
+def test_l_diversity_invariants(spark):
+    """n_sensitive never exceeds class_size, the flag is exactly the
+    threshold comparison, and the fixture exhibits the homogeneity gap
+    the operator exists for: at least one class is large yet fails
+    l-diversity."""
+    from incubator_flink_old_spark.operators.text import l_diversity
+    from incubator_flink_old_spark.queries._util import t
+
+    joined = (
+        t(spark, SF, "customer")
+        .join(
+            t(spark, SF, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select("c_nationkey", "c_mktsegment", "o_orderpriority")
+    )
+    rows = l_diversity(
+        joined, quasi=("c_nationkey", "c_mktsegment"),
+        sensitive="o_orderpriority", l=3,
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_sensitive <= r.class_size
+        assert r.l_ok == (r.n_sensitive >= 3)
+    assert any(r.class_size >= 5 and not r.l_ok for r in rows)
