@@ -2330,6 +2330,78 @@ def l_diversity(
     )
 
 
+def mixture_schedule(
+    df: DataFrame,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    source: str = "source",
+) -> DataFrame:
+    """Deterministic WEIGHTED-INTERLEAVE training schedule (stride
+    scheduling): materialize the one global order in which a training
+    run should consume a multi-source corpus so that every prefix
+    contains the sources in proportion to ``weights``. Each source's
+    documents are first put in seeded hash order (portable 60-bit md5 —
+    the :func:`epoch_shuffle` recipe), then document r of source s is
+    scheduled at virtual time ``r / weights[s]``; the global order is
+    (virtual time, source, key). A source with weight 2w appears twice
+    as often as one with weight w until it exhausts, and the schedule is
+    a pure function of (corpus, weights) — reproducible on any engine
+    or cluster, unlike rand()-interleaved dataloaders.
+
+    Sources absent from ``weights`` are EXCLUDED — a mixture schedule is
+    a selection (the q_domain_cap/q_data_mixture posture upstream
+    decides the weights). Prefer power-of-two weights: r/w is then an
+    exact binary division, so cross-source virtual-time TIES (rank 4 of
+    weight-4 vs rank 2 of weight-2) compare bit-identically on every
+    engine and fall through to the deterministic (source, key)
+    tie-break.
+
+    Scale: one per-source hash-rank window (partitioned by source) and
+    ONE global sort — a range exchange over digest-sized (vt, source,
+    key) triples, the q_sink_global_sort posture; the schedule is
+    usually written sharded by vt range, which is exactly what the
+    range exchange already produced.
+
+    Returns (key, source, src_rank, sched_pos)."""
+    from pyspark.sql import Window
+
+    w_rows = sorted(weights.items())
+    if not w_rows:
+        raise ValueError("mixture_schedule: weights is empty")
+    wdf = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(s, float(w)) for s, w in w_rows], f"{source} string, __wt double"
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.encode(F.col(key).cast("string"), "UTF-8")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    ranked = (
+        df.join(wdf, on=source)
+        .select(F.col(key), F.col(source), "__wt", h.alias("__h"))
+        .withColumn(
+            "src_rank",
+            F.row_number()
+            .over(Window.partitionBy(source).orderBy("__h", key))
+            .cast("long"),
+        )
+    )
+    vt = F.col("src_rank") / F.col("__wt")
+    return ranked.select(
+        key,
+        source,
+        "src_rank",
+        F.row_number()
+        .over(Window.orderBy(vt, source, key))
+        .cast("long")
+        .alias("sched_pos"),
+    )
+
+
 def negative_samples(
     df: DataFrame,
     query_filter: Column,

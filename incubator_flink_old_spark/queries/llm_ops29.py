@@ -559,3 +559,61 @@ def q_join_hotkeys(spark, sf_dir):
     return join_hotkey_audit(
         ev, ev, "user_id", threshold=_HOTKEY_THRESHOLD
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted mixture schedule: stride-interleave the sources
+# --------------------------------------------------------------------------
+
+#: Power-of-two weights ⇒ r/w is an exact binary division, so the
+#: cross-source virtual-time ties compare bit-identically on both engines
+#: (see mixture_schedule's docstring).
+_MIX_WEIGHTS = (("src0", 4.0), ("src1", 2.0), ("src2", 1.0), ("src3", 1.0))
+
+
+def _mixture_schedule_oracle() -> str:
+    values = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)
+    return f"""
+    WITH w(source, wt) AS (SELECT * FROM (VALUES {values})),
+    r AS (
+        SELECT d.doc_id, d.source, w.wt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR),
+                                            1, 15))::BIGINT, d.doc_id
+               ) AS src_rank
+        FROM documents d JOIN w USING (source))
+    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY src_rank / wt, source, doc_id) AS BIGINT)
+               AS sched_pos
+    FROM r
+    """
+
+
+@register("q_mixture_schedule", oracle=_mixture_schedule_oracle())
+def q_mixture_schedule(spark, sf_dir):
+    """WEIGHTED MIXTURE SCHEDULE (operators/text.mixture_schedule) —
+    the missing step between deciding a mixture (q_data_mixture /
+    q_temperature_mixture compute weights, q_domain_cap caps) and
+    training on it: materialize the ONE global order in which the run
+    consumes the corpus so every prefix holds the sources in weight
+    proportion (stride scheduling: document r of source s at virtual
+    time r/w_s). A 4:2:1:1 mixture over four sources here; sources
+    outside the mixture are excluded by design. Deterministic on any
+    engine/cluster — per-source seeded hash order + exact power-of-two
+    divisions — where a rand()-interleaved dataloader order is
+    unreproducible.
+
+    Laws (tests/test_wave44.py): every prefix's per-source share is
+    within one stride of the weight proportion; each source's
+    subsequence preserves its hash order; reruns are bit-identical.
+
+    Scale: one per-source rank window + one global range sort over
+    digest triples (the q_sink_global_sort posture) — the range
+    exchange IS the sharded schedule layout a dataloader reads."""
+    from incubator_flink_old_spark.operators.text import mixture_schedule
+
+    return mixture_schedule(
+        t(spark, sf_dir, "documents"), dict(_MIX_WEIGHTS)
+    )

@@ -270,3 +270,46 @@ def test_l_diversity_invariants(spark):
         assert r.n_sensitive <= r.class_size
         assert r.l_ok == (r.n_sensitive >= 3)
     assert any(r.class_size >= 5 and not r.l_ok for r in rows)
+
+
+def test_mixture_schedule_laws(spark):
+    """Stride-schedule guarantees: (a) while no source is exhausted,
+    every prefix's per-source count is within one stride of the weight
+    proportion; (b) each source's subsequence preserves its seeded hash
+    order (src_rank strictly increasing along sched_pos); (c) reruns
+    are bit-identical; (d) sched_pos is a gap-free permutation."""
+    from collections import Counter
+
+    from incubator_flink_old_spark.operators.text import mixture_schedule
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents")
+    weights = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+    rows = sorted(
+        mixture_schedule(docs, weights).collect(), key=lambda r: r.sched_pos
+    )
+    assert [r.sched_pos for r in rows] == list(range(1, len(rows) + 1))
+    last_rank = {}
+    for r in rows:
+        assert last_rank.get(r.source, 0) < r.src_rank
+        last_rank[r.source] = r.src_rank
+    per_source = Counter(r.source for r in rows)
+    total_w = sum(weights.values())
+    # un-exhausted regime: source s runs dry once the prefix reaches
+    # ~ avail_s · total_w / w_s rows (its share of the stream is
+    # w_s/total_w) — the proportionality law only holds before the
+    # FIRST exhaustion, so stop just short of the earliest one.
+    horizon = int(
+        min(per_source[s] * total_w / w for s, w in weights.items())
+    ) - len(weights)
+    seen = Counter()
+    for i, r in enumerate(rows[:horizon], start=1):
+        seen[r.source] += 1
+        for s, w in weights.items():
+            assert abs(seen[s] - i * w / total_w) <= 1 + w, (i, s, seen)
+    again = sorted(
+        mixture_schedule(docs, weights).collect(), key=lambda r: r.sched_pos
+    )
+    assert [(r.doc_id, r.sched_pos) for r in again] == [
+        (r.doc_id, r.sched_pos) for r in rows
+    ]
