@@ -1530,7 +1530,7 @@ def epoch_shuffle(
     """Deterministic per-epoch training-order shuffle + shard assignment
     — the dataloader-reproducibility primitive: for each epoch, every
     document gets a 60-bit portable hash of (epoch, key) (first 15 hex
-    digits of md5 — the :func:`_tok_hash60` recipe, so DuckDB replays it
+    digits of md5 — the :func:`_hash60` recipe, so DuckDB replays it
     bit-for-bit), its shard is ``hash % n_shards`` and its position
     within the shard is the hash-order rank. The result is a seeded,
     engine-independent permutation per epoch: re-running the job — on a
@@ -2327,6 +2327,75 @@ def l_diversity(
             F.countDistinct(sensitive).alias("n_sensitive"),
         )
         .withColumn("l_ok", F.col("n_sensitive") >= F.lit(l))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """ROBUST WINNOWING (the MOSS fingerprint-selection scheme):
+    per document, hash every k-token shingle (portable 60-bit md5, the
+    :func:`_hash60` recipe), then from every window of ``w``
+    consecutive shingle hashes select the MINIMUM (rightmost position on
+    ties) and emit the distinct selected (position, hash) fingerprints.
+
+    Why this beats hashing everything: the selected set is ~2/(w+1) of
+    the shingles, yet any substring match of at least w+k-1 tokens
+    between two documents is GUARANTEED to surface as a shared selected
+    hash (the winnowing theorem — both documents select the same
+    minimum inside the overlapping window). That is the scale lever for
+    corpus-wide span-level dedup: the cross-doc equi-join runs over the
+    winnowed ~n/2.5 fingerprints instead of all n shingles, with a
+    provable no-false-negative floor instead of MinHash's probabilistic
+    one. Documents shorter than k tokens have no shingles and emit
+    nothing; documents with fewer than w shingles winnow their single
+    short window (≥1 fingerprint per document with ≥k tokens).
+
+    Fully MAP-SIDE: shingling, hashing and window-min selection are one
+    expression pipeline per row (no explode-then-window shuffle); the
+    only shuffle is whatever the CONSUMER does with the fingerprints
+    (typically the equi-join on hash).
+
+    Returns (key, pos, fp) — ``pos`` is the 1-based shingle position of
+    the selected hash."""
+    d = df.select(F.col(key), tokens(text).alias("__tk")).filter(
+        F.size("__tk") >= k
+    )
+    n = F.size("__tk") - (k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda p: F.struct(
+            p.cast("long").alias("pos"),
+            _hash60(F.concat_ws(" ", F.slice("__tk", p, k))).alias("h"),
+        ),
+    )
+    d = d.select(key, hashes.alias("__hs"))
+    nw = F.greatest(F.size("__hs") - (w - 1), F.lit(1))
+    sel = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda q: F.aggregate(
+            F.slice("__hs", q, w),
+            F.struct(
+                F.lit(-1).cast("long").alias("pos"),
+                F.lit(1 << 62).cast("long").alias("h"),
+            ),
+            # <= keeps the LATER element on equal hashes — the
+            # rightmost-tie rule the winnowing guarantee needs
+            lambda acc, x: F.when(x.getField("h") <= acc.getField("h"), x)
+            .otherwise(acc),
+        ),
+    )
+    return (
+        d.select(key, F.explode(F.array_distinct(sel)).alias("__f"))
+        .select(
+            key,
+            F.col("__f.pos").alias("pos"),
+            F.col("__f.h").alias("fp"),
+        )
     )
 
 

@@ -617,3 +617,73 @@ def q_mixture_schedule(spark, sf_dir):
     return mixture_schedule(
         t(spark, sf_dir, "documents"), dict(_MIX_WEIGHTS)
     )
+
+
+# --------------------------------------------------------------------------
+# Robust winnowing: MOSS fingerprint selection with the detection guarantee
+# --------------------------------------------------------------------------
+
+_WIN_K = 3
+_WIN_W = 4
+
+
+def _winnow_oracle() -> str:
+    k, w = _WIN_K, _WIN_W
+    return rf"""
+    WITH tt AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+    hp AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) - {k} + 2)) AS p
+        FROM tt WHERE len(tk) >= {k}),
+    hg AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS pos,
+               ('0x' || substr(md5(array_to_string(tk[p:p + {k - 1}],
+                                                   ' ')), 1, 15))::BIGINT AS h
+        FROM hp),
+    nn AS (SELECT doc_id, COUNT(*) AS nh FROM hg GROUP BY doc_id),
+    wq AS (
+        SELECT doc_id,
+               unnest(range(1, GREATEST(nh - {w} + 1, 1) + 1)) AS q
+        FROM nn),
+    wins AS (
+        SELECT h.doc_id, wq.q, h.pos, h.h
+        FROM wq JOIN hg h ON h.doc_id = wq.doc_id
+                 AND h.pos BETWEEN wq.q AND wq.q + {w} - 1),
+    sel AS (
+        SELECT doc_id, pos, h FROM (
+            SELECT doc_id, q, pos, h,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, q
+                                      ORDER BY h, pos DESC) AS rn
+            FROM wins) t
+        WHERE rn = 1)
+    SELECT DISTINCT doc_id, pos, h AS fp FROM sel
+    """
+
+
+@register("q_winnow_fingerprints", oracle=_winnow_oracle())
+def q_winnow_fingerprints(spark, sf_dir):
+    """ROBUST WINNOWING (operators/text.winnow_fingerprints) — the MOSS
+    fingerprint-selection scheme the dedup family lacked: hash every
+    3-token shingle, slide a 4-hash window, keep each window's minimum
+    (rightmost on ties). The selected ~2/(w+1) of shingles carry a
+    PROVABLE guarantee: any ≥ w+k-1 = 6-token substring match between
+    two documents surfaces as a shared selected hash — the
+    deterministic no-false-negative floor MinHash banding (probability)
+    and q_dup_spans' fixed-stride windows (alignment-sensitive) don't
+    give. At 100 TB this is what makes corpus-wide span dedup joinable:
+    the cross-doc equi-join runs over the winnowed set at a fraction of
+    the shingle volume.
+
+    Map-side selection (one expression pipeline per row, no
+    explode-then-window shuffle — the oracle's explode form is the SQL
+    twin, not the plan); laws in tests/test_wave44.py pin the window
+    COVERAGE invariant (every window contains a selected position) and
+    the detection guarantee on adversarial synthetic pairs."""
+    from incubator_flink_old_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        t(spark, sf_dir, "documents"), k=_WIN_K, w=_WIN_W
+    )

@@ -313,3 +313,62 @@ def test_mixture_schedule_laws(spark):
     assert [(r.doc_id, r.sched_pos) for r in again] == [
         (r.doc_id, r.sched_pos) for r in rows
     ]
+
+
+def test_winnow_coverage_invariant(spark):
+    """Winnowing selects a representative from EVERY window: for each
+    document, every window position q must contain at least one
+    selected fingerprint position in [q, q+w-1] — the invariant the
+    ~2/(w+1) density claim and the detection guarantee both rest on."""
+    from collections import defaultdict
+
+    from incubator_flink_old_spark.operators.text import (
+        tokens,
+        winnow_fingerprints,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    k, w = 3, 4
+    docs = t(spark, SF, "documents")
+    fps = winnow_fingerprints(docs, k=k, w=w).collect()
+    assert fps
+    n_hashes = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", (F.size(tokens("text")) - (k - 1)).alias("n")
+        ).collect()
+        if r.n >= 1
+    }
+    by_doc = defaultdict(set)
+    for r in fps:
+        by_doc[r.doc_id].add(r.pos)
+    assert set(by_doc) == set(n_hashes)
+    for doc, poss in by_doc.items():
+        n = n_hashes[doc]
+        for q in range(1, max(n - w + 1, 1) + 1):
+            assert any(q <= p <= q + w - 1 for p in poss), (doc, q)
+
+
+def test_winnow_detection_guarantee(spark):
+    """The winnowing theorem on an adversarial pair: two documents
+    sharing a run of w+k-1 = 6 tokens (embedded at DIFFERENT offsets in
+    otherwise-disjoint text) must share at least one selected
+    fingerprint HASH — the deterministic floor MinHash banding can't
+    promise. A third document with no 6-token overlap shares none."""
+    from incubator_flink_old_spark.operators.text import winnow_fingerprints
+    from incubator_flink_old_spark.sources import local_rows
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = local_rows(
+        spark,
+        [
+            (1, "aa bb cc dd " + shared + " ee ff"),
+            (2, "pp qq " + shared + " rr ss tt uu vv"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=3, w=4).collect()
+    sets = {d: {r.fp for r in fps if r.doc_id == d} for d in (1, 2, 3)}
+    assert sets[1] & sets[2]
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
