@@ -2399,6 +2399,58 @@ def winnow_fingerprints(
     )
 
 
+def winnow_matches(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Cross-document span matches over the WINNOWED fingerprint set —
+    the consumer :func:`winnow_fingerprints` exists for: equi-join the
+    selected hashes across documents and report every pair sharing at
+    least ``min_shared`` distinct fingerprints. Inherits the winnowing
+    guarantee: a ≥ w+k-1-token substring match always contributes a
+    shared fingerprint, so at min_shared=1 no such pair can be missed;
+    min_shared=2 is the conventional noise floor (a single shared
+    k-gram is usually a common phrase, not a copied span).
+
+    ``max_df`` is the 100 TB safety valve: drop fingerprints present in
+    more than ``max_df`` documents BEFORE the pair join — a stop-gram
+    hash appearing in f documents alone contributes f²/2 candidate
+    pairs, so one ubiquitous phrase can quadratically dominate the join
+    (the same celebrity-key blowup :func:`~incubator_flink_old_spark.
+    operators.joins.join_hotkey_audit` detects). The cap trades recall
+    ONLY on spans whose every fingerprint is corpus-ubiquitous —
+    exactly the boilerplate a span-dedup wants to ignore anyway.
+
+    Scale: doc-frequency filter = one combinable groupBy over the
+    winnowed set; the pair join is an equi-join on fingerprint hash over
+    the capped set. Returns (doc_a, doc_b, shared_fps)."""
+    fps = winnow_fingerprints(df, k=k, w=w, text=text, key=key).select(
+        F.col(key), "fp"
+    )
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count_distinct(key).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, on="fp")
+    a = fps.select(F.col(key).alias("doc_a"), "fp")
+    b = fps.select(F.col(key).alias("doc_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("fp").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def mixture_schedule(
     df: DataFrame,
     weights: dict[str, float],

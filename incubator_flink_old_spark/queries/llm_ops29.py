@@ -627,10 +627,12 @@ _WIN_K = 3
 _WIN_W = 4
 
 
-def _winnow_oracle() -> str:
+def _winnow_ctes() -> str:
+    """Shared winnowing CTE chain (through ``sel`` = the selected
+    fingerprints) for the fingerprint row and the match row."""
     k, w = _WIN_K, _WIN_W
     return rf"""
-    WITH tt AS (
+    tt AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\s+'),
                            x -> x <> '') AS tk
@@ -658,7 +660,12 @@ def _winnow_oracle() -> str:
                    ROW_NUMBER() OVER (PARTITION BY doc_id, q
                                       ORDER BY h, pos DESC) AS rn
             FROM wins) t
-        WHERE rn = 1)
+        WHERE rn = 1)"""
+
+
+def _winnow_oracle() -> str:
+    return f"""
+    WITH {_winnow_ctes()}
     SELECT DISTINCT doc_id, pos, h AS fp FROM sel
     """
 
@@ -686,4 +693,52 @@ def q_winnow_fingerprints(spark, sf_dir):
 
     return winnow_fingerprints(
         t(spark, sf_dir, "documents"), k=_WIN_K, w=_WIN_W
+    )
+
+
+_WIN_MIN_SHARED = 2
+_WIN_MAX_DF = 100
+
+
+def _winnow_matches_oracle() -> str:
+    return f"""
+    WITH {_winnow_ctes()},
+    dfp AS (SELECT DISTINCT doc_id, h FROM sel),
+    kept AS (
+        SELECT h FROM dfp GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) <= {_WIN_MAX_DF}),
+    capped AS (SELECT dfp.doc_id, dfp.h FROM dfp JOIN kept USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(DISTINCT a.h) AS BIGINT) AS shared_fps
+    FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING COUNT(DISTINCT a.h) >= {_WIN_MIN_SHARED}
+    """
+
+
+@register("q_winnow_matches", oracle=_winnow_matches_oracle())
+def q_winnow_matches(spark, sf_dir):
+    """CROSS-DOC SPAN MATCHES over the winnowed set
+    (operators/text.winnow_matches) — the consumer the selection scheme
+    exists for: equi-join selected hashes across documents, keep pairs
+    sharing ≥ 2 distinct fingerprints (one shared k-gram is a common
+    phrase, not a copied span), with the doc-frequency cap (≤ 100 docs
+    per fingerprint) dropping stop-gram hashes BEFORE the pair join —
+    one ubiquitous phrase otherwise contributes f²/2 candidate pairs,
+    the exact celebrity-key blowup q_join_hotkeys detects. The cap
+    sacrifices recall only on spans whose EVERY fingerprint is
+    corpus-ubiquitous — the boilerplate span dedup wants to ignore.
+
+    Scale: df filter = one combinable groupBy over the winnowed ~40%%
+    of shingles; the pair join is hash-pruned by construction. The
+    winnowing guarantee still floors detection for any surviving
+    ≥ 6-token span."""
+    from incubator_flink_old_spark.operators.text import winnow_matches
+
+    return winnow_matches(
+        t(spark, sf_dir, "documents"),
+        k=_WIN_K,
+        w=_WIN_W,
+        min_shared=_WIN_MIN_SHARED,
+        max_df=_WIN_MAX_DF,
     )

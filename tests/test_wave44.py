@@ -372,3 +372,27 @@ def test_winnow_detection_guarantee(spark):
     sets = {d: {r.fp for r in fps if r.doc_id == d} for d in (1, 2, 3)}
     assert sets[1] & sets[2]
     assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+
+
+def test_winnow_matches_guarantee_and_cap(spark):
+    """winnow_matches at min_shared=1/no cap reports exactly the pairs
+    whose fingerprint sets intersect — on the adversarial trio, (1,2)
+    and nothing touching 3; a doc-frequency cap below every
+    fingerprint's df empties the result (the stop-gram valve is a
+    pre-join filter, not a post-hoc one)."""
+    from incubator_flink_old_spark.operators.text import winnow_matches
+    from incubator_flink_old_spark.sources import local_rows
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = local_rows(
+        spark,
+        [
+            (1, "aa bb cc dd " + shared + " ee ff"),
+            (2, "pp qq " + shared + " rr ss tt uu vv"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_matches(df, k=3, w=4, min_shared=1).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    assert winnow_matches(df, k=3, w=4, min_shared=1, max_df=1).count() == 0
