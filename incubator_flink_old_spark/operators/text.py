@@ -2451,6 +2451,60 @@ def winnow_matches(
     )
 
 
+def streaming_winnow_screen(
+    stream: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    max_df: int | None = None,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """The WINNOWED crawl front door — :func:`streaming_neardup_screen`'s
+    deterministic sibling: each arriving document computes its winnowed
+    fingerprints MAP-SIDE (:func:`winnow_fingerprints` is one expression
+    pipeline + explode, no window functions — legal on a stream by
+    construction) and probes the FROZEN corpus fingerprint table through
+    a stream-static equi-join on the hash, emitting the distinct
+    (stream doc, corpus doc, fp) match events. Where the MinHash screen
+    is probabilistic, every ≥ w+k-1-token span shared with the corpus is
+    GUARANTEED to emit at least one event (the winnowing theorem);
+    ``max_df`` drops corpus stop-gram fingerprints from the index before
+    any batch arrives (:func:`winnow_matches`' quadratic-blowup valve).
+
+    Each event depends only on its own two documents' token streams, so
+    streaming ≡ batch whatever the microbatch boundaries. Dedup state is
+    one row per emitted event (stream docs arrive once); key it by
+    ingest time under a watermark for unbounded ingest — the
+    streaming_neardup_screen event_time recipe applies verbatim.
+
+    Returns (doc_a ∈ stream, doc_b ∈ corpus, fp). Scale: at 100 TB the
+    corpus side is a materialized table bucketed by fp; per-batch cost
+    is O(batch fingerprints) probe joins, never a corpus pass."""
+    cfp = winnow_fingerprints(corpus, k=k, w=w, text=text, key=key).select(
+        F.col(key).alias("doc_b"), "fp"
+    )
+    if max_df is not None:
+        keep = (
+            cfp.groupBy("fp")
+            .agg(F.count_distinct("doc_b").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        cfp = cfp.join(keep, on="fp").select("doc_b", "fp").distinct()
+    else:
+        cfp = cfp.select("doc_b", "fp").distinct()
+    sfp = winnow_fingerprints(stream, k=k, w=w, text=text, key=key).select(
+        F.col(key).alias("doc_a"), "fp"
+    )
+    return (
+        sfp.join(cfp, on="fp")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp")
+        .dropDuplicates(["doc_a", "doc_b", "fp"])
+    )
+
+
 def mixture_schedule(
     df: DataFrame,
     weights: dict[str, float],

@@ -742,3 +742,81 @@ def q_winnow_matches(spark, sf_dir):
         min_shared=_WIN_MIN_SHARED,
         max_df=_WIN_MAX_DF,
     )
+
+
+def _stream_winnow_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops28 import _D_MOD, _D_REM
+
+    # Winnowing is per-document, so selecting over the full table and
+    # splitting new/corpus AFTER is value-identical to computing each
+    # side separately — the batch replay needs no stream in sight.
+    return f"""
+    WITH {_winnow_ctes()},
+    dfp AS (
+        SELECT DISTINCT doc_id, doc_id % {_D_MOD} = {_D_REM} AS is_new, h
+        FROM sel),
+    kept AS (
+        SELECT h FROM dfp WHERE NOT is_new GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) <= {_WIN_MAX_DF})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS fp
+    FROM dfp a
+    JOIN dfp b ON a.h = b.h AND a.is_new AND NOT b.is_new
+    JOIN kept k ON a.h = k.h
+    """
+
+
+@register("q_stream_winnow_screen_parity", oracle=_stream_winnow_oracle())
+def q_stream_winnow_screen_parity(spark, sf_dir):
+    """STREAMING WINNOWED SCREEN ⇄ batch parity — the crawl front
+    door's DETERMINISTIC sibling (operators/text.streaming_winnow_screen):
+    new documents arrive as a real 4-file multi-batch stream, each
+    computes its winnowed fingerprints map-side (the selection pipeline
+    is expression-only — legal on a stream by construction, unlike any
+    window-function formulation) and probes the frozen, df-capped
+    corpus fingerprint index through a stream-static equi-join on the
+    hash, emitting distinct (new doc, corpus doc, fp) match events.
+    Where q_stream_neardup_screen_parity's MinHash probe is
+    probabilistic, every ≥ 6-token span shared with the corpus is
+    GUARANTEED at least one event here. Each event depends only on its
+    own two token streams ⇒ streaming ≡ batch for any boundaries; the
+    oracle replays selection, cap and probe in SQL with no stream.
+
+    Scale: corpus side is a materialized fp-bucketed table; per-batch
+    cost O(batch fingerprints); dedup state one row per event (key by
+    ingest time under a watermark for unbounded ingest — the
+    event_time recipe applies verbatim)."""
+    from incubator_flink_old_spark.operators.text import (
+        streaming_winnow_screen,
+    )
+    from incubator_flink_old_spark.queries.llm_ops28 import _D_MOD, _D_REM
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    docs = t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _D_MOD == _D_REM
+    src = tempfile.mkdtemp(prefix="t2_stream_win_")
+    try:
+        (
+            docs.filter(is_new)
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_winnow_screen(
+            stream,
+            docs.filter(~is_new),
+            k=_WIN_K,
+            w=_WIN_W,
+            max_df=_WIN_MAX_DF,
+        )
+        name = f"stream_win_{next(_SEQ)}"
+        run_stream_to_memory(out, name, "append", state_partitions=4)
+        tbl = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return tbl.select("doc_a", "doc_b", "fp")

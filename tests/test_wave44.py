@@ -396,3 +396,56 @@ def test_winnow_matches_guarantee_and_cap(spark):
     pairs = winnow_matches(df, k=3, w=4, min_shared=1).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
     assert winnow_matches(df, k=3, w=4, min_shared=1, max_df=1).count() == 0
+
+
+def test_streaming_winnow_screen_batch_parity(spark, tmp_path):
+    """The streaming winnowed screen must emit exactly the batch
+    equi-join of the two sides' fingerprint sets (df-capped corpus),
+    whatever the microbatch boundaries — every event depends only on
+    its own two token streams."""
+    from incubator_flink_old_spark.operators.text import (
+        streaming_winnow_screen,
+        winnow_fingerprints,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops28 import _D_MOD, _D_REM
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    docs = t(spark, SF, "documents")
+    is_new = F.col("doc_id") % _D_MOD == _D_REM
+    src = str(tmp_path / "win")
+    docs.filter(is_new).select("doc_id", "text").repartition(4).write.parquet(
+        src
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_winnow_screen(
+        stream, docs.filter(~is_new), k=3, w=4, max_df=100
+    )
+    name = f"w44_win_{next(_W44_SEQ)}"
+    run_stream_to_memory(out, name, "append", state_partitions=4)
+    got = {
+        (r.doc_a, r.doc_b, r.fp) for r in spark.table(name).collect()
+    }
+    fps = winnow_fingerprints(docs, k=3, w=4).select("doc_id", "fp").distinct()
+    nfp = fps.filter(is_new)
+    cfp = fps.filter(~is_new)
+    capped = cfp.join(
+        cfp.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 100)
+        .select("fp"),
+        on="fp",
+    )
+    want = {
+        (r.doc_a, r.doc_b, r.fp)
+        for r in nfp.select(F.col("doc_id").alias("doc_a"), "fp")
+        .join(
+            capped.select(F.col("doc_id").alias("doc_b"), "fp"), on="fp"
+        )
+        .collect()
+    }
+    assert got == want and got
