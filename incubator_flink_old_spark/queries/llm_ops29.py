@@ -820,3 +820,240 @@ def q_stream_winnow_screen_parity(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return tbl.select("doc_a", "doc_b", "fp")
+
+
+# --------------------------------------------------------------------------
+# Random-projection ANN tier: data-independent 16-dim sketch, exact-integer
+# --------------------------------------------------------------------------
+
+_RP_DIM = 16
+
+
+def _rp_signs() -> tuple[tuple[float, ...], ...]:
+    """±1 Achlioptas sign matrix derived from md5(j|i) — deterministic,
+    engine-independent, embedded as LITERALS in both the Spark plan and
+    the oracle SQL (the _MQ_QUERIES literal-fixture recipe), so neither
+    engine ever computes a hash at query time."""
+    import hashlib
+
+    from incubator_flink_old_spark.queries.llm_ops11 import _DIM as _D
+
+    def sign(j: int, i: int) -> float:
+        h = hashlib.md5(f"{j}|{i}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) < 8 else -1.0
+
+    return tuple(
+        tuple(sign(j, i) for i in range(_D)) for j in range(_RP_DIM)
+    )
+
+
+_RP_SIGNS = _rp_signs()
+
+
+def _rp_vec(kcol):
+    """RP-{16} sketch of a grid vector: per output dim, the ±1-signed
+    sum of the 64 grid longs, floor-divided by 64 (a POWER OF TWO — the
+    division is float-exact, floor matches on both engines) so every
+    sketch component stays ≤ the grid magnitude and the stage-A squared
+    distances remain exact-integer-valued doubles < 2^53 (the grid
+    recipe's exactness budget; the raw signed sums would overflow it)."""
+    kd = F.transform(kcol, lambda x: x.cast("double"))
+    comps = []
+    for row in _RP_SIGNS:
+        sarr = F.array(*[F.lit(s) for s in row])
+        comps.append(
+            F.floor(
+                F.aggregate(
+                    F.zip_with(kd, sarr, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(64.0)
+            ).cast("double")
+        )
+    return F.array(*comps)
+
+
+def _rp_recall_df(spark, sf_dir, refine_c=None):
+    """Shared body of q_ann_recall_rp; the law test passes
+    refine_c ≥ pool to prove exact-over-cells."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_ivf,
+        grid_sqdist,
+    )
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _ITERS,
+        _N_CELLS,
+        _N_QUERIES,
+        _TOPK,
+        _grid_probes,
+    )
+    from incubator_flink_old_spark.queries.llm_ops18 import _grid_vec
+    from incubator_flink_old_spark.queries.llm_ops26 import _REFINE_C
+
+    refine_c = _REFINE_C if refine_c is None else refine_c
+    emb = t(spark, sf_dir, "embeddings")
+    cells, centers = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
+    eg = emb.select("vec_id", _grid_vec().alias("k"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    probes = _grid_probes(queries, centers)
+    cand = probes.join(cells, on="cell").select("q_id", "vec_id")
+    # stage A: 16-dim RP-sketch scan over the probed pool
+    rp = eg.select("vec_id", _rp_vec(F.col("k")).alias("r"))
+    qr = rp.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("r").alias("qr")
+    )
+    wc = Window.partitionBy("q_id").orderBy("pd", "vec_id")
+    shortlist = (
+        cand.join(rp, on="vec_id")
+        .join(F.broadcast(qr), on="q_id")
+        .select(
+            "q_id", "vec_id", grid_sqdist(F.col("qr"), F.col("r")).alias("pd")
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= refine_c)
+        .select("q_id", "vec_id")
+    )
+    # stage B: full-dim refine + brute-force ground truth (family shape)
+    kd = eg.select(
+        "vec_id", F.transform("k", lambda x: x.cast("double")).alias("kd")
+    )
+    qk = kd.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("kd").alias("qv")
+    )
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    it = (
+        shortlist.join(kd, on="vec_id")
+        .join(F.broadcast(qk), on="q_id")
+        .select(
+            "q_id", "vec_id", grid_sqdist(F.col("qv"), F.col("kd")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(F.col("q_id").alias("iq"), F.col("vec_id").alias("ivec"))
+    )
+    bt = (
+        F.broadcast(qk)
+        .crossJoin(kd.select("vec_id", F.col("kd").alias("cv")))
+        .select(
+            "q_id", "vec_id", grid_sqdist(F.col("qv"), F.col("cv")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    return (
+        bt.join(it, (bt.q_id == it.iq) & (bt.vec_id == it.ivec), "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("ivec").alias("hits"),
+            (F.count("ivec").cast("double") / _TOPK).alias("recall"),
+        )
+    )
+
+
+def _rp_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _N_PROBE,
+        _N_QUERIES,
+        _TOPK,
+        _grid_ivf_ctes,
+        _sql_cos,
+        _sql_sqdist,
+    )
+    from incubator_flink_old_spark.queries.llm_ops26 import _REFINE_C
+
+    ivf_ctes, last_centers = _grid_ivf_ctes()
+    comps = ", ".join(
+        "CAST(FLOOR(list_dot_product(kd, [{lits}]) / 64.0) AS DOUBLE)".format(
+            lits=", ".join(str(s) for s in row)
+        )
+        for row in _RP_SIGNS
+    )
+    return f"""
+    WITH {ivf_ctes},
+    q AS (
+        SELECT vec_id AS q_id, k FROM e WHERE vec_id < {_N_QUERIES}),
+    pr AS (
+        SELECT q_id, cell FROM (
+            SELECT q.q_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_sql_cos('q.k', 'c.cv')} DESC, c.cell
+                   ) AS rn
+            FROM q CROSS JOIN {last_centers} c) t
+        WHERE rn <= {_N_PROBE}),
+    rp AS (
+        SELECT vec_id, [{comps}] AS r
+        FROM (SELECT vec_id,
+                     list_transform(k, x -> CAST(x AS DOUBLE)) AS kd
+              FROM e) s),
+    qr AS (SELECT vec_id AS q_id, r FROM rp WHERE vec_id < {_N_QUERIES}),
+    sh AS (
+        SELECT q_id, vec_id FROM (
+            SELECT p.q_id, a.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY {_sql_sqdist('qr.r', 'ra.r')}, a.vec_id
+                   ) AS rn
+            FROM pr p JOIN af a ON p.cell = a.cell
+            JOIN rp ra ON a.vec_id = ra.vec_id
+            JOIN qr ON qr.q_id = p.q_id) t
+        WHERE rn <= {_REFINE_C}),
+    it AS (
+        SELECT q_id, vec_id FROM (
+            SELECT s.q_id, s.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.q_id
+                       ORDER BY {_sql_sqdist('q.k', 'e2.k')}, s.vec_id
+                   ) AS rn
+            FROM sh s JOIN e e2 ON s.vec_id = e2.vec_id
+            JOIN q ON q.q_id = s.q_id) t
+        WHERE rn <= {_TOPK}),
+    bt AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_sql_sqdist('q.k', 'c.k')}, c.vec_id) AS rn
+            FROM q CROSS JOIN e c) t
+        WHERE rn <= {_TOPK})
+    SELECT b.q_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(i.vec_id) AS DOUBLE) / {_TOPK}.0 AS recall
+    FROM bt b
+    LEFT JOIN it i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+    GROUP BY b.q_id
+    """
+
+
+@register("q_ann_recall_rp", oracle=_rp_oracle())
+def q_ann_recall_rp(spark, sf_dir):
+    """MEASURED recall@5 for IVF + RANDOM-PROJECTION sketch scan +
+    full-dim refine — the DATA-INDEPENDENT compression axis beside the
+    four learned/structural ones (SQ8 values, PQ subspaces, IVF
+    candidates, prefix dimensions): stage A scans a 16-dim ±1-signed
+    Achlioptas sketch of each probed vector (sign matrix derived from
+    md5(j|i) and embedded as literals on BOTH engines — no training, no
+    per-corpus artifact, nothing to maintain under drift by
+    construction), stage B removes the sketch error for the refine_c
+    shortlist with full-dim point reads. Where the prefix tier bets the
+    leading dims carry the signal (true for matryoshka-trained
+    embeddings, false for isotropic ones — priced in PERF.md r08), RP
+    spreads EVERY input dim across the sketch, so its recall is
+    insensitive to how information is laid out across dimensions — the
+    right stage-A tier when the embedding provider made no such
+    promise. Same bytes scanned as prefix-16.
+
+    Exactness: signed sums of grid longs are floor-divided by 64 (a
+    power of two — float-exact) so every sketch component and stage-A
+    squared distance stays an exact-integer-valued double < 2^53; the
+    whole pipeline hash-replays in SQL.
+
+    Laws (tests/test_wave44.py): refine_c ≥ pool ⇒ identical to the
+    exact ranking over the probed cells; the sketch is deterministic
+    across reruns. Measured (PERF.md): recall vs the prefix tier at
+    the same refine budget on the isotropic fixture."""
+    return _rp_recall_df(spark, sf_dir)

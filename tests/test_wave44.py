@@ -398,6 +398,46 @@ def test_winnow_matches_guarantee_and_cap(spark):
     assert winnow_matches(df, k=3, w=4, min_shared=1, max_df=1).count() == 0
 
 
+def test_rp_refine_laws(spark):
+    """Random-projection tier laws: (1) refine_c ≥ pool ⇒ identical
+    recall to the exact full-dim ranking over the probed cells (the
+    sketch can no longer cost anything) — proven by equality with the
+    PREFIX tier at prefix=full dim, whose stage A is already exact;
+    (2) recall is monotone nondecreasing in refine_c; (3) the sketch is
+    deterministic across reruns."""
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops11 import _DIM
+    from incubator_flink_old_spark.queries.llm_ops27 import (
+        _prefix_refine_recall_df,
+    )
+    from incubator_flink_old_spark.queries.llm_ops29 import _rp_recall_df
+
+    n = t(spark, SF, "embeddings").count()
+    unbounded = {
+        r.q_id: r.hits for r in _rp_recall_df(spark, SF, refine_c=n).collect()
+    }
+    exact_over_cells = {
+        r.q_id: r.hits
+        for r in _prefix_refine_recall_df(
+            spark, SF, refine_c=n, prefix=_DIM
+        ).collect()
+    }
+    assert unbounded == exact_over_cells
+    prev = None
+    for c in (5, 20, 80):
+        cur = sum(
+            r.hits for r in _rp_recall_df(spark, SF, refine_c=c).collect()
+        )
+        if prev is not None:
+            assert cur >= prev
+        prev = cur
+    assert prev <= sum(unbounded.values())
+    again = {
+        r.q_id: r.hits for r in _rp_recall_df(spark, SF, refine_c=n).collect()
+    }
+    assert again == unbounded
+
+
 def test_streaming_winnow_screen_batch_parity(spark, tmp_path):
     """The streaming winnowed screen must emit exactly the batch
     equi-join of the two sides' fingerprint sets (df-capped corpus),
