@@ -1548,6 +1548,13 @@ def epoch_shuffle(
     within (epoch, shard)."""
     from pyspark.sql import Window
 
+    if epochs < 1 or n_shards < 1:
+        # epochs=0 would silently emit an empty schedule and n_shards=0
+        # a runtime modulo error mid-job — fail at the API boundary.
+        raise ValueError(
+            f"epoch_shuffle: epochs ({epochs}) and n_shards ({n_shards})"
+            " must be >= 1"
+        )
     ep = df.select(
         F.col(key),
         F.explode(F.array(*[F.lit(e) for e in range(epochs)])).alias("epoch"),
@@ -2336,6 +2343,7 @@ def winnow_fingerprints(
     w: int = 4,
     text: str = "text",
     key: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """ROBUST WINNOWING (the MOSS fingerprint-selection scheme):
     per document, hash every k-token shingle (portable 60-bit md5, the
@@ -2361,8 +2369,17 @@ def winnow_fingerprints(
     (typically the equi-join on hash).
 
     Returns (key, pos, fp) — ``pos`` is the 1-based shingle position of
-    the selected hash."""
-    d = df.select(F.col(key), tokens(text).alias("__tk")).filter(
+    the selected hash. ``carry`` names extra input columns passed
+    through unchanged (e.g. an event-time column for the watermarked
+    streaming screen)."""
+    if k < 1 or w < 1:
+        # k=0 would shingle empty strings and w=0 an empty window fold
+        # stuck at the sentinel accumulator (silent pos=-1 rows).
+        raise ValueError(
+            f"winnow_fingerprints: k ({k}) and w ({w}) must be >= 1"
+        )
+    cy = [F.col(c) for c in carry]
+    d = df.select(F.col(key), *cy, tokens(text).alias("__tk")).filter(
         F.size("__tk") >= k
     )
     n = F.size("__tk") - (k - 1)
@@ -2373,7 +2390,7 @@ def winnow_fingerprints(
             _hash60(F.concat_ws(" ", F.slice("__tk", p, k))).alias("h"),
         ),
     )
-    d = d.select(key, hashes.alias("__hs"))
+    d = d.select(key, *cy, hashes.alias("__hs"))
     nw = F.greatest(F.size("__hs") - (w - 1), F.lit(1))
     sel = F.transform(
         F.sequence(F.lit(1), nw),
@@ -2390,9 +2407,10 @@ def winnow_fingerprints(
         ),
     )
     return (
-        d.select(key, F.explode(F.array_distinct(sel)).alias("__f"))
+        d.select(key, *cy, F.explode(F.array_distinct(sel)).alias("__f"))
         .select(
             key,
+            *cy,
             F.col("__f.pos").alias("pos"),
             F.col("__f.h").alias("fp"),
         )
@@ -2459,6 +2477,8 @@ def streaming_winnow_screen(
     max_df: int | None = None,
     text: str = "text",
     key: str = "doc_id",
+    event_time: str | None = None,
+    watermark_delay: str = "10 seconds",
 ) -> DataFrame:
     """The WINNOWED crawl front door — :func:`streaming_neardup_screen`'s
     deterministic sibling: each arriving document computes its winnowed
@@ -2474,13 +2494,22 @@ def streaming_winnow_screen(
 
     Each event depends only on its own two documents' token streams, so
     streaming ≡ batch whatever the microbatch boundaries. Dedup state is
-    one row per emitted event (stream docs arrive once); key it by
-    ingest time under a watermark for unbounded ingest — the
-    streaming_neardup_screen event_time recipe applies verbatim.
+    one row per emitted event (stream docs arrive once); for unbounded
+    ingest pass ``event_time`` (a timestamp column on the stream) and
+    the dedup runs as dropDuplicatesWithinWatermark under
+    ``watermark_delay`` — the :func:`streaming_neardup_screen` recipe:
+    result-identical under in-event-time-order replay (an event's
+    duplicates all derive from one arrival row), state evicted once the
+    watermark passes.
 
     Returns (doc_a ∈ stream, doc_b ∈ corpus, fp). Scale: at 100 TB the
     corpus side is a materialized table bucketed by fp; per-batch cost
     is O(batch fingerprints) probe joins, never a corpus pass."""
+    if event_time is not None and event_time not in stream.columns:
+        raise ValueError(
+            f"streaming_winnow_screen: event_time column {event_time!r}"
+            f" not in stream schema {stream.columns}"
+        )
     cfp = winnow_fingerprints(corpus, k=k, w=w, text=text, key=key).select(
         F.col(key).alias("doc_b"), "fp"
     )
@@ -2494,14 +2523,21 @@ def streaming_winnow_screen(
         cfp = cfp.join(keep, on="fp").select("doc_b", "fp").distinct()
     else:
         cfp = cfp.select("doc_b", "fp").distinct()
-    sfp = winnow_fingerprints(stream, k=k, w=w, text=text, key=key).select(
-        F.col(key).alias("doc_a"), "fp"
-    )
-    return (
+    carry = (event_time,) if event_time is not None else ()
+    sfp = winnow_fingerprints(
+        stream, k=k, w=w, text=text, key=key, carry=carry
+    ).select(F.col(key).alias("doc_a"), *carry, "fp")
+    matched = (
         sfp.join(cfp, on="fp")
         .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp")
-        .dropDuplicates(["doc_a", "doc_b", "fp"])
+        .select("doc_a", *carry, "doc_b", "fp")
+    )
+    if event_time is None:
+        return matched.dropDuplicates(["doc_a", "doc_b", "fp"])
+    return (
+        matched.withWatermark(event_time, watermark_delay)
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b", "fp"])
+        .drop(event_time)
     )
 
 

@@ -398,6 +398,92 @@ def test_winnow_matches_guarantee_and_cap(spark):
     assert winnow_matches(df, k=3, w=4, min_shared=1, max_df=1).count() == 0
 
 
+def test_new_operator_guards(spark):
+    """Fail-loudly boundaries for the wave-44 operators: degenerate
+    knobs raise at the API, never silently emit empty/sentinel rows."""
+    from incubator_flink_old_spark.operators.text import (
+        epoch_shuffle,
+        streaming_winnow_screen,
+        winnow_fingerprints,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents")
+    with pytest.raises(ValueError, match="epochs"):
+        epoch_shuffle(docs, epochs=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(docs, n_shards=0)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        winnow_fingerprints(docs, w=0)
+    with pytest.raises(ValueError, match="event_time column"):
+        streaming_winnow_screen(docs, docs, event_time="ingest_ts")
+
+
+def test_streaming_winnow_watermark_parity(spark, tmp_path):
+    """The watermarked winnow screen (event_time recipe carried over
+    from the neardup screen) emits exactly the unwatermarked screen's
+    events under in-event-time-order replay, with eviction bounding the
+    final dedup state below the emitted-event count."""
+    import time
+
+    from incubator_flink_old_spark.operators.text import (
+        streaming_winnow_screen,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops28 import _D_MOD, _D_REM
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    docs = t(spark, SF, "documents")
+    is_new = F.col("doc_id") % _D_MOD == _D_REM
+    results = {}
+    for label, et in (("wm", "ts"), ("plain", None)):
+        src = str(tmp_path / label)
+        quartiled = (
+            docs.filter(is_new)
+            .select(
+                "doc_id",
+                "text",
+                F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias(
+                    "ts"
+                ),
+            )
+            .withColumn("__b", F.ntile(4).over(Window.orderBy("doc_id")))
+        )
+        for g in range(1, 5):
+            (
+                quartiled.filter(F.col("__b") == g)
+                .drop("__b")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            time.sleep(0.15)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_winnow_screen(
+            stream,
+            docs.filter(~is_new),
+            k=3,
+            w=4,
+            max_df=100,
+            event_time=et,
+            watermark_delay="30 seconds",
+        )
+        if et is None:
+            out = out.drop("ts")
+        name = f"w44_winwm_{next(_W44_SEQ)}"
+        q = run_stream_to_memory(out, name, "append", state_partitions=4)
+        results[label] = (
+            {(r.doc_a, r.doc_b, r.fp) for r in spark.table(name).collect()},
+            q.lastProgress["stateOperators"][0]["numRowsTotal"],
+        )
+    assert results["wm"][0] == results["plain"][0] and results["wm"][0]
+    assert results["wm"][1] < len(results["wm"][0])
+
+
 def test_rp_refine_laws(spark):
     """Random-projection tier laws: (1) refine_c ≥ pool ⇒ identical
     recall to the exact full-dim ranking over the probed cells (the
