@@ -263,7 +263,12 @@ def join_hotkey_audit(
 
     Scale: one combinable groupBy per side (map-side partials, shuffle =
     distinct keys, never the rows), one equi-join of the two count
-    digests. Returns (key, cnt_left, cnt_right, est_rows, hot).
+    digests. Returns (key, cnt_left, cnt_right, est_rows, hot) —
+    ``est_rows`` is DECIMAL(38,0): a celebrity key with >~3e9 rows per
+    side puts count² past 2^63, and under non-ANSI SQL a BIGINT product
+    would silently wrap NEGATIVE, reporting the one key most likely to
+    OOM the join as not hot (review finding); the decimal product is
+    exact to 10^38 on both engines.
     """
     right_key = right_key or left_key
     lc = left.groupBy(F.col(left_key).alias("key")).agg(
@@ -274,6 +279,14 @@ def join_hotkey_audit(
     )
     return (
         lc.join(rc, on="key")
-        .withColumn("est_rows", F.col("cnt_left") * F.col("cnt_right"))
-        .withColumn("hot", F.col("est_rows") >= F.lit(threshold))
+        .withColumn(
+            "est_rows",
+            (
+                F.col("cnt_left").cast("decimal(19,0)")
+                * F.col("cnt_right").cast("decimal(19,0)")
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "hot", F.col("est_rows") >= F.lit(threshold).cast("decimal(38,0)")
+        )
     )

@@ -2344,6 +2344,7 @@ def winnow_fingerprints(
     text: str = "text",
     key: str = "doc_id",
     carry: tuple[str, ...] = (),
+    hashes_only: bool = False,
 ) -> DataFrame:
     """ROBUST WINNOWING (the MOSS fingerprint-selection scheme):
     per document, hash every k-token shingle (portable 60-bit md5, the
@@ -2371,7 +2372,13 @@ def winnow_fingerprints(
     Returns (key, pos, fp) — ``pos`` is the 1-based shingle position of
     the selected hash. ``carry`` names extra input columns passed
     through unchanged (e.g. an event-time column for the watermarked
-    streaming screen)."""
+    streaming screen). ``hashes_only=True`` drops positions and dedups
+    hashes PER DOCUMENT inside the same map (array_distinct over the
+    selected hashes, before the explode) — the form the pair-join
+    consumers want: the same hash selected at m positions in one doc
+    would otherwise multiply pair-join rows m× before any distinct
+    collapses them (review finding), and doing the dedup map-side keeps
+    the streaming path state-free. Returns (key[, carry...], fp)."""
     if k < 1 or w < 1:
         # k=0 would shingle empty strings and w=0 an empty window fold
         # stuck at the sentinel accumulator (silent pos=-1 rows).
@@ -2406,6 +2413,9 @@ def winnow_fingerprints(
             .otherwise(acc),
         ),
     )
+    if hashes_only:
+        hs = F.array_distinct(F.transform(sel, lambda x: x.getField("h")))
+        return d.select(key, *cy, F.explode(hs).alias("fp"))
     return (
         d.select(key, *cy, F.explode(F.array_distinct(sel)).alias("__f"))
         .select(
@@ -2447,8 +2457,8 @@ def winnow_matches(
     Scale: doc-frequency filter = one combinable groupBy over the
     winnowed set; the pair join is an equi-join on fingerprint hash over
     the capped set. Returns (doc_a, doc_b, shared_fps)."""
-    fps = winnow_fingerprints(df, k=k, w=w, text=text, key=key).select(
-        F.col(key), "fp"
+    fps = winnow_fingerprints(
+        df, k=k, w=w, text=text, key=key, hashes_only=True
     )
     if max_df is not None:
         keep = (
@@ -2510,9 +2520,9 @@ def streaming_winnow_screen(
             f"streaming_winnow_screen: event_time column {event_time!r}"
             f" not in stream schema {stream.columns}"
         )
-    cfp = winnow_fingerprints(corpus, k=k, w=w, text=text, key=key).select(
-        F.col(key).alias("doc_b"), "fp"
-    )
+    cfp = winnow_fingerprints(
+        corpus, k=k, w=w, text=text, key=key, hashes_only=True
+    ).select(F.col(key).alias("doc_b"), "fp")
     if max_df is not None:
         keep = (
             cfp.groupBy("fp")
@@ -2520,12 +2530,10 @@ def streaming_winnow_screen(
             .filter(F.col("__df") <= max_df)
             .select("fp")
         )
-        cfp = cfp.join(keep, on="fp").select("doc_b", "fp").distinct()
-    else:
-        cfp = cfp.select("doc_b", "fp").distinct()
+        cfp = cfp.join(keep, on="fp").select("doc_b", "fp")
     carry = (event_time,) if event_time is not None else ()
     sfp = winnow_fingerprints(
-        stream, k=k, w=w, text=text, key=key, carry=carry
+        stream, k=k, w=w, text=text, key=key, carry=carry, hashes_only=True
     ).select(F.col(key).alias("doc_a"), *carry, "fp")
     matched = (
         sfp.join(cfp, on="fp")
@@ -2568,17 +2576,33 @@ def mixture_schedule(
     tie-break.
 
     Scale: one per-source hash-rank window (partitioned by source) and
-    ONE global sort — a range exchange over digest-sized (vt, source,
-    key) triples, the q_sink_global_sort posture; the schedule is
-    usually written sharded by vt range, which is exactly what the
-    range exchange already produced.
+    one DISTRIBUTED global numbering over (vt, source, key) — the
+    global_row_number two-pass (range partition + per-partition
+    numbering + broadcast offsets), so no single-task global window
+    anywhere in the plan; the range exchange's output is already the
+    vt-sharded layout a dataloader reads.
 
     Returns (key, source, src_rank, sched_pos)."""
     from pyspark.sql import Window
 
+    from incubator_flink_old_spark.operators.aggregates import (
+        global_row_number,
+    )
+
     w_rows = sorted(weights.items())
     if not w_rows:
         raise ValueError("mixture_schedule: weights is empty")
+    bad = [s for s, wt in w_rows if not wt > 0]
+    if bad:
+        # Under non-ANSI SQL a zero weight makes vt = r/0.0 = NULL and
+        # NULLS-FIRST ordering would silently schedule that source's
+        # ENTIRE corpus before every weighted source — the opposite of
+        # exclusion (review finding). Exclusion is spelled by omitting
+        # the source from ``weights``; anything else is a caller bug.
+        raise ValueError(
+            f"mixture_schedule: weights must be > 0, got {bad};"
+            " omit a source from weights to exclude it"
+        )
     wdf = F.broadcast(
         df.sparkSession.createDataFrame(
             [(s, float(w)) for s, w in w_rows], f"{source} string, __wt double"
@@ -2601,16 +2625,10 @@ def mixture_schedule(
             .cast("long"),
         )
     )
-    vt = F.col("src_rank") / F.col("__wt")
-    return ranked.select(
-        key,
-        source,
-        "src_rank",
-        F.row_number()
-        .over(Window.orderBy(vt, source, key))
-        .cast("long")
-        .alias("sched_pos"),
-    )
+    staged = ranked.withColumn("__vt", F.col("src_rank") / F.col("__wt"))
+    return global_row_number(
+        staged, [F.col("__vt"), F.col(source), F.col(key)], alias="sched_pos"
+    ).select(key, source, "src_rank", F.col("sched_pos").cast("long"))
 
 
 def negative_samples(

@@ -69,40 +69,20 @@ def _dense_mrr(spark, sf_dir, n_probe: int = _N_PROBE, mask_mod=_DENSE_MASK_MOD)
     from incubator_flink_old_spark.operators.similarity import (
         as_double_array,
         cosine,
-        cosine_safe,
         grid_ivf,
     )
+    from incubator_flink_old_spark.queries.llm_ops11 import _grid_probes
 
     emb = t(spark, sf_dir, "embeddings")
     cells, centers = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
     queries = _masked_queries(emb, mask_mod)
-    qg = queries.select(
-        "q_id",
-        "qv",
-        F.transform(
-            "qv", lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long")
-        ).alias("qk"),
-    )
-    probes = (
-        F.broadcast(qg)
-        .crossJoin(F.broadcast(centers))
-        .select(
-            "q_id",
-            "qv",
-            "cell",
-            cosine_safe(as_double_array("qk"), as_double_array("cv")).alias(
-                "__sim"
-            ),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), "cell")
-            ),
-        )
-        .filter(F.col("rn") <= n_probe)
-        .select("q_id", "qv", "cell")
-    )
+    # the house probe recipe verbatim (_grid_probes quantizes and ranks
+    # the "embedding" column) — the masked qv IS this row's embedding
+    probes = _grid_probes(
+        queries.select("q_id", F.col("qv").alias("embedding")),
+        centers,
+        n_probe=n_probe,
+    ).join(queries, on="q_id")
     cvec = emb.select("vec_id", as_double_array("embedding").alias("v"))
     ranked = (
         probes.join(cells, on="cell")
@@ -257,7 +237,6 @@ def q_stream_neardup_watermark_parity(spark, sf_dir):
     corpus side stays the materialized (band, bucket)-bucketed table,
     per-batch cost stays O(batch candidates), and the one previously
     unbounded state store is now horizon-bounded."""
-    import time
     from incubator_flink_old_spark.operators.text import (
         streaming_neardup_screen,
     )
@@ -282,23 +261,14 @@ def q_stream_neardup_watermark_parity(spark, sf_dir):
                 "ts"
             ),
         )
-        # Sequential per-quartile writes: the file source replays files
-        # oldest-modtime-first, so batches arrive in event-time order
-        # (see docstring — out-of-order replay = legitimate late drops).
-        # The sleep keeps modtimes strictly increasing on coarse
-        # filesystem clocks; fixture-prep cost, not operator cost.
-        quartiled = new_docs.withColumn(
-            "__b", F.ntile(4).over(Window.orderBy("doc_id"))
+        # In-event-time-order replay (see docstring — out-of-order
+        # replay = legitimate late drops); the shared fixture helper
+        # owns the sequential-write/modtime invariant.
+        from incubator_flink_old_spark.streaming import (
+            write_event_time_replay,
         )
-        for g in range(1, 5):
-            (
-                quartiled.filter(F.col("__b") == g)
-                .drop("__b")
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
-            time.sleep(0.15)
+
+        write_event_time_replay(new_docs, src, n_files=4)
         stream = (
             spark.readStream.schema("doc_id long, text string, ts timestamp")
             .option("maxFilesPerTrigger", "1")
@@ -533,7 +503,8 @@ _HOTKEY_THRESHOLD = 5000
         SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM events GROUP BY user_id)
     SELECT key, cnt AS cnt_left, cnt AS cnt_right,
-           cnt * cnt AS est_rows,
+           CAST(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))
+                AS DECIMAL(38,0)) AS est_rows,
            cnt * cnt >= {_HOTKEY_THRESHOLD} AS hot
     FROM c
     """,

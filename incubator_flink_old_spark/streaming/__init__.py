@@ -734,3 +734,38 @@ def stateful_latest(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def write_event_time_replay(
+    df,
+    path: str,
+    n_files: int = 4,
+    order_by: str = "doc_id",
+    pause: float = 0.15,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files split by ``order_by``
+    ntile, SEQUENTIALLY, so a maxFilesPerTrigger=1 file stream replays
+    them in that order (the file source replays oldest-modtime-first) —
+    the in-event-time-order regime a watermark models: a crawl's ingest
+    time is its arrival order. Shared by the watermark-parity rows,
+    their tests and the state probe (one copy of the load-bearing
+    invariant, per review); the ``pause`` keeps modtimes strictly
+    increasing on coarse filesystem clocks. Fixture-prep helper — the
+    cost is test scaffolding, never operator cost."""
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tiled = df.withColumn(
+        "__b", F.ntile(n_files).over(Window.orderBy(order_by))
+    )
+    for g in range(1, n_files + 1):
+        (
+            tiled.filter(F.col("__b") == g)
+            .drop("__b")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+        time.sleep(pause)

@@ -94,14 +94,15 @@ def test_dense_mrr_plan_has_no_cartesian(spark):
 def _neardup_stream_run(spark, tmpdir, event_time, in_order=True):
     """Drive streaming_neardup_screen over a 4-batch file replay of the
     sf0.001 'new' slice; returns (emitted rows, stopped query handle)."""
-    import time
-
     from incubator_flink_old_spark.operators.text import (
         streaming_neardup_screen,
     )
     from incubator_flink_old_spark.queries._util import t
     from incubator_flink_old_spark.queries.llm_ops28 import _D_MOD, _D_REM
-    from incubator_flink_old_spark.streaming import run_stream_to_memory
+    from incubator_flink_old_spark.streaming import (
+        run_stream_to_memory,
+        write_event_time_replay,
+    )
 
     docs = t(spark, SF, "documents")
     is_new = F.col("doc_id") % _D_MOD == _D_REM
@@ -110,18 +111,7 @@ def _neardup_stream_run(spark, tmpdir, event_time, in_order=True):
         "text",
         F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
     )
-    quartiled = new_docs.withColumn(
-        "__b", F.ntile(4).over(Window.orderBy("doc_id"))
-    )
-    for g in range(1, 5):
-        (
-            quartiled.filter(F.col("__b") == g)
-            .drop("__b")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(tmpdir)
-        )
-        time.sleep(0.15)
+    write_event_time_replay(new_docs, tmpdir, n_files=4)
     stream = (
         spark.readStream.schema("doc_id long, text string, ts timestamp")
         .option("maxFilesPerTrigger", "1")
@@ -424,40 +414,32 @@ def test_streaming_winnow_watermark_parity(spark, tmp_path):
     from the neardup screen) emits exactly the unwatermarked screen's
     events under in-event-time-order replay, with eviction bounding the
     final dedup state below the emitted-event count."""
-    import time
-
     from incubator_flink_old_spark.operators.text import (
         streaming_winnow_screen,
     )
     from incubator_flink_old_spark.queries._util import t
     from incubator_flink_old_spark.queries.llm_ops28 import _D_MOD, _D_REM
-    from incubator_flink_old_spark.streaming import run_stream_to_memory
+    from incubator_flink_old_spark.streaming import (
+        run_stream_to_memory,
+        write_event_time_replay,
+    )
 
     docs = t(spark, SF, "documents")
     is_new = F.col("doc_id") % _D_MOD == _D_REM
     results = {}
     for label, et in (("wm", "ts"), ("plain", None)):
         src = str(tmp_path / label)
-        quartiled = (
-            docs.filter(is_new)
-            .select(
+        write_event_time_replay(
+            docs.filter(is_new).select(
                 "doc_id",
                 "text",
-                F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias(
-                    "ts"
-                ),
-            )
-            .withColumn("__b", F.ntile(4).over(Window.orderBy("doc_id")))
+                F.timestamp_seconds(
+                    F.lit(1704067200) + F.col("doc_id")
+                ).alias("ts"),
+            ),
+            src,
+            n_files=4,
         )
-        for g in range(1, 5):
-            (
-                quartiled.filter(F.col("__b") == g)
-                .drop("__b")
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
-            time.sleep(0.15)
         stream = (
             spark.readStream.schema("doc_id long, text string, ts timestamp")
             .option("maxFilesPerTrigger", "1")

@@ -22,7 +22,6 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
 
 def run(event_time):
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from incubator_flink_old_spark.operators.text import (
@@ -44,18 +43,11 @@ def run(event_time):
                 "ts"
             ),
         )
-        quartiled = new_docs.withColumn(
-            "__b", F.ntile(4).over(Window.orderBy("doc_id"))
+        from incubator_flink_old_spark.streaming import (
+            write_event_time_replay,
         )
-        for g in range(1, 5):
-            (
-                quartiled.filter(F.col("__b") == g)
-                .drop("__b")
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
-            time.sleep(0.15)
+
+        write_event_time_replay(new_docs, src, n_files=4)
         stream = (
             spark.readStream.schema("doc_id long, text string, ts timestamp")
             .option("maxFilesPerTrigger", "1")
