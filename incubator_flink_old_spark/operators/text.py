@@ -2460,13 +2460,70 @@ def winnow_matches(
     fps = winnow_fingerprints(
         df, k=k, w=w, text=text, key=key, hashes_only=True
     )
+    stats = winnow_index_stats(fps, key=key) if max_df is not None else None
+    return winnow_matches_from_index(
+        fps, stats, min_shared=min_shared, max_df=max_df, key=key
+    )
+
+
+def winnow_index_stats(fps: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Per-fingerprint DOCUMENT FREQUENCY over a winnowed fingerprint
+    set (the ``hashes_only`` (key, fp) form) — the maintained statistic
+    behind :func:`winnow_matches`' stop-gram cap, factored out so the
+    index can be MAINTAINED incrementally: df is a plain count over
+    per-doc-distinct rows, i.e. an integer-sum monoid across disjoint
+    document sets (:func:`merge_winnow_stats`). Returns (fp, df).
+
+    Scale: one combinable groupBy over the winnowed ~2/(w+1) of
+    shingles — map-side partial counts, digest-sized result relative to
+    the fingerprint table."""
+    return fps.groupBy("fp").agg(F.count_distinct(key).alias("df"))
+
+
+def merge_winnow_stats(*stats: DataFrame) -> DataFrame:
+    """Merge per-source winnow df statistics over DISJOINT document
+    sets by integer SUM — exact: each (key, fp) row is per-doc distinct
+    (the hashes_only contract) and no document appears in two sources,
+    so per-source dfs add to exactly the union corpus's df (the
+    :func:`~incubator_flink_old_spark.operators.retrieval.
+    merge_bm25_stats` mergeability, applied to the span-dedup index).
+    Absorbing a delta batch is therefore a pure map over the DELTA
+    (fingerprint selection never crosses documents) plus this
+    digest-sized merge — the existing corpus is never re-shingled.
+
+    Raises on zero inputs (a silent empty index would make every
+    downstream cap drop nothing)."""
+    if not stats:
+        raise ValueError("merge_winnow_stats: no stats frames given")
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("fp").agg(F.sum("df").alias("df"))
+
+
+def winnow_matches_from_index(
+    fps: DataFrame,
+    stats: DataFrame | None,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Cross-document span matches over a MAINTAINED winnowed index:
+    ``fps`` is the (key, fp) fingerprint table (hashes_only form,
+    possibly base ∪ map-side-encoded delta) and ``stats`` the (fp, df)
+    statistics (possibly :func:`merge_winnow_stats`-merged). Identical
+    cap/join/threshold algebra to :func:`winnow_matches` — which now
+    delegates here — so incremental and from-scratch paths cannot
+    drift. Returns (doc_a, doc_b, shared_fps)."""
     if max_df is not None:
-        keep = (
-            fps.groupBy("fp")
-            .agg(F.count_distinct(key).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("fp")
-        )
+        if stats is None:
+            # A cap with no stats would silently skip the stop-gram
+            # filter and let one ubiquitous phrase blow up the pair
+            # join quadratically — the failure the cap exists to stop.
+            raise ValueError(
+                "winnow_matches_from_index: max_df set but stats is None"
+            )
+        keep = stats.filter(F.col("df") <= max_df).select("fp")
         fps = fps.join(keep, on="fp")
     a = fps.select(F.col(key).alias("doc_a"), "fp")
     b = fps.select(F.col(key).alias("doc_b"), "fp")

@@ -793,6 +793,59 @@ def q_stream_winnow_screen_parity(spark, sf_dir):
     return tbl.select("doc_a", "doc_b", "fp")
 
 
+_WIN_DELTA_MOD = 5
+_WIN_DELTA_REM = 4
+
+
+@register("q_winnow_incremental", oracle=_winnow_matches_oracle())
+def q_winnow_incremental(spark, sf_dir):
+    """Incremental SPAN-DEDUP index maintenance — the winnow tier's
+    entry in the maintenance matrix (IVF/BM25/SQ8/PQ/prefix already
+    have theirs): a 20% delta batch of new documents (doc_id % 5 == 4)
+    is absorbed by computing its winnowed fingerprints MAP-SIDE
+    (selection never crosses documents — the existing corpus is never
+    re-shingled) and MERGING the per-fingerprint document-frequency
+    statistics by integer SUM (operators/text.winnow_index_stats /
+    merge_winnow_stats — the merge_bm25_stats mergeability applied to
+    the stop-gram cap). The union index is then served through the
+    SHARED cap/join algebra (winnow_matches_from_index, which
+    winnow_matches itself delegates to), so the incremental match set
+    is BIT-IDENTICAL to a full recompute — exactly what the oracle
+    checks: it winnows and caps the whole corpus directly, no merge in
+    sight (the q_bm25_incremental oracle discipline).
+
+    Scale: absorbing crawl deltas into a corpus-wide span-dedup index
+    is O(delta) shingling + a digest-sized (fp, df) merge; the df cap
+    stays exact under any split because df is a sum over per-doc
+    distinct rows of disjoint sources. Laws (tests/test_wave44.py):
+    merged stats ≡ union-recomputed stats; merged-index matches ≡
+    winnow_matches over the union; cap-without-stats raises."""
+    from incubator_flink_old_spark.operators.text import (
+        merge_winnow_stats,
+        winnow_fingerprints,
+        winnow_index_stats,
+        winnow_matches_from_index,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % _WIN_DELTA_MOD == _WIN_DELTA_REM
+    base_fps = winnow_fingerprints(
+        docs.filter(~is_delta), k=_WIN_K, w=_WIN_W, hashes_only=True
+    )
+    delta_fps = winnow_fingerprints(
+        docs.filter(is_delta), k=_WIN_K, w=_WIN_W, hashes_only=True
+    )
+    merged = merge_winnow_stats(
+        winnow_index_stats(base_fps), winnow_index_stats(delta_fps)
+    )
+    return winnow_matches_from_index(
+        base_fps.unionByName(delta_fps),
+        merged,
+        min_shared=_WIN_MIN_SHARED,
+        max_df=_WIN_MAX_DF,
+    )
+
+
 # --------------------------------------------------------------------------
 # Random-projection ANN tier: data-independent 16-dim sketch, exact-integer
 # --------------------------------------------------------------------------

@@ -557,3 +557,65 @@ def test_streaming_winnow_screen_batch_parity(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_winnow_incremental_merge_equals_recompute(spark):
+    """The winnow maintenance laws: (a) merge_winnow_stats over a
+    disjoint base/delta split reproduces the union-recomputed (fp, df)
+    stats exactly (integer-sum mergeability), and (b) the merged-index
+    match set through winnow_matches_from_index is bit-identical to
+    winnow_matches over the union corpus — the delta was absorbed
+    without re-shingling the base."""
+    from incubator_flink_old_spark.operators.text import (
+        merge_winnow_stats,
+        winnow_fingerprints,
+        winnow_index_stats,
+        winnow_matches,
+        winnow_matches_from_index,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents").limit(300)
+    is_delta = F.col("doc_id") % 5 == 4
+    fps_b = winnow_fingerprints(
+        docs.filter(~is_delta), k=3, w=4, hashes_only=True
+    )
+    fps_d = winnow_fingerprints(
+        docs.filter(is_delta), k=3, w=4, hashes_only=True
+    )
+    fps_all = winnow_fingerprints(docs, k=3, w=4, hashes_only=True)
+
+    merged = merge_winnow_stats(
+        winnow_index_stats(fps_b), winnow_index_stats(fps_d)
+    )
+    full = winnow_index_stats(fps_all)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    inc = winnow_matches_from_index(
+        fps_b.unionByName(fps_d), merged, min_shared=1, max_df=50
+    )
+    ref = winnow_matches(docs, k=3, w=4, min_shared=1, max_df=50)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
+def test_winnow_from_index_cap_requires_stats(spark):
+    """A df cap with no stats frame must raise, not silently skip the
+    stop-gram filter (the quadratic-blowup valve would be off)."""
+    from incubator_flink_old_spark.operators.text import (
+        merge_winnow_stats,
+        winnow_fingerprints,
+        winnow_matches_from_index,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    fps = winnow_fingerprints(
+        t(spark, SF, "documents").limit(20), k=3, w=4, hashes_only=True
+    )
+    with pytest.raises(ValueError, match="stats is None"):
+        winnow_matches_from_index(fps, None, max_df=10)
+    with pytest.raises(ValueError, match="no stats frames"):
+        merge_winnow_stats()
