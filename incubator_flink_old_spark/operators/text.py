@@ -2536,6 +2536,39 @@ def winnow_matches_from_index(
     )
 
 
+def streaming_winnow_stats(
+    stream: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Winnow-index df statistics maintained LIVE over a document
+    stream — the span-dedup tier's streaming absorption (the
+    :func:`~incubator_flink_old_spark.operators.retrieval.
+    streaming_bm25_stats` recipe applied to the stop-gram cap): each
+    arriving document contributes its winnowed fingerprints MAP-SIDE
+    (:func:`winnow_fingerprints` is expression-only — legal on a
+    stream by construction) in the per-doc-distinct ``hashes_only``
+    form, and one streaming groupBy SUMS the per-fp counts. A document
+    arrives exactly once (file-replay / ingest contract), so the
+    per-fp count is an integer-sum monoid over disjoint arrivals and
+    the aggregate's state is EXACTLY :func:`winnow_index_stats` over
+    all streamed documents whatever the microbatch boundaries.
+
+    Run in "complete" output mode: the sink always holds the current
+    (fp, df) table. Unlike BM25's one-row scalars, the state here IS
+    the maintained index statistic — O(distinct fps) rows,
+    hash-partitioned by fp, exactly the table the serve-side cap
+    (:func:`winnow_matches_from_index`) broadcasts or joins. Per-batch
+    cost: a map over the batch's documents plus a combinable partial
+    sum — crawl-ingest throughput, never a corpus pass."""
+    fps = winnow_fingerprints(
+        stream, k=k, w=w, text=text, key=key, hashes_only=True
+    )
+    return fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+
+
 def streaming_winnow_screen(
     stream: DataFrame,
     corpus: DataFrame,

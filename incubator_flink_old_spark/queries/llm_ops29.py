@@ -846,6 +846,62 @@ def q_winnow_incremental(spark, sf_dir):
     )
 
 
+@register("q_stream_winnow_stats_parity", oracle=_winnow_matches_oracle())
+def q_stream_winnow_stats_parity(spark, sf_dir):
+    """STREAMING winnow-index statistics ⇄ batch parity — the span-dedup
+    tier's streaming absorption, closing BOTH maintenance axes for the
+    winnow index in one round (batch absorb: q_winnow_incremental;
+    streaming here — the matrix posture IVF/BM25/SQ8/PQ/prefix already
+    hold): documents arrive as a REAL 4-file multi-batch stream and the
+    per-fingerprint document frequencies are maintained continuously by
+    operators/text.streaming_winnow_stats — map-side winnowed selection
+    per arriving doc, one streaming groupBy-SUM per fp, state = the
+    (fp, df) table itself. Counts are an integer-sum monoid over
+    once-only arrivals, so the landed stats are bit-identical to
+    winnow_index_stats over the whole corpus for any batch boundaries
+    (law-pinned in tests/test_wave44.py); the row then injects the
+    LIVE stats into the shipped serve (winnow_matches_from_index's
+    stop-gram cap) and reports the corpus span matches — hash-checked
+    against a plain full recompute, no stream in sight (the
+    q_stream_bm25_stats_parity discipline: the cap statistics were
+    never computed batch-side at all).
+
+    Scale: the live span-dedup index costs a map over each batch's
+    documents plus a combinable per-fp partial sum; state is the df
+    table the serve needs anyway, hash-partitioned by fp."""
+    from incubator_flink_old_spark.operators.text import (
+        streaming_winnow_stats,
+        winnow_fingerprints,
+        winnow_matches_from_index,
+    )
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    docs = t(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="t2_stream_winstats_")
+    try:
+        (
+            docs.select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_winnow_stats(stream, k=_WIN_K, w=_WIN_W)
+        name = f"stream_winstats_{next(_SEQ)}"
+        run_stream_to_memory(out, name, "complete", state_partitions=4)
+        live_stats = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    fps = winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W, hashes_only=True)
+    return winnow_matches_from_index(
+        fps, live_stats, min_shared=_WIN_MIN_SHARED, max_df=_WIN_MAX_DF
+    )
+
+
 # --------------------------------------------------------------------------
 # Random-projection ANN tier: data-independent 16-dim sketch, exact-integer
 # --------------------------------------------------------------------------

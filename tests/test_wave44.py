@@ -619,3 +619,37 @@ def test_winnow_from_index_cap_requires_stats(spark):
         winnow_matches_from_index(fps, None, max_df=10)
     with pytest.raises(ValueError, match="no stats frames"):
         merge_winnow_stats()
+
+
+def test_streaming_winnow_stats_boundary_invariance(spark, tmp_path):
+    """The streamed (fp, df) state after a 3-batch replay must equal
+    winnow_index_stats over the whole corpus — per-fp counts are an
+    integer-sum monoid over once-only arrivals, so batch boundaries
+    cannot show (the streaming_bm25_stats law, applied to the
+    span-dedup cap statistics)."""
+    from incubator_flink_old_spark.operators.text import (
+        streaming_winnow_stats,
+        winnow_fingerprints,
+        winnow_index_stats,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.streaming import run_stream_to_memory
+
+    docs = t(spark, SF, "documents").limit(120).select("doc_id", "text")
+    src = str(tmp_path / "win_stats_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"t_winstats_{next(_W44_SEQ)}"
+    run_stream_to_memory(
+        streaming_winnow_stats(stream, k=3, w=4), name, "complete",
+        state_partitions=4,
+    )
+    streamed = sorted(map(tuple, spark.table(name).collect()))
+    batch = winnow_index_stats(
+        winnow_fingerprints(docs, k=3, w=4, hashes_only=True)
+    )
+    assert streamed == sorted(map(tuple, batch.collect()))
