@@ -89,14 +89,19 @@ class StageMetrics:
 
 
 #: Max queries measured per JVM. ReservedCodeCacheSize hard-caps at 2 GiB
-#: ("Must be at most 2048M"), which JIT-holds ~230 queries' codegen
-#: modules; past that the sweeper evicts hot kernels MID-BENCH and small
-#: queries read 2-6x CPU with flat GC (PERF.md round-5, twice). The fix
-#: that scales is architectural: the orchestrator runs the registry in
-#: chunks, each in a FRESH subprocess JVM (a real deployment is a session
-#: per job anyway) — warmups are paid per chunk, measurements stay
-#: steady-state by construction.
-CHUNK_MAX = 128
+#: ("Must be at most 2048M"); past the fill threshold the sweeper evicts
+#: hot kernels MID-BENCH and queries read 2-6x CPU with flat GC and
+#: unchanged shuffle bytes (PERF.md round-5, twice). The fix that scales
+#: is architectural: the orchestrator runs the registry in chunks, each
+#: in a FRESH subprocess JVM (a real deployment is a session per job
+#: anyway) — warmups are paid per chunk, measurements stay steady-state
+#: by construction. The cap was 128 (from a ~230-query cache estimate);
+#: round 9 measured sweeper onset at ~90 queries x 2 runs per JVM
+#: (q_split_leakage at chunk slot 90/93: second run 117-152 s engine vs
+#: an 11-14 s fresh-JVM steady state, identical bytes/stages — with
+#: -XX:-DontCompileHugeMethods the huge codegen methods fill the cache
+#: ~2.5x faster than that estimate), so chunks now stay ~70 queries.
+CHUNK_MAX = 80
 
 
 def main() -> None:
