@@ -2480,7 +2480,10 @@ def winnow_index_stats(fps: DataFrame, key: str = "doc_id") -> DataFrame:
     return fps.groupBy("fp").agg(F.count_distinct(key).alias("df"))
 
 
-def merge_winnow_stats(*stats: DataFrame) -> DataFrame:
+def merge_winnow_stats(
+    *stats: DataFrame,
+    doc_keys: "tuple[DataFrame, ...] | list[DataFrame] | None" = None,
+) -> DataFrame:
     """Merge per-source winnow df statistics over DISJOINT document
     sets by integer SUM — exact: each (key, fp) row is per-doc distinct
     (the hashes_only contract) and no document appears in two sources,
@@ -2491,10 +2494,46 @@ def merge_winnow_stats(*stats: DataFrame) -> DataFrame:
     (fingerprint selection never crosses documents) plus this
     digest-sized merge — the existing corpus is never re-shingled.
 
+    Disjointness is a CONTRACT, not a checked property of the (fp, df)
+    digests — they carry no document identity, so overlap is invisible
+    here and double-counts df, tightening the stop-gram cap and
+    silently dropping true span matches (review finding). Pass
+    ``doc_keys`` (one single-column document-key frame per stats frame,
+    e.g. ``fps.select("doc_id").distinct()``) to ASSERT disjointness:
+    any document claimed by two sources raises with an example key.
+    The check is an extra aggregation over doc keys — debug/ingest-gate
+    cost, skipped when ``doc_keys`` is None.
+
     Raises on zero inputs (a silent empty index would make every
     downstream cap drop nothing)."""
     if not stats:
         raise ValueError("merge_winnow_stats: no stats frames given")
+    if doc_keys is not None:
+        if len(doc_keys) != len(stats):
+            raise ValueError(
+                f"merge_winnow_stats: {len(doc_keys)} doc_keys frames"
+                f" for {len(stats)} stats frames"
+            )
+        tagged = None
+        for i, kf in enumerate(doc_keys):
+            col = kf.columns[0]
+            part = kf.select(F.col(col).alias("__doc")).distinct().withColumn(
+                "__src", F.lit(i)
+            )
+            tagged = part if tagged is None else tagged.unionByName(part)
+        dup = (
+            tagged.groupBy("__doc")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()  # bounded: ≤1 row, debug-gate only
+        )
+        if dup:
+            raise ValueError(
+                "merge_winnow_stats: sources are not disjoint — document"
+                f" {dup[0]['__doc']!r} appears in more than one source;"
+                " per-source dfs would double-count"
+            )
     out = stats[0]
     for s in stats[1:]:
         out = out.unionByName(s)
@@ -2525,6 +2564,15 @@ def winnow_matches_from_index(
             )
         keep = stats.filter(F.col("df") <= max_df).select("fp")
         fps = fps.join(keep, on="fp")
+    elif stats is not None:
+        # Mirror of the guard above (review finding): a caller who
+        # maintained stats but forgot max_df gets an UNCAPPED quadratic
+        # pair join with no signal — the cap they clearly intended is
+        # silently off. Fail loudly instead of ignoring the frame.
+        raise ValueError(
+            "winnow_matches_from_index: stats given but max_df is None —"
+            " pass max_df to apply the stop-gram cap"
+        )
     a = fps.select(F.col(key).alias("doc_a"), "fp")
     b = fps.select(F.col(key).alias("doc_b"), "fp")
     return (
@@ -2542,6 +2590,7 @@ def streaming_winnow_stats(
     w: int = 4,
     text: str = "text",
     key: str = "doc_id",
+    dedup_guard: bool = False,
 ) -> DataFrame:
     """Winnow-index df statistics maintained LIVE over a document
     stream — the span-dedup tier's streaming absorption (the
@@ -2562,7 +2611,23 @@ def streaming_winnow_stats(
     hash-partitioned by fp, exactly the table the serve-side cap
     (:func:`winnow_matches_from_index`) broadcasts or joins. Per-batch
     cost: a map over the batch's documents plus a combinable partial
-    sum — crawl-ingest throughput, never a corpus pass."""
+    sum — crawl-ingest throughput, never a corpus pass.
+
+    EXACTLY-ONCE CAVEAT (review finding): the batch twin
+    (:func:`winnow_index_stats`) counts DISTINCT documents per fp and
+    is robust to duplicated documents; Spark disallows distinct aggs on
+    streams, so this sums per-arrival counts — exact ONLY under the
+    exactly-once-arrival contract. A replayed/duplicated document
+    silently inflates df, tightening the serve-side stop-gram cap into
+    FALSE-NEGATIVE span matches. Pass ``dedup_guard=True`` to insert a
+    stateful ``dropDuplicates([key])`` on the DOCUMENT stream before
+    fingerprinting — state is one row per distinct document id (far
+    smaller than the fp table the agg already keeps), and the streamed
+    df table becomes exact under replayed ingest too. Left off by
+    default only because file-replay harnesses already guarantee
+    exactly-once."""
+    if dedup_guard:
+        stream = stream.dropDuplicates([key])
     fps = winnow_fingerprints(
         stream, k=k, w=w, text=text, key=key, hashes_only=True
     )

@@ -106,28 +106,15 @@ LOAD_ERRORS: dict[str, str] = {}
 #: outranks pure age and cannot be derived from the artifacts. Purely an
 #: ordering hint — every query stays registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-9 (continued) code-changed re-front: semantic_dedup's
-    # assignment block moved into the shared _sem_assigned helper when
-    # semantic_pairs landed (same semantics, sf0.01+sf0.1 SIM-rechecked).
-    "q_semantic_dedup",
-    # round-9 code-changed re-fronts: ADVICE r08 guards touched
-    # grid_pq_encode_map/sq8_encode_map (similarity.py) and
-    # stateful_latest (streaming/); _grid_ivf_ctes gained CTE
-    # namespacing (llm_ops11) — its rendered SQL changed for every
-    # oracle built on it, so the whole IVF-CTE family re-fronts.
-    "q_stream_pq_encode_parity",
-    "q_stream_sq8_encode_parity",
-    "q_stream_cdc_parity",
-    "q_ivf_cell_purity",
-    "q_ann_recall_ivf",
-    "q_ann_recall_ivfpq",
-    "q_ann_recall_ivfsq8",
-    "q_retrieval_hybrid",
-    "q_ann_recall_ivfsq8_refine",
-    "q_ivf_incremental",
-    "q_stream_ivf_assign_parity",
-    "q_retrieval_lifecycle",
-    "q_ann_recall_prefix",
+    # round-10 code-changed re-fronts: the ADVICE r09 winnow guards
+    # touched winnow_matches_from_index (symmetric stats/max_df raise),
+    # merge_winnow_stats (optional doc_keys disjointness assertion) and
+    # streaming_winnow_stats (dedup_guard) — shared code under these
+    # three green r09 rows (defaults unchanged, SIM-rechecked at
+    # sf0.01+sf0.1).
+    "q_winnow_matches",
+    "q_winnow_incremental",
+    "q_stream_winnow_stats_parity",
 )
 
 
