@@ -72,10 +72,19 @@ def text_stats(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFr
     )
 
 
-def quality_score(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality scoring: stopword ratio, length band, repetition
     (1 - type/token) — the standard cheap pre-filters before expensive
-    model-based scoring in a training-data pipeline."""
+    model-based scoring in a training-data pipeline. ``carry`` names
+    extra input columns to pass through untouched (the winnow_fingerprints
+    convention) — this keeps the scorer usable map-side on a STREAM,
+    where joining the score back onto the source row is not an option
+    (:func:`streaming_ingest_gate`)."""
     toks = tokens(text)
     n_toks = F.size(toks)
     stop = F.size(F.filter(toks, _isin_filter(LANG_MARKERS["en"])))
@@ -90,6 +99,7 @@ def quality_score(df: DataFrame, text: str = "text", key: str = "doc_id") -> Dat
     )
     return df.select(
         key,
+        *carry,
         stop_ratio.alias("stopword_ratio"),
         repetition.alias("repetition"),
         len_ok.alias("len_ok"),
@@ -1687,7 +1697,47 @@ def streaming_neardup_screen(
             f"streaming_neardup_screen: event_time column {event_time!r}"
             f" not in stream schema {stream.columns}"
         )
-    ts = [F.col(event_time)] if event_time is not None else []
+    carry = (event_time,) if event_time is not None else ()
+    verified = neardup_screen_events(
+        stream,
+        corpus,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        jaccard_threshold=jaccard_threshold,
+        text=text,
+        key=key,
+        carry=carry,
+    )
+    if event_time is None:
+        return verified.dropDuplicates(["doc_a", "doc_b"])
+    return (
+        verified.withWatermark(event_time, watermark_delay)
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+        .drop(event_time)
+    )
+
+
+def neardup_screen_events(
+    stream: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.7,
+    text: str = "text",
+    key: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The PRE-DEDUP verified match events under
+    :func:`streaming_neardup_screen` — identical map-side signatures,
+    band probe, size-ratio prefilter and exact-jaccard verify, WITHOUT
+    the final pair dedup (a pair hit in m bands emits up to m duplicate
+    rows). Factored out so composers with duplicate-INSENSITIVE
+    downstream semantics (:func:`streaming_ingest_gate`'s existence-MAX
+    verdict) can consume the screen with ZERO stateful operators of
+    their own — the wrapper keeps the deduped pair contract. ``carry``
+    names stream columns passed through each event (e.g. the ingest
+    event time). Returns (doc_a, *carry, doc_b, jaccard ≥ threshold)."""
+    ts = [F.col(c) for c in carry]
     toks_r = corpus.select(
         F.col(key).alias("doc_b"),
         _hashed_set(tokens(text, distinct=True)).alias("tb"),
@@ -1709,7 +1759,7 @@ def streaming_neardup_screen(
     )
     srows = srows.select(
         "doc_a",
-        *ts,
+        *carry,
         "ta",
         F.size("ta").alias("na"),
         F.explode(
@@ -1736,7 +1786,7 @@ def streaming_neardup_screen(
         ).alias("bb"),
     ).select(
         "doc_a",
-        *ts,
+        *carry,
         "ta",
         "na",
         F.col("bb.band").alias("band"),
@@ -1748,16 +1798,16 @@ def streaming_neardup_screen(
             F.least("na", "nb").cast("double") / F.greatest("na", "nb")
             >= jaccard_threshold
         )
-        .select("doc_a", *ts, "ta", "doc_b")
+        .select("doc_a", *carry, "ta", "doc_b")
     )
     scored = cand.join(toks_r, on="doc_b").select(
         "doc_a",
-        *ts,
+        *carry,
         "doc_b",
         _intersect_size("ta", "tb").alias("__i"),
         (F.size("ta") + F.size("tb")).alias("__s"),
     )
-    verified = _verify_barrier(
+    return _verify_barrier(
         scored,
         F.struct(
             F.col("doc_a"),
@@ -1768,13 +1818,6 @@ def streaming_neardup_screen(
             ).alias("jaccard"),
         ),
     ).filter(F.col("jaccard") >= jaccard_threshold)
-    if event_time is None:
-        return verified.dropDuplicates(["doc_a", "doc_b"])
-    return (
-        verified.withWatermark(event_time, watermark_delay)
-        .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
-        .drop(event_time)
-    )
 
 
 def incremental_dedup(
@@ -2540,6 +2583,93 @@ def merge_winnow_stats(
     return out.groupBy("fp").agg(F.sum("df").alias("df"))
 
 
+def winnow_drift_audit(
+    base_stats: DataFrame,
+    delta_stats: DataFrame,
+    max_df: int,
+    n_base: int,
+    n_delta: int,
+    min_skew: float = 2.5,
+) -> DataFrame:
+    """DRIFT AUDIT for the span-dedup index's stop-gram cap — the
+    :func:`~incubator_flink_old_spark.queries.llm_ops28.q_drift_retrain`
+    discipline applied to the winnow tier (the one index family without
+    a drift story, VERDICT r09): as a corpus absorbs deltas, fingerprints
+    cross the frozen ``max_df`` cap — organically (any growing corpus
+    crosses an ABSOLUTE cap; that is rescale, not drift) or because the
+    delta carries NEW ubiquitous boilerplate the frozen cap has never
+    seen, which the serve-side stop-gram filter then fails to stop (the
+    quadratic pair blowup the cap exists for).
+
+    The detector separates the two exactly like the IVF cell-skew audit:
+    for every fingerprint over-cap in the MERGED stats, its delta
+    concentration ``df_delta / df_merged`` is compared against the
+    global delta share ``n_delta / (n_base + n_delta)``; their max ratio
+    (``fp_skew``) is ~1.0 under a clean split (hot fps accrete delta
+    mass in proportion) and ≥ 1/share for injected boilerplate (all of
+    its df IS delta). The gate RAISES when ``fp_skew < min_skew`` — an
+    un-tripped audit must fail loudly, not silently return an empty
+    refresh (the drift-retrain fail-loudly contract).
+
+    Returns the cap REFRESH list — every fingerprint whose cap decision
+    changes between the frozen stats and the merged stats —
+    (fp, df_base, df_delta, df_merged, newly_hot) with the justifying
+    ``fp_skew`` on each row (the q_drift_retrain output shape: decisions
+    carrying the audit that triggered them). All counts are exact
+    integers; fp_skew is a fixed-shape chain of three correctly-rounded
+    double divisions over them, bit-equal on any engine.
+
+    Scale: two digest-sized (fp, df) tables full-outer-joined on fp —
+    shuffle = distinct fingerprints, never documents; the skew reduce is
+    one row. Refreshing the cap after a trip costs nothing more — the
+    merged stats ARE the refreshed index (:func:`merge_winnow_stats`).
+    """
+    b = base_stats.select("fp", F.col("df").alias("df_base"))
+    d = delta_stats.select("fp", F.col("df").alias("df_delta"))
+    zero = F.lit(0).cast("long")
+    j = (
+        b.join(d, on="fp", how="full")
+        .select(
+            "fp",
+            F.coalesce("df_base", zero).alias("df_base"),
+            F.coalesce("df_delta", zero).alias("df_delta"),
+        )
+        .withColumn("df_merged", F.col("df_base") + F.col("df_delta"))
+    )
+    share = n_delta / (n_base + n_delta)
+    mx = (
+        j.filter(F.col("df_merged") > max_df)
+        .agg(
+            F.max(
+                F.col("df_delta").cast("double") / F.col("df_merged")
+            ).alias("mx")
+        )
+        .collect()[0]["mx"]  # bounded: one scalar — the audit reduce
+    )
+    fp_skew = (mx / share) if mx is not None else 0.0
+    if fp_skew < min_skew:
+        raise ValueError(
+            f"winnow_drift_audit: not tripped — fp_skew {fp_skew:.3f} <"
+            f" min_skew {min_skew} (hot-fingerprint delta concentration"
+            " is proportional to the delta share: corpus growth, not"
+            " boilerplate drift; refresh the cap on the growth schedule,"
+            " not the drift path)"
+        )
+    frozen_kept = F.col("df_base") <= max_df
+    refresh_kept = F.col("df_merged") <= max_df
+    return (
+        j.filter(frozen_kept != refresh_kept)
+        .select(
+            "fp",
+            "df_base",
+            "df_delta",
+            "df_merged",
+            (~refresh_kept).alias("newly_hot"),
+        )
+        .withColumn("fp_skew", F.lit(float(fp_skew)))
+    )
+
+
 def winnow_matches_from_index(
     fps: DataFrame,
     stats: DataFrame | None,
@@ -2675,6 +2805,40 @@ def streaming_winnow_screen(
             f"streaming_winnow_screen: event_time column {event_time!r}"
             f" not in stream schema {stream.columns}"
         )
+    carry = (event_time,) if event_time is not None else ()
+    matched = winnow_screen_events(
+        stream, corpus, k=k, w=w, max_df=max_df, text=text, key=key,
+        carry=carry,
+    )
+    if event_time is None:
+        return matched.dropDuplicates(["doc_a", "doc_b", "fp"])
+    return (
+        matched.withWatermark(event_time, watermark_delay)
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b", "fp"])
+        .drop(event_time)
+    )
+
+
+def winnow_screen_events(
+    stream: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    max_df: int | None = None,
+    text: str = "text",
+    key: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The PRE-DEDUP match events under :func:`streaming_winnow_screen`
+    — identical map-side winnowed selection, corpus df-cap and
+    stream-static hash probe, WITHOUT the final event dedup (a file
+    source never re-reads a row, but composition through
+    :func:`_verify_barrier`-free expression pipelines keeps the event
+    multiplicity at exactly one per (doc_a, doc_b, fp) anyway — the
+    dedup in the wrapper exists for at-least-once sources). Factored
+    out so duplicate-insensitive composers
+    (:func:`streaming_ingest_gate`) consume the screen with zero
+    stateful operators. Returns (doc_a, *carry, doc_b, fp)."""
     cfp = winnow_fingerprints(
         corpus, k=k, w=w, text=text, key=key, hashes_only=True
     ).select(F.col(key).alias("doc_b"), "fp")
@@ -2686,21 +2850,138 @@ def streaming_winnow_screen(
             .select("fp")
         )
         cfp = cfp.join(keep, on="fp").select("doc_b", "fp")
-    carry = (event_time,) if event_time is not None else ()
     sfp = winnow_fingerprints(
         stream, k=k, w=w, text=text, key=key, carry=carry, hashes_only=True
     ).select(F.col(key).alias("doc_a"), *carry, "fp")
-    matched = (
+    return (
         sfp.join(cfp, on="fp")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", *carry, "doc_b", "fp")
     )
-    if event_time is None:
-        return matched.dropDuplicates(["doc_a", "doc_b", "fp"])
-    return (
-        matched.withWatermark(event_time, watermark_delay)
-        .dropDuplicatesWithinWatermark(["doc_a", "doc_b", "fp"])
-        .drop(event_time)
+
+
+def streaming_ingest_gate(
+    stream: DataFrame,
+    corpus: DataFrame,
+    *,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    num_hashes: int = 8,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.7,
+    k: int = 3,
+    w: int = 4,
+    max_df: int | None = None,
+    text: str = "text",
+    key: str = "doc_id",
+    lang: str = "lang",
+    event_time: str | None = None,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """The COMPOSED crawl-ingest front door — quality gate, language
+    allowlist, MinHash near-dup screen and winnowed span screen stitched
+    into ONE streaming DAG with ONE watermark and ONE stateful operator,
+    emitting a per-document ingest VERDICT: (key, quality_ok, lang_ok,
+    has_neardup, has_spandup, admit). This is the ``q_curate_full`` of
+    ingest: the standing corpus stays frozen (its band table and
+    df-capped fingerprint index are static sides of stream-static
+    joins); each arriving document is scored, screened and admitted or
+    rejected at crawl throughput.
+
+    Composition strategy — EVIDENCE rows, not screen outputs: the
+    screens' own pair-dedup states are dropped (their pre-dedup event
+    forms :func:`neardup_screen_events` / :func:`winnow_screen_events`)
+    because the verdict only needs EXISTENCE per document, and
+    max() over duplicate evidence is duplicate-insensitive. Three
+    branches off the one source — a base row per document carrying the
+    map-side quality keep (:func:`quality_score`) and the lang
+    allowlist, one row per verified near-dup partner (exact jaccard ≥
+    threshold vs the corpus band index), one row per winnowed span hit
+    vs the df-capped corpus index (the ≥ w+k−1-token detection
+    GUARANTEE applies: a copied span cannot enter unflagged) — union
+    into a single evidence stream and fold with one groupBy
+    max-aggregation. With ``event_time`` set, the aggregation is
+    watermarked on the ingest time and runs in append mode with state
+    EVICTED once the watermark passes a document (the unbounded-crawl
+    form); without it, run in complete mode (bounded replays/tests).
+
+    has_spandup fires on ≥1 shared capped fingerprint — the screen
+    grain :func:`streaming_winnow_screen` ships (the detection-
+    guarantee floor); pair-level ``min_shared`` thresholds belong to
+    the batch serve (:func:`winnow_matches`), not the ingest gate.
+
+    Scale: base is a pure map; both probes are stream-static equi-joins
+    against materialized, bucketed corpus artifacts (band table by
+    (band, bucket), fingerprint index by fp); the single aggregation
+    shuffles one digest row per evidence event on the doc key, and its
+    state is one row per IN-FLIGHT document — watermark-bounded, not
+    corpus-bounded. Admitting a batch then absorbing it into the
+    corpus artifacts is the maintenance matrix's job
+    (:func:`merge_winnow_stats`, incremental band/BM25/IVF absorbs)."""
+    if event_time is not None and event_time not in stream.columns:
+        raise ValueError(
+            f"streaming_ingest_gate: event_time column {event_time!r}"
+            f" not in stream schema {stream.columns}"
+        )
+    carry = (event_time,) if event_time is not None else ()
+    zero, one = F.lit(0), F.lit(1)
+    base = quality_score(
+        stream, text=text, key=key, carry=(lang, *carry)
+    ).select(
+        F.col(key).alias("__doc"),
+        *carry,
+        F.col("keep").cast("int").alias("__q"),
+        F.col(lang).isin(*langs).cast("int").alias("__l"),
+        zero.alias("__near"),
+        zero.alias("__span"),
+    )
+    near = neardup_screen_events(
+        stream,
+        corpus,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        jaccard_threshold=jaccard_threshold,
+        text=text,
+        key=key,
+        carry=carry,
+    ).select(
+        F.col("doc_a").alias("__doc"),
+        *carry,
+        zero.alias("__q"),
+        zero.alias("__l"),
+        one.alias("__near"),
+        zero.alias("__span"),
+    )
+    span = winnow_screen_events(
+        stream, corpus, k=k, w=w, max_df=max_df, text=text, key=key,
+        carry=carry,
+    ).select(
+        F.col("doc_a").alias("__doc"),
+        *carry,
+        zero.alias("__q"),
+        zero.alias("__l"),
+        zero.alias("__near"),
+        one.alias("__span"),
+    )
+    ev = base.unionByName(near).unionByName(span)
+    if event_time is not None:
+        ev = ev.withWatermark(event_time, watermark_delay)
+    agg = ev.groupBy("__doc", *carry).agg(
+        F.max("__q").alias("__mq"),
+        F.max("__l").alias("__ml"),
+        F.max("__near").alias("__mn"),
+        F.max("__span").alias("__ms"),
+    )
+    q_ok = F.col("__mq") == 1
+    l_ok = F.col("__ml") == 1
+    n_hit = F.col("__mn") == 1
+    s_hit = F.col("__ms") == 1
+    return agg.select(
+        F.col("__doc").alias(key),
+        q_ok.alias("quality_ok"),
+        l_ok.alias("lang_ok"),
+        n_hit.alias("has_neardup"),
+        s_hit.alias("has_spandup"),
+        (q_ok & l_ok & ~n_hit & ~s_hit).alias("admit"),
     )
 
 

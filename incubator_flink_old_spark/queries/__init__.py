@@ -89,6 +89,7 @@ _QUERY_MODULES = (
     "llm_ops27",
     "llm_ops28",
     "llm_ops29",
+    "llm_ops30",
     "analytics",
     "analytics2",
     "surfaces",
@@ -115,6 +116,24 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_winnow_matches",
     "q_winnow_incremental",
     "q_stream_winnow_stats_parity",
+    # round-10: _winnow_ctes gained src/prefix parameterization for the
+    # drift-audit row — its rendered SQL (a CTE self-alias) changed for
+    # every winnow oracle, so the remaining winnow rows re-front too.
+    "q_winnow_fingerprints",
+    # round-10 code-changed re-fronts: the ingest-gate composition
+    # factored quality_score (carry param) and both streaming screens
+    # (pre-dedup event forms extracted) — shared code under these green
+    # rows (rendered plans unchanged, SIM-rechecked at sf0.01+sf0.1).
+    "q_text_quality",
+    "q_training_corpus",
+    "q_curate_full",
+    "q_curation_audit",
+    "q_cluster_rep",
+    "q_data_card",
+    "q_sample_weighted",
+    "q_stream_neardup_screen_parity",
+    "q_stream_neardup_watermark_parity",
+    "q_stream_winnow_screen_parity",
 )
 
 

@@ -607,39 +607,46 @@ _WIN_K = 3
 _WIN_W = 4
 
 
-def _winnow_ctes() -> str:
-    """Shared winnowing CTE chain (through ``sel`` = the selected
-    fingerprints) for the fingerprint row and the match row."""
+def _winnow_ctes(src: str = "documents", prefix: str = "") -> str:
+    """Shared winnowing CTE chain (through ``{prefix}sel`` = the
+    selected fingerprints) for the fingerprint row and the match row.
+    ``src`` is the source relation (must expose doc_id, text) and
+    ``prefix`` namespaces the CTE names so two chains can coexist in one
+    WITH list (the drift-audit row winnows base and drifted-delta
+    separately — the _grid_ivf_ctes parameterization discipline). The
+    defaults render the exact pre-parameterization string, so every
+    oracle built on this is byte-stable."""
     k, w = _WIN_K, _WIN_W
+    p = prefix
     return rf"""
-    tt AS (
+    {p}tt AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\s+'),
                            x -> x <> '') AS tk
-        FROM documents),
-    hp AS (
+        FROM {src}),
+    {p}hp AS (
         SELECT doc_id, tk, unnest(range(1, len(tk) - {k} + 2)) AS p
-        FROM tt WHERE len(tk) >= {k}),
-    hg AS (
+        FROM {p}tt WHERE len(tk) >= {k}),
+    {p}hg AS (
         SELECT doc_id, CAST(p AS BIGINT) AS pos,
                ('0x' || substr(md5(array_to_string(tk[p:p + {k - 1}],
                                                    ' ')), 1, 15))::BIGINT AS h
-        FROM hp),
-    nn AS (SELECT doc_id, COUNT(*) AS nh FROM hg GROUP BY doc_id),
-    wq AS (
+        FROM {p}hp),
+    {p}nn AS (SELECT doc_id, COUNT(*) AS nh FROM {p}hg GROUP BY doc_id),
+    {p}wq AS (
         SELECT doc_id,
                unnest(range(1, GREATEST(nh - {w} + 1, 1) + 1)) AS q
-        FROM nn),
-    wins AS (
+        FROM {p}nn),
+    {p}wins AS (
         SELECT h.doc_id, wq.q, h.pos, h.h
-        FROM wq JOIN hg h ON h.doc_id = wq.doc_id
+        FROM {p}wq wq JOIN {p}hg h ON h.doc_id = wq.doc_id
                  AND h.pos BETWEEN wq.q AND wq.q + {w} - 1),
-    sel AS (
+    {p}sel AS (
         SELECT doc_id, pos, h FROM (
             SELECT doc_id, q, pos, h,
                    ROW_NUMBER() OVER (PARTITION BY doc_id, q
                                       ORDER BY h, pos DESC) AS rn
-            FROM wins) t
+            FROM {p}wins) t
         WHERE rn = 1)"""
 
 

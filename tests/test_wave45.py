@@ -135,3 +135,157 @@ def test_streaming_winnow_stats_dedup_guard(spark, tmp_path):
     )
     assert run(True) == batch
     assert run(False) == [(fp, 2 * df) for fp, df in batch]
+
+
+def test_ingest_gate_composes_its_components(spark):
+    """The composed front door must agree flag-by-flag with its
+    components run separately: quality_ok with quality_score's keep,
+    lang_ok with the allowlist, has_neardup with the deduped near-dup
+    screen's doc_a set, has_spandup with the winnow screen's doc_a set,
+    and admit must be exactly the conjunction. One row per new doc."""
+    from incubator_flink_old_spark.operators.text import (
+        quality_score,
+        streaming_ingest_gate,
+        streaming_neardup_screen,
+        streaming_winnow_screen,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    # One genuinely novel, clean, in-language document rides along: the
+    # fixture corpus is adversarially span-saturated (every real new doc
+    # shares a ≥6-token span with the corpus at sf0.001), so this is the
+    # only way to pin the ADMIT path — a fresh clean crawl page must get
+    # through all four gates.
+    novel_text = " ".join(
+        f"the quiet zx{i}qv of a brass orrery and to frame it" for i in range(9)
+    )
+    novel = docs.sparkSession.createDataFrame(
+        [(10_000_019, novel_text, "en")], "doc_id long, text string, lang string"
+    )
+    new, corpus = docs.filter(is_new), docs.filter(~is_new)
+    new_side = new.select("doc_id", "text", "lang").unionByName(novel)
+    langs = ("en", "de")
+    got = {
+        r.doc_id: r
+        for r in streaming_ingest_gate(
+            new_side,
+            corpus,
+            langs=langs,
+            max_df=100,
+        ).collect()
+    }
+    assert len(got) == new.count() + 1
+
+    q = {
+        r.doc_id: bool(r.keep)
+        for r in quality_score(new_side).collect()
+    }
+    lang_ok = {
+        r.doc_id: r.lang in langs
+        for r in new_side.select("doc_id", "lang").collect()
+    }
+    near = {
+        r.doc_a
+        for r in streaming_neardup_screen(
+            new_side.select("doc_id", "text"), corpus
+        ).collect()
+    }
+    span = {
+        r.doc_a
+        for r in streaming_winnow_screen(
+            new_side.select("doc_id", "text"), corpus, max_df=100
+        ).collect()
+    }
+    for d, r in got.items():
+        assert r.quality_ok == q[d]
+        assert r.lang_ok == lang_ok[d]
+        assert r.has_neardup == (d in near)
+        assert r.has_spandup == (d in span)
+        assert r.admit == (
+            q[d] and lang_ok[d] and d not in near and d not in span
+        )
+    # the fixture must exercise every gate: at least one doc fails each,
+    # and the planted novel document is ADMITTED through all four
+    assert any(not r.quality_ok for r in got.values())
+    assert any(not r.lang_ok for r in got.values())
+    assert any(r.has_neardup for r in got.values())
+    assert any(r.has_spandup for r in got.values())
+    assert got[10_000_019].admit
+
+
+def test_ingest_gate_plan_single_aggregate_no_cartesian(spark):
+    """The composition promise in the docstring, checked on the plan:
+    exactly ONE aggregate over the unioned evidence (plus the corpus
+    df-cap's, which is static-side), and no cartesian product — the
+    probes are equi-joins."""
+    from incubator_flink_old_spark.operators.text import (
+        streaming_ingest_gate,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    plan = streaming_ingest_gate(
+        docs.filter(is_new).select("doc_id", "text", "lang"),
+        docs.filter(~is_new),
+        max_df=100,
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan and "cartesian" not in plan
+    # verdict agg + corpus-cap agg and nothing else
+    assert plan.count("Aggregate") == 2
+
+
+def test_winnow_drift_gate_laws(spark):
+    """The drift gate's two laws, the q_drift_retrain discipline: (a) a
+    CLEAN split (no injected boilerplate) must NOT trip — the gate
+    raises, naming the proportional-accretion reason; (b) the drifted
+    delta trips at exactly fp_skew = 1/delta-share (the boilerplate
+    fingerprints are pure delta mass) and every emitted refresh row is
+    newly_hot with df_base below the cap."""
+    from incubator_flink_old_spark.operators.text import (
+        winnow_drift_audit,
+        winnow_fingerprints,
+        winnow_index_stats,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    base = docs.filter(~is_new).select("doc_id", "text")
+    boiler = "zyx0q wvu1r tsr2s qpo3t nml4u kji5v hgf6w edc7x baz8y xwv9z"
+    clean = docs.filter(is_new).select("doc_id", "text")
+    drifted = clean.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" " + boiler)).alias("text")
+    )
+    bs = winnow_index_stats(
+        winnow_fingerprints(base, k=3, w=4, hashes_only=True)
+    )
+    nb, nd = base.count(), clean.count()
+
+    with pytest.raises(ValueError, match="not tripped"):
+        winnow_drift_audit(
+            bs,
+            winnow_index_stats(
+                winnow_fingerprints(clean, k=3, w=4, hashes_only=True)
+            ),
+            max_df=25,
+            n_base=nb,
+            n_delta=nd,
+        )
+
+    rows = winnow_drift_audit(
+        bs,
+        winnow_index_stats(
+            winnow_fingerprints(drifted, k=3, w=4, hashes_only=True)
+        ),
+        max_df=25,
+        n_base=nb,
+        n_delta=nd,
+    ).collect()
+    assert rows
+    share = nd / (nb + nd)
+    for r in rows:
+        assert r.newly_hot and r.df_base <= 25 < r.df_merged
+        assert r.fp_skew == 1.0 / share
