@@ -318,3 +318,144 @@ def q_winnow_drift_refresh(spark, sf_dir):
         n_delta=n_delta,
         min_skew=_DRIFT_MIN_SKEW,
     )
+
+
+# --------------------------------------------------------------------------
+# Serve operating point: the recall half of tools/nprobe_sweep.py as a
+# driver-checked row — pinning the production (n_probe, refine_c) the way
+# q_drift_retrain pinned the maintenance recipe
+# --------------------------------------------------------------------------
+
+#: The production operating point (n_probe=3 of 8 cells, refine_c=20 =
+#: 4x the final k) bracketed on both knobs: one fewer/more probe mass
+#: and a starved shortlist. The sweep tool measures the full curve with
+#: walls; this row hash-checks the recall column's corners cross-engine.
+_OP_CONFIGS = ((1, 20), (3, 5), (3, 20), (8, 20))
+_OP_PROD = (3, 20)
+
+
+def _operating_point_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _N_QUERIES,
+        _TOPK,
+        _grid_ivf_ctes,
+        _sql_cos,
+    )
+    from incubator_flink_old_spark.queries.llm_ops18 import (
+        _sq_ctes,
+        _sq_sql_sqdist,
+    )
+
+    ivf_ctes, last_centers = _grid_ivf_ctes()
+    # ONE training + encoding chain; only the probe/shortlist tails vary
+    # per config (exactly the shared-work shape the Spark body uses).
+    tails, selects = [], []
+    for np_, rc in _OP_CONFIGS:
+        tag = f"p{np_}c{rc}"
+        tails.append(f"""
+    pr{tag} AS (
+        SELECT q_id, cell FROM (
+            SELECT q.q_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_sql_cos('q.qk', 'c.cv')} DESC, c.cell
+                   ) AS rn
+            FROM qg q CROSS JOIN {last_centers} c) t
+        WHERE rn <= {np_}),
+    sl{tag} AS (
+        SELECT q_id, vec_id FROM (
+            SELECT ic.q_id, ic.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ic.q_id
+                       ORDER BY {_sq_sql_sqdist('qc.code', 'cc.code')},
+                                ic.vec_id) AS rn
+            FROM (SELECT p.q_id, a.vec_id
+                  FROM pr{tag} p JOIN af a ON p.cell = a.cell) ic
+            JOIN codes cc ON ic.vec_id = cc.vec_id
+            JOIN codes qc ON qc.vec_id = ic.q_id) t
+        WHERE rn <= {rc}),
+    it{tag} AS (
+        SELECT q_id, vec_id FROM (
+            SELECT sl.q_id, sl.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sl.q_id
+                       ORDER BY {_sq_sql_sqdist('qe.k', 'ce.k')},
+                                sl.vec_id) AS rn
+            FROM sl{tag} sl
+            JOIN e ce ON sl.vec_id = ce.vec_id
+            JOIN e qe ON qe.vec_id = sl.q_id) t
+        WHERE rn <= {_TOPK})""")
+        is_prod = "TRUE" if (np_, rc) == _OP_PROD else "FALSE"
+        selects.append(f"""
+    SELECT CAST({np_} AS BIGINT) AS n_probe, CAST({rc} AS BIGINT) AS refine_c,
+           {is_prod} AS is_production,
+           CAST((SELECT COUNT(*) FROM bt b JOIN it{tag} i
+                 ON b.q_id = i.q_id AND b.vec_id = i.vec_id) AS BIGINT)
+               AS hits,
+           CAST((SELECT COUNT(*) FROM bt b JOIN it{tag} i
+                 ON b.q_id = i.q_id AND b.vec_id = i.vec_id) AS DOUBLE)
+               / {_N_QUERIES * _TOPK}.0 AS mean_recall""")
+    return f"""
+    WITH {ivf_ctes},
+    {_sq_ctes()},
+    qg AS (SELECT vec_id AS q_id, k AS qk FROM e WHERE vec_id < {_N_QUERIES}),
+    bt AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sq_sql_sqdist('q.k', 'c.k')}, c.vec_id) AS rn
+            FROM e q CROSS JOIN e c WHERE q.vec_id < {_N_QUERIES}) t
+        WHERE rn <= {_TOPK}),
+    {','.join(tails)}
+    {' UNION ALL '.join(selects)}
+    """
+
+
+@register("q_serve_operating_point", oracle=_operating_point_oracle())
+def q_serve_operating_point(spark, sf_dir):
+    """SERVE OPERATING POINT (VERDICT r09 item 6): the production ANN
+    serving configuration — n_probe=3 of 8 cells, refine_c=20 (4x the
+    final k) — pinned as a driver-checked row alongside its bracketing
+    knob settings, the recall half of tools/nprobe_sweep.py's
+    recall-vs-cost table as a hash-checked artifact. Four configs run
+    the SHIPPED serve body (_refine_ranked, the q_ann_recall_ivfsq8_
+    refine recipe): one probe fewer (1,20), a starved shortlist (3,5),
+    the production point (3,20), and all-cells (8,20) — the lossless
+    ceiling the refine law guarantees. Each row reports exact hit
+    counts against the full-precision ground truth and the mean
+    recall@5 (a single division of exact integers). The deployment
+    claim this pins: what the chosen point buys relative to each
+    neighboring knob, measured on the shipped code path — the serving
+    analogue of what q_drift_retrain pinned for maintenance.
+
+    Scale: the train/encode work is shared across configs (one Lloyd,
+    one SQ8 bounds pass in the oracle; the engine re-derives them per
+    config from the same deterministic recipe — value-identical by the
+    grid_ivf exactness laws); per-config serve cost is the partition-
+    pruned probe scan + refine point reads, exactly the production
+    shape. The brute-force truth arm is bounded to the 20-query
+    sample."""
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _N_QUERIES,
+        _TOPK,
+    )
+    from incubator_flink_old_spark.queries.llm_ops26 import _refine_ranked
+
+    out = None
+    for np_, rc in _OP_CONFIGS:
+        it, bt = _refine_ranked(spark, sf_dir, refine_c=rc, n_probe=np_)
+        hits = bt.join(
+            it.select("q_id", "vec_id"), on=["q_id", "vec_id"]
+        ).agg(F.count(F.lit(1)).alias("hits"))
+        row = hits.select(
+            F.lit(np_).cast("long").alias("n_probe"),
+            F.lit(rc).cast("long").alias("refine_c"),
+            F.lit((np_, rc) == _OP_PROD).alias("is_production"),
+            F.col("hits"),
+            (F.col("hits").cast("double") / (_N_QUERIES * _TOPK)).alias(
+                "mean_recall"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

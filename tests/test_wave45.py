@@ -1,10 +1,13 @@
-"""Wave-45 laws: the review-hardened winnow maintenance surface —
-guard symmetry on winnow_matches_from_index (stats without max_df is as
-loud as max_df without stats), merge_winnow_stats' optional disjointness
-assertion (overlapping sources raise instead of silently double-counting
-df), and streaming_winnow_stats' dedup_guard (a replayed document no
-longer inflates the streamed df table — parity with the batch
-count-distinct twin under duplicated ingest)."""
+"""Wave-45 laws (round 10): the review-hardened winnow maintenance
+surface — guard symmetry on winnow_matches_from_index, merge_winnow_stats'
+optional disjointness assertion, streaming_winnow_stats' dedup_guard
+(replayed ingest no longer inflates the streamed df table) — plus the
+round's new composed operators: the crawl-ingest front door
+(streaming_ingest_gate composes exactly its four component verdicts, one
+stateful op, no cartesian), the winnow-tier drift gate (clean split does
+NOT trip; injected boilerplate trips at exactly 1/delta-share), and the
+serve operating-point table (recall monotone in both knobs, exactly one
+production row, mean_recall = hits/(n_queries·k))."""
 
 from __future__ import annotations
 
@@ -289,3 +292,24 @@ def test_winnow_drift_gate_laws(spark):
     for r in rows:
         assert r.newly_hot and r.df_base <= 25 < r.df_merged
         assert r.fp_skew == 1.0 / share
+
+
+def test_serve_operating_point_laws(spark):
+    """The operating-point table's internal laws: recall is monotone in
+    probe mass at fixed shortlist ((1,20) ≤ (3,20) ≤ (8,20)) and in the
+    shortlist at fixed probes ((3,5) ≤ (3,20)); exactly one row is the
+    production point; mean_recall is exactly hits/(n_queries·k)."""
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    rows = {
+        (r.n_probe, r.refine_c): r
+        for r in QUERIES["q_serve_operating_point"](spark, SF).collect()
+    }
+    assert set(rows) == {(1, 20), (3, 5), (3, 20), (8, 20)}
+    assert rows[(1, 20)].mean_recall <= rows[(3, 20)].mean_recall
+    assert rows[(3, 20)].mean_recall <= rows[(8, 20)].mean_recall
+    assert rows[(3, 5)].mean_recall <= rows[(3, 20)].mean_recall
+    assert [k for k, r in rows.items() if r.is_production] == [(3, 20)]
+    for r in rows.values():
+        assert r.mean_recall == r.hits / 100.0
