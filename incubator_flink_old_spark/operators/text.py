@@ -2876,6 +2876,7 @@ def streaming_ingest_gate(
     lang: str = "lang",
     event_time: str | None = None,
     watermark_delay: str = "10 seconds",
+    screens: tuple[str, ...] = ("neardup", "span"),
 ) -> DataFrame:
     """The COMPOSED crawl-ingest front door — quality gate, language
     allowlist, MinHash near-dup screen and winnowed span screen stitched
@@ -2908,6 +2909,9 @@ def streaming_ingest_gate(
     grain :func:`streaming_winnow_screen` ships (the detection-
     guarantee floor); pair-level ``min_shared`` thresholds belong to
     the batch serve (:func:`winnow_matches`), not the ingest gate.
+    ``screens`` selects which dup screens run (both by default); a
+    screen that is off contributes no evidence and its flag reads
+    false — the lifecycle row runs the near-dup arm alone.
 
     Scale: base is a pure map; both probes are stream-static equi-joins
     against materialized, bucketed corpus artifacts (band table by
@@ -2922,6 +2926,13 @@ def streaming_ingest_gate(
             f"streaming_ingest_gate: event_time column {event_time!r}"
             f" not in stream schema {stream.columns}"
         )
+    bad_screens = set(screens) - {"neardup", "span"}
+    if bad_screens:
+        # A typo'd screen name must not silently become "screen off" —
+        # an unscreened front door admits duplicates (fail-loudly).
+        raise ValueError(
+            f"streaming_ingest_gate: unknown screens {sorted(bad_screens)}"
+        )
     carry = (event_time,) if event_time is not None else ()
     zero, one = F.lit(0), F.lit(1)
     base = quality_score(
@@ -2934,35 +2945,39 @@ def streaming_ingest_gate(
         zero.alias("__near"),
         zero.alias("__span"),
     )
-    near = neardup_screen_events(
-        stream,
-        corpus,
-        num_hashes=num_hashes,
-        band_size=band_size,
-        jaccard_threshold=jaccard_threshold,
-        text=text,
-        key=key,
-        carry=carry,
-    ).select(
-        F.col("doc_a").alias("__doc"),
-        *carry,
-        zero.alias("__q"),
-        zero.alias("__l"),
-        one.alias("__near"),
-        zero.alias("__span"),
-    )
-    span = winnow_screen_events(
-        stream, corpus, k=k, w=w, max_df=max_df, text=text, key=key,
-        carry=carry,
-    ).select(
-        F.col("doc_a").alias("__doc"),
-        *carry,
-        zero.alias("__q"),
-        zero.alias("__l"),
-        zero.alias("__near"),
-        one.alias("__span"),
-    )
-    ev = base.unionByName(near).unionByName(span)
+    ev = base
+    if "neardup" in screens:
+        near = neardup_screen_events(
+            stream,
+            corpus,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            jaccard_threshold=jaccard_threshold,
+            text=text,
+            key=key,
+            carry=carry,
+        ).select(
+            F.col("doc_a").alias("__doc"),
+            *carry,
+            zero.alias("__q"),
+            zero.alias("__l"),
+            one.alias("__near"),
+            zero.alias("__span"),
+        )
+        ev = ev.unionByName(near)
+    if "span" in screens:
+        span = winnow_screen_events(
+            stream, corpus, k=k, w=w, max_df=max_df, text=text, key=key,
+            carry=carry,
+        ).select(
+            F.col("doc_a").alias("__doc"),
+            *carry,
+            zero.alias("__q"),
+            zero.alias("__l"),
+            zero.alias("__near"),
+            one.alias("__span"),
+        )
+        ev = ev.unionByName(span)
     if event_time is not None:
         ev = ev.withWatermark(event_time, watermark_delay)
     agg = ev.groupBy("__doc", *carry).agg(

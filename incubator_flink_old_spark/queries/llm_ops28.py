@@ -660,7 +660,15 @@ _NDS_BAND = 4
 _NDS_THRESHOLD = 0.7
 
 
-def _stream_neardup_oracle() -> str:
+def _stream_neardup_oracle(
+    new_pred: str | None = None, scope_pred: str | None = None
+) -> str:
+    """``new_pred`` overrides the stream/corpus split predicate;
+    ``scope_pred`` restricts which documents participate at all (the
+    ingest-lifecycle oracle screens wave 2 against corpus ∪ admitted
+    wave 1). Defaults render the exact pre-parameterization string."""
+    new_pred = new_pred or f"doc_id % {_D_MOD} = {_D_REM}"
+    scope = f"\n        WHERE {scope_pred}" if scope_pred else ""
     mh_exprs = ",\n               ".join(
         f"list_aggregate(list_transform(tk, x -> md5('{j}|' || x)), 'min')"
         f" AS mh{j}"
@@ -679,8 +687,8 @@ def _stream_neardup_oracle() -> str:
     )
     return rf"""
     WITH base AS (
-        SELECT doc_id, text, doc_id % {_D_MOD} = {_D_REM} AS is_new
-        FROM documents),
+        SELECT doc_id, text, {new_pred} AS is_new
+        FROM documents{scope}),
     toks AS (
         SELECT doc_id, is_new,
                list_distinct(list_filter(

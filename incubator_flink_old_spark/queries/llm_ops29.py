@@ -731,16 +731,27 @@ def q_winnow_matches(spark, sf_dir):
     )
 
 
-def _stream_winnow_oracle() -> str:
+def _stream_winnow_oracle(
+    new_pred: str | None = None, scope_pred: str | None = None
+) -> str:
     from incubator_flink_old_spark.queries.llm_ops28 import _D_MOD, _D_REM
 
     # Winnowing is per-document, so selecting over the full table and
     # splitting new/corpus AFTER is value-identical to computing each
     # side separately — the batch replay needs no stream in sight.
+    # new_pred/scope_pred follow _stream_neardup_oracle's contract (the
+    # lifecycle oracle's wave split); defaults render the exact
+    # pre-parameterization string.
+    new_pred = new_pred or f"doc_id % {_D_MOD} = {_D_REM}"
+    src = (
+        f"(SELECT doc_id, text FROM documents WHERE {scope_pred}) winsrc"
+        if scope_pred
+        else "documents"
+    )
     return f"""
-    WITH {_winnow_ctes()},
+    WITH {_winnow_ctes(src=src)},
     dfp AS (
-        SELECT DISTINCT doc_id, doc_id % {_D_MOD} = {_D_REM} AS is_new, h
+        SELECT DISTINCT doc_id, {new_pred} AS is_new, h
         FROM sel),
     kept AS (
         SELECT h FROM dfp WHERE NOT is_new GROUP BY h

@@ -40,21 +40,43 @@ _SEQ = itertools.count()
 _GATE_LANGS = ("en", "de", "fr")
 
 
-def _ingest_gate_oracle() -> str:
+def _ingest_gate_oracle(
+    new_pred: str | None = None,
+    scope_pred: str | None = None,
+    screens: tuple[str, ...] = ("neardup", "span"),
+    jaccard: float | None = None,
+) -> str:
     """Stitched twin: the two screens' verified oracles (verbatim — the
     q_curate_full discipline of composing checked fragments) feed
     per-document EXISTS flags; the quality/lang gates replay the
     q_text_quality arithmetic in the exact double-rounding order the
-    engine computes (0.3 * (1 - (1 - d/n)), not 0.3 * d/n)."""
+    engine computes (0.3 * (1 - (1 - d/n)), not 0.3 * d/n).
+    new_pred/scope_pred/screens parameterize the lifecycle oracle's
+    wave splits; defaults render the exact single-wave string."""
     langs = ", ".join(f"'{x}'" for x in _GATE_LANGS)
+    new_pred = new_pred or f"doc_id % {_D_MOD} = {_D_REM}"
+    scope = f" AND ({scope_pred})" if scope_pred else ""
+    ctes, near_flag, span_flag = [], "FALSE", "FALSE"
+    if "neardup" in screens:
+        np_sql = _stream_neardup_oracle(new_pred, scope_pred)
+        if jaccard is not None:
+            np_sql = np_sql.replace(
+                f"jaccard >= {_NDS_THRESHOLD}", f"jaccard >= {jaccard}"
+            )
+        ctes.append(f"np AS MATERIALIZED ({np_sql})")
+        near_flag = "doc_id IN (SELECT doc_a FROM np)"
+    if "span" in screens:
+        ctes.append(
+            f"wp AS MATERIALIZED ({_stream_winnow_oracle(new_pred, scope_pred)})"
+        )
+        span_flag = "doc_id IN (SELECT doc_a FROM wp)"
+    cte_sql = ",\n    ".join(ctes) + ",\n    " if ctes else ""
     return rf"""
-    WITH np AS MATERIALIZED ({_stream_neardup_oracle()}),
-    wp AS MATERIALIZED ({_stream_winnow_oracle()}),
-    nd AS (
+    WITH {cte_sql}nd AS (
         SELECT doc_id, lang, text,
                list_filter(string_split_regex(lower(text), '\s+'),
                            x -> x <> '') AS tka
-        FROM documents WHERE doc_id % {_D_MOD} = {_D_REM}),
+        FROM documents WHERE {new_pred}{scope}),
     q AS (
         SELECT doc_id,
                0.5 * (CAST(len(list_filter(tka,
@@ -69,11 +91,10 @@ def _ingest_gate_oracle() -> str:
     SELECT doc_id,
            quality >= 0.4 AS quality_ok,
            lang_ok,
-           doc_id IN (SELECT doc_a FROM np) AS has_neardup,
-           doc_id IN (SELECT doc_a FROM wp) AS has_spandup,
+           {near_flag} AS has_neardup,
+           {span_flag} AS has_spandup,
            quality >= 0.4 AND lang_ok
-             AND doc_id NOT IN (SELECT doc_a FROM np)
-             AND doc_id NOT IN (SELECT doc_a FROM wp) AS admit
+             AND NOT ({near_flag}) AND NOT ({span_flag}) AS admit
     FROM q
     """
 
@@ -459,3 +480,88 @@ def q_serve_operating_point(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Ingest lifecycle: admitted documents join the corpus and screen the next
+# wave — the retrieval-lifecycle discipline applied to the front door
+# --------------------------------------------------------------------------
+
+
+def _ingest_lifecycle_oracle() -> str:
+    """Two stitched gate oracles: wave 1 (doc_id%5==3) screens against
+    the standing corpus (doc_id%5<=2); wave 2 (doc_id%5==4) screens
+    against corpus ∪ wave-1 ADMITS — the admitted set is derived inside
+    the oracle from wave 1's own verdicts, so the absorption loop is
+    replayed end-to-end in SQL."""
+    g1 = _ingest_gate_oracle(
+        new_pred="doc_id % 5 = 3",
+        scope_pred="doc_id % 5 <= 3",
+        screens=("neardup",),
+    )
+    g2 = _ingest_gate_oracle(
+        new_pred="doc_id % 5 = 4",
+        scope_pred=(
+            "doc_id % 5 <= 2 OR doc_id % 5 = 4"
+            " OR doc_id IN (SELECT doc_id FROM g1 WHERE admit)"
+        ),
+        screens=("neardup",),
+    )
+    return f"""
+    WITH g1 AS MATERIALIZED ({g1}),
+    g2 AS MATERIALIZED ({g2})
+    SELECT CAST(1 AS BIGINT) AS wave, * FROM g1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS wave, * FROM g2
+    """
+
+
+@register("q_ingest_lifecycle", oracle=_ingest_lifecycle_oracle())
+def q_ingest_lifecycle(spark, sf_dir):
+    """INGEST LIFECYCLE — the front door's absorption loop end-to-end
+    (the q_retrieval_lifecycle discipline applied to text ingest): wave
+    1 arrivals are screened against the standing corpus (quality + lang
+    + verified near-dup; the near-dup arm alone — the fixture corpus is
+    winnow-span-saturated, documented in test_wave45, so the span gate
+    admits nothing at any knob and would make the loop vacuous), its
+    ADMITTED documents join the corpus, and wave 2 is screened against
+    corpus ∪ admits — a wave-2 near-copy of a just-admitted page is
+    rejected even though nothing in the original corpus resembles it
+    (pinned at sf0.001 in the law test: absorption flags a document the
+    frozen corpus misses). The oracle derives the admitted set from
+    wave 1's own verdicts inside one SQL statement — the loop is
+    replayed, not assumed.
+
+    Scale: absorption at 100 TB is an artifact merge, not a corpus
+    rebuild — admitted docs' band rows append to the band table and
+    their winnowed dfs integer-merge (q_winnow_incremental /
+    merge_bm25_stats posture); this row's recompute-from-union is the
+    ORACLE discipline, while the engine path stays O(wave). Per-wave
+    serve cost is unchanged from q_ingest_gate."""
+    from incubator_flink_old_spark.operators.text import (
+        streaming_ingest_gate,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    m5 = F.col("doc_id") % 5
+    corpus0 = docs.filter(m5 <= 2)
+    wave1 = docs.filter(m5 == 3).select("doc_id", "text", "lang")
+    wave2 = docs.filter(m5 == 4).select("doc_id", "text", "lang")
+    kw = dict(
+        langs=_GATE_LANGS,
+        num_hashes=_NDS_HASHES,
+        band_size=_NDS_BAND,
+        jaccard_threshold=_NDS_THRESHOLD,
+        screens=("neardup",),
+    )
+    g1 = streaming_ingest_gate(wave1, corpus0, **kw)
+    admitted1 = wave1.join(
+        g1.filter(F.col("admit")).select("doc_id"), on="doc_id"
+    )
+    corpus1 = corpus0.select("doc_id", "text").unionByName(
+        admitted1.select("doc_id", "text")
+    )
+    g2 = streaming_ingest_gate(wave2, corpus1, **kw)
+    return g1.withColumn("wave", F.lit(1).cast("long")).unionByName(
+        g2.withColumn("wave", F.lit(2).cast("long"))
+    )

@@ -313,3 +313,55 @@ def test_serve_operating_point_laws(spark):
     assert [k for k, r in rows.items() if r.is_production] == [(3, 20)]
     for r in rows.values():
         assert r.mean_recall == r.hits / 100.0
+
+
+def test_ingest_lifecycle_absorption_screens_next_wave(spark):
+    """The lifecycle's load-bearing claim at sf0.001: at least one
+    wave-2 document is flagged near-dup ONLY because a wave-1 admit
+    joined the corpus — the frozen corpus alone misses it. Also pins
+    wave-1 verdicts ≡ the plain gate against the standing corpus, and
+    that an unknown screen name raises."""
+    from incubator_flink_old_spark.operators.text import (
+        streaming_ingest_gate,
+    )
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+    from incubator_flink_old_spark.queries._util import t
+
+    load_all_queries()
+    rows = QUERIES["q_ingest_lifecycle"](spark, SF).collect()
+    docs = t(spark, SF, "documents")
+    m5 = F.col("doc_id") % 5
+    kw = dict(langs=("en", "de", "fr"), screens=("neardup",))
+    g1 = {
+        r.doc_id: r
+        for r in streaming_ingest_gate(
+            docs.filter(m5 == 3).select("doc_id", "text", "lang"),
+            docs.filter(m5 <= 2),
+            **kw,
+        ).collect()
+    }
+    for r in rows:
+        if r.wave == 1:
+            assert g1[r.doc_id].admit == r.admit
+            assert g1[r.doc_id].has_neardup == r.has_neardup
+    # wave 2 against the FROZEN corpus misses at least one near-dup the
+    # absorbed corpus catches (measured: exactly the absorption effect)
+    frozen2 = {
+        r.doc_id
+        for r in streaming_ingest_gate(
+            docs.filter(m5 == 4).select("doc_id", "text", "lang"),
+            docs.filter(m5 <= 2),
+            **kw,
+        ).collect()
+        if r.has_neardup
+    }
+    lifecycle2 = {r.doc_id for r in rows if r.wave == 2 and r.has_neardup}
+    assert lifecycle2 - frozen2, "absorption changed nothing — fixture broke"
+    assert frozen2 <= lifecycle2  # absorbing can only ADD partners
+
+    with pytest.raises(ValueError, match="unknown screens"):
+        streaming_ingest_gate(
+            docs.filter(m5 == 4).select("doc_id", "text", "lang"),
+            docs.filter(m5 <= 2),
+            screens=("neardup", "spna"),
+        )
