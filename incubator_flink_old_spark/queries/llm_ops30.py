@@ -562,6 +562,10 @@ def q_ingest_lifecycle(spark, sf_dir):
         admitted1.select("doc_id", "text")
     )
     g2 = streaming_ingest_gate(wave2, corpus1, **kw)
-    return g1.withColumn("wave", F.lit(1).cast("long")).unionByName(
-        g2.withColumn("wave", F.lit(2).cast("long"))
-    )
+
+    def tag(g, wave):
+        # wave FIRST to mirror the oracle's column order — the in-repo
+        # gate compares positionally (the driver sorts by name).
+        return g.select(F.lit(wave).cast("long").alias("wave"), "*")
+
+    return tag(g1, 1).unionByName(tag(g2, 2))
