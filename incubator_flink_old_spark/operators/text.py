@@ -1652,6 +1652,7 @@ def streaming_neardup_screen(
     key: str = "doc_id",
     event_time: str | None = None,
     watermark_delay: str = "10 seconds",
+    materialize_static: bool = False,
 ) -> DataFrame:
     """Near-dup screening of a LIVE document stream against a FROZEN
     corpus index — :func:`minhash_lsh_pairs_between` with the probe side
@@ -1707,6 +1708,7 @@ def streaming_neardup_screen(
         text=text,
         key=key,
         carry=carry,
+        materialize_static=materialize_static,
     )
     if event_time is None:
         return verified.dropDuplicates(["doc_a", "doc_b"])
@@ -1726,6 +1728,7 @@ def neardup_screen_events(
     text: str = "text",
     key: str = "doc_id",
     carry: tuple[str, ...] = (),
+    materialize_static: bool = False,
 ) -> DataFrame:
     """The PRE-DEDUP verified match events under
     :func:`streaming_neardup_screen` — identical map-side signatures,
@@ -1736,7 +1739,16 @@ def neardup_screen_events(
     verdict) can consume the screen with ZERO stateful operators of
     their own — the wrapper keeps the deduped pair contract. ``carry``
     names stream columns passed through each event (e.g. the ingest
-    event time). Returns (doc_a, *carry, doc_b, jaccard ≥ threshold)."""
+    event time). Returns (doc_a, *carry, doc_b, jaccard ≥ threshold).
+
+    ``materialize_static=True`` localCheckpoints the corpus-derived
+    artifacts (band table + hashed token sets) before the stream
+    starts — a stream-static join re-evaluates the static side's PLAN
+    every micro-batch, so an unmaterialized corpus re-hashes itself per
+    batch (measured: the dominant cost of the multi-batch parity rows).
+    At 100 TB these are standing bucketed TABLES; the flag is the
+    fixture-scale stand-in for that, and the default stays off for
+    batch callers whose one-shot plan needs no pin."""
     ts = [F.col(c) for c in carry]
     toks_r = corpus.select(
         F.col(key).alias("doc_b"),
@@ -1745,6 +1757,16 @@ def neardup_screen_events(
     bands_r = minhash_bands(corpus, num_hashes, band_size, text, key).select(
         F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket"
     )
+    if materialize_static:
+        # DISK_ONLY: the artifacts must not occupy driver/executor heap
+        # (the round driver's session runs with default memory; in-heap
+        # checkpoints accumulated across queries OOM a 1g driver). Batch
+        # 1 computes and spills them once; later batches read the
+        # persisted blocks instead of re-hashing the corpus.
+        from pyspark.storagelevel import StorageLevel
+
+        toks_r = toks_r.persist(StorageLevel.DISK_ONLY)
+        bands_r = bands_r.persist(StorageLevel.DISK_ONLY)
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     dtoks = tokens(text, distinct=True)
@@ -2774,6 +2796,7 @@ def streaming_winnow_screen(
     key: str = "doc_id",
     event_time: str | None = None,
     watermark_delay: str = "10 seconds",
+    materialize_static: bool = False,
 ) -> DataFrame:
     """The WINNOWED crawl front door — :func:`streaming_neardup_screen`'s
     deterministic sibling: each arriving document computes its winnowed
@@ -2808,7 +2831,7 @@ def streaming_winnow_screen(
     carry = (event_time,) if event_time is not None else ()
     matched = winnow_screen_events(
         stream, corpus, k=k, w=w, max_df=max_df, text=text, key=key,
-        carry=carry,
+        carry=carry, materialize_static=materialize_static,
     )
     if event_time is None:
         return matched.dropDuplicates(["doc_a", "doc_b", "fp"])
@@ -2828,6 +2851,7 @@ def winnow_screen_events(
     text: str = "text",
     key: str = "doc_id",
     carry: tuple[str, ...] = (),
+    materialize_static: bool = False,
 ) -> DataFrame:
     """The PRE-DEDUP match events under :func:`streaming_winnow_screen`
     — identical map-side winnowed selection, corpus df-cap and
@@ -2838,7 +2862,12 @@ def winnow_screen_events(
     dedup in the wrapper exists for at-least-once sources). Factored
     out so duplicate-insensitive composers
     (:func:`streaming_ingest_gate`) consume the screen with zero
-    stateful operators. Returns (doc_a, *carry, doc_b, fp)."""
+    stateful operators. Returns (doc_a, *carry, doc_b, fp).
+    ``materialize_static`` localCheckpoints the capped corpus
+    fingerprint index before the stream starts — see
+    :func:`neardup_screen_events` (the per-micro-batch static-plan
+    re-evaluation cost; the 100 TB form is a standing fp-bucketed
+    table)."""
     cfp = winnow_fingerprints(
         corpus, k=k, w=w, text=text, key=key, hashes_only=True
     ).select(F.col(key).alias("doc_b"), "fp")
@@ -2850,6 +2879,12 @@ def winnow_screen_events(
             .select("fp")
         )
         cfp = cfp.join(keep, on="fp").select("doc_b", "fp")
+    if materialize_static:
+        from pyspark.storagelevel import StorageLevel
+
+        # DISK_ONLY for the same heap-footprint reason as
+        # neardup_screen_events' artifacts.
+        cfp = cfp.persist(StorageLevel.DISK_ONLY)
     sfp = winnow_fingerprints(
         stream, k=k, w=w, text=text, key=key, carry=carry, hashes_only=True
     ).select(F.col(key).alias("doc_a"), *carry, "fp")
@@ -2877,6 +2912,7 @@ def streaming_ingest_gate(
     event_time: str | None = None,
     watermark_delay: str = "10 seconds",
     screens: tuple[str, ...] = ("neardup", "span"),
+    materialize_static: bool = False,
 ) -> DataFrame:
     """The COMPOSED crawl-ingest front door — quality gate, language
     allowlist, MinHash near-dup screen and winnowed span screen stitched
@@ -2956,6 +2992,7 @@ def streaming_ingest_gate(
             text=text,
             key=key,
             carry=carry,
+            materialize_static=materialize_static,
         ).select(
             F.col("doc_a").alias("__doc"),
             *carry,
@@ -2968,7 +3005,7 @@ def streaming_ingest_gate(
     if "span" in screens:
         span = winnow_screen_events(
             stream, corpus, k=k, w=w, max_df=max_df, text=text, key=key,
-            carry=carry,
+            carry=carry, materialize_static=materialize_static,
         ).select(
             F.col("doc_a").alias("__doc"),
             *carry,

@@ -766,6 +766,7 @@ def q_stream_neardup_screen_parity(spark, sf_dir):
             num_hashes=_NDS_HASHES,
             band_size=_NDS_BAND,
             jaccard_threshold=_NDS_THRESHOLD,
+            materialize_static=True,
         )
         name = f"stream_nds_{next(_SEQ)}"
         run_stream_to_memory(out, name, "append", state_partitions=4)

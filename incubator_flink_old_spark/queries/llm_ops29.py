@@ -282,6 +282,7 @@ def q_stream_neardup_watermark_parity(spark, sf_dir):
             jaccard_threshold=_NDS_THRESHOLD,
             event_time="ts",
             watermark_delay="30 seconds",
+            materialize_static=True,
         )
         name = f"stream_ndw_{next(_SEQ)}"
         run_stream_to_memory(out, name, "append", state_partitions=4)
@@ -811,6 +812,7 @@ def q_stream_winnow_screen_parity(spark, sf_dir):
             k=_WIN_K,
             w=_WIN_W,
             max_df=_WIN_MAX_DF,
+            materialize_static=True,
         )
         name = f"stream_win_{next(_SEQ)}"
         run_stream_to_memory(out, name, "append", state_partitions=4)

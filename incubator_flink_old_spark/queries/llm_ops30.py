@@ -141,7 +141,7 @@ def q_ingest_gate(spark, sf_dir):
 def q_stream_ingest_gate_parity(spark, sf_dir):
     """The composed ingest front door RUN AS A STREAM ⇄ batch parity —
     VERDICT r09 item 4 delivered: new documents arrive as a real
-    4-file in-event-time-order replay, and the whole gate — quality,
+    3-file in-event-time-order replay, and the whole gate — quality,
     lang, both corpus screens, the verdict fold — executes as ONE
     streaming DAG under ONE 30 s watermark with ONE stateful operator
     (the watermarked per-document max-aggregation; the screens run in
@@ -182,7 +182,7 @@ def q_stream_ingest_gate_parity(spark, sf_dir):
                 "ts"
             ),
         )
-        write_event_time_replay(new_docs, src, n_files=4)
+        write_event_time_replay(new_docs, src, n_files=3)
         # Two sentinel arrivals push the watermark past every real
         # document (applied-one-to-two-batches-later rule), forcing the
         # append-mode aggregation to emit all real verdicts in DATA
@@ -216,6 +216,7 @@ def q_stream_ingest_gate_parity(spark, sf_dir):
             max_df=_WIN_MAX_DF,
             event_time="ts",
             watermark_delay="30 seconds",
+            materialize_static=True,
         )
         name = f"stream_gate_{next(_SEQ)}"
         run_stream_to_memory(out, name, "append", state_partitions=4)
