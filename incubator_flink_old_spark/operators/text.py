@@ -1653,6 +1653,7 @@ def streaming_neardup_screen(
     event_time: str | None = None,
     watermark_delay: str = "10 seconds",
     materialize_static: bool = False,
+    artifact_registry: "list | None" = None,
 ) -> DataFrame:
     """Near-dup screening of a LIVE document stream against a FROZEN
     corpus index — :func:`minhash_lsh_pairs_between` with the probe side
@@ -1709,6 +1710,7 @@ def streaming_neardup_screen(
         key=key,
         carry=carry,
         materialize_static=materialize_static,
+        artifact_registry=artifact_registry,
     )
     if event_time is None:
         return verified.dropDuplicates(["doc_a", "doc_b"])
@@ -1729,6 +1731,7 @@ def neardup_screen_events(
     key: str = "doc_id",
     carry: tuple[str, ...] = (),
     materialize_static: bool = False,
+    artifact_registry: "list | None" = None,
 ) -> DataFrame:
     """The PRE-DEDUP verified match events under
     :func:`streaming_neardup_screen` — identical map-side signatures,
@@ -1741,14 +1744,19 @@ def neardup_screen_events(
     names stream columns passed through each event (e.g. the ingest
     event time). Returns (doc_a, *carry, doc_b, jaccard ≥ threshold).
 
-    ``materialize_static=True`` localCheckpoints the corpus-derived
-    artifacts (band table + hashed token sets) before the stream
-    starts — a stream-static join re-evaluates the static side's PLAN
-    every micro-batch, so an unmaterialized corpus re-hashes itself per
-    batch (measured: the dominant cost of the multi-batch parity rows).
-    At 100 TB these are standing bucketed TABLES; the flag is the
-    fixture-scale stand-in for that, and the default stays off for
-    batch callers whose one-shot plan needs no pin."""
+    ``materialize_static=True`` persists the corpus-derived artifacts
+    (band table + hashed token sets) DISK_ONLY — a stream-static join
+    re-evaluates the static side's PLAN every micro-batch, so an
+    unmaterialized corpus re-hashes itself per batch (measured: the
+    dominant cost of the multi-batch parity rows). The persist is LAZY:
+    the first micro-batch pays the build, later batches read the
+    spilled blocks; lineage is kept (executor loss re-derives from
+    source). At 100 TB these are standing bucketed TABLES; the flag is
+    the fixture-scale stand-in, default off for batch callers whose
+    one-shot plan needs no pin. Pass ``artifact_registry`` (a list) to
+    receive the persisted frames — the CALLER owns the stream lifecycle
+    and should unpersist them after the run, else the blocks live until
+    JVM exit (review finding)."""
     ts = [F.col(c) for c in carry]
     toks_r = corpus.select(
         F.col(key).alias("doc_b"),
@@ -1767,6 +1775,8 @@ def neardup_screen_events(
 
         toks_r = toks_r.persist(StorageLevel.DISK_ONLY)
         bands_r = bands_r.persist(StorageLevel.DISK_ONLY)
+        if artifact_registry is not None:
+            artifact_registry.extend((toks_r, bands_r))
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     dtoks = tokens(text, distinct=True)
@@ -2581,6 +2591,16 @@ def merge_winnow_stats(
             )
         tagged = None
         for i, kf in enumerate(doc_keys):
+            if len(kf.columns) != 1:
+                # A multi-column frame (e.g. the stats or fps frames
+                # passed by mistake) would silently check disjointness
+                # of whatever its FIRST column is — defeating the guard
+                # (review finding). Require the explicit key projection.
+                raise ValueError(
+                    f"merge_winnow_stats: doc_keys[{i}] must be a"
+                    f" single-column document-key frame, got columns"
+                    f" {kf.columns}"
+                )
             col = kf.columns[0]
             part = kf.select(F.col(col).alias("__doc")).distinct().withColumn(
                 "__src", F.lit(i)
@@ -2646,6 +2666,15 @@ def winnow_drift_audit(
     one row. Refreshing the cap after a trip costs nothing more — the
     merged stats ARE the refreshed index (:func:`merge_winnow_stats`).
     """
+    if n_delta <= 0 or n_base < 0:
+        # An empty delta cannot justify a refresh, and share would be a
+        # zero/invalid denominator — the designed not-tripped error, not
+        # a bare ZeroDivisionError (review finding).
+        raise ValueError(
+            f"winnow_drift_audit: not tripped — empty delta"
+            f" (n_base={n_base}, n_delta={n_delta}); nothing to absorb,"
+            " nothing to audit"
+        )
     b = base_stats.select("fp", F.col("df").alias("df_base"))
     d = delta_stats.select("fp", F.col("df").alias("df_delta"))
     zero = F.lit(0).cast("long")
@@ -2657,6 +2686,11 @@ def winnow_drift_audit(
             F.coalesce("df_delta", zero).alias("df_delta"),
         )
         .withColumn("df_merged", F.col("df_base") + F.col("df_delta"))
+        # Digest-sized by contract (distinct fingerprints); pinned so
+        # the audit reduce below and the returned refresh frame share
+        # ONE execution of the corpus-shaped upstream (the callers
+        # re-shingle whole corpora to build the stats — review finding).
+        .localCheckpoint(eager=True)
     )
     share = n_delta / (n_base + n_delta)
     mx = (
@@ -2797,6 +2831,7 @@ def streaming_winnow_screen(
     event_time: str | None = None,
     watermark_delay: str = "10 seconds",
     materialize_static: bool = False,
+    artifact_registry: "list | None" = None,
 ) -> DataFrame:
     """The WINNOWED crawl front door — :func:`streaming_neardup_screen`'s
     deterministic sibling: each arriving document computes its winnowed
@@ -2832,6 +2867,7 @@ def streaming_winnow_screen(
     matched = winnow_screen_events(
         stream, corpus, k=k, w=w, max_df=max_df, text=text, key=key,
         carry=carry, materialize_static=materialize_static,
+        artifact_registry=artifact_registry,
     )
     if event_time is None:
         return matched.dropDuplicates(["doc_a", "doc_b", "fp"])
@@ -2852,6 +2888,7 @@ def winnow_screen_events(
     key: str = "doc_id",
     carry: tuple[str, ...] = (),
     materialize_static: bool = False,
+    artifact_registry: "list | None" = None,
 ) -> DataFrame:
     """The PRE-DEDUP match events under :func:`streaming_winnow_screen`
     — identical map-side winnowed selection, corpus df-cap and
@@ -2863,11 +2900,10 @@ def winnow_screen_events(
     out so duplicate-insensitive composers
     (:func:`streaming_ingest_gate`) consume the screen with zero
     stateful operators. Returns (doc_a, *carry, doc_b, fp).
-    ``materialize_static`` localCheckpoints the capped corpus
-    fingerprint index before the stream starts — see
-    :func:`neardup_screen_events` (the per-micro-batch static-plan
-    re-evaluation cost; the 100 TB form is a standing fp-bucketed
-    table)."""
+    ``materialize_static`` persists the capped corpus fingerprint
+    index DISK_ONLY (lazy — batch 1 builds it) — see
+    :func:`neardup_screen_events` for the contract, including
+    ``artifact_registry`` ownership of the unpersist."""
     cfp = winnow_fingerprints(
         corpus, k=k, w=w, text=text, key=key, hashes_only=True
     ).select(F.col(key).alias("doc_b"), "fp")
@@ -2885,6 +2921,8 @@ def winnow_screen_events(
         # DISK_ONLY for the same heap-footprint reason as
         # neardup_screen_events' artifacts.
         cfp = cfp.persist(StorageLevel.DISK_ONLY)
+        if artifact_registry is not None:
+            artifact_registry.append(cfp)
     sfp = winnow_fingerprints(
         stream, k=k, w=w, text=text, key=key, carry=carry, hashes_only=True
     ).select(F.col(key).alias("doc_a"), *carry, "fp")
@@ -2913,6 +2951,7 @@ def streaming_ingest_gate(
     watermark_delay: str = "10 seconds",
     screens: tuple[str, ...] = ("neardup", "span"),
     materialize_static: bool = False,
+    artifact_registry: "list | None" = None,
 ) -> DataFrame:
     """The COMPOSED crawl-ingest front door — quality gate, language
     allowlist, MinHash near-dup screen and winnowed span screen stitched
@@ -2993,6 +3032,7 @@ def streaming_ingest_gate(
             key=key,
             carry=carry,
             materialize_static=materialize_static,
+            artifact_registry=artifact_registry,
         ).select(
             F.col("doc_a").alias("__doc"),
             *carry,
@@ -3006,6 +3046,7 @@ def streaming_ingest_gate(
         span = winnow_screen_events(
             stream, corpus, k=k, w=w, max_df=max_df, text=text, key=key,
             carry=carry, materialize_static=materialize_static,
+            artifact_registry=artifact_registry,
         ).select(
             F.col("doc_a").alias("__doc"),
             *carry,

@@ -746,6 +746,7 @@ def q_stream_neardup_screen_parity(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % _D_MOD == _D_REM
     corpus = docs.filter(~is_new)
+    arts: list = []  # persisted corpus artifacts; released in finally
     src = tempfile.mkdtemp(prefix="t2_stream_nds_")
     try:
         (
@@ -767,11 +768,14 @@ def q_stream_neardup_screen_parity(spark, sf_dir):
             band_size=_NDS_BAND,
             jaccard_threshold=_NDS_THRESHOLD,
             materialize_static=True,
+            artifact_registry=arts,
         )
         name = f"stream_nds_{next(_SEQ)}"
         run_stream_to_memory(out, name, "append", state_partitions=4)
         tbl = spark.table(name).localCheckpoint(eager=True)
     finally:
+        for a in arts:
+            a.unpersist()
         shutil.rmtree(src, ignore_errors=True)
     return tbl.select("doc_a", "doc_b", "jaccard")
 

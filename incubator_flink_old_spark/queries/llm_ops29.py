@@ -252,6 +252,7 @@ def q_stream_neardup_watermark_parity(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % _D_MOD == _D_REM
     corpus = docs.filter(~is_new)
+    arts: list = []  # persisted corpus artifacts; released in finally
     src = tempfile.mkdtemp(prefix="t2_stream_ndw_")
     try:
         new_docs = docs.filter(is_new).select(
@@ -283,11 +284,14 @@ def q_stream_neardup_watermark_parity(spark, sf_dir):
             event_time="ts",
             watermark_delay="30 seconds",
             materialize_static=True,
+            artifact_registry=arts,
         )
         name = f"stream_ndw_{next(_SEQ)}"
         run_stream_to_memory(out, name, "append", state_partitions=4)
         tbl = spark.table(name).localCheckpoint(eager=True)
     finally:
+        for a in arts:
+            a.unpersist()
         shutil.rmtree(src, ignore_errors=True)
     return tbl.select("doc_a", "doc_b", "jaccard")
 
@@ -614,9 +618,13 @@ def _winnow_ctes(src: str = "documents", prefix: str = "") -> str:
     ``src`` is the source relation (must expose doc_id, text) and
     ``prefix`` namespaces the CTE names so two chains can coexist in one
     WITH list (the drift-audit row winnows base and drifted-delta
-    separately — the _grid_ivf_ctes parameterization discipline). The
-    defaults render the exact pre-parameterization string, so every
-    oracle built on this is byte-stable."""
+    separately — the _grid_ivf_ctes parameterization discipline).
+    NOTE: the parameterization itself CHANGED the rendered SQL once (a
+    ``wq`` self-alias the prefixing requires), so every winnow oracle's
+    hash moved in round 10 and those rows were re-fronted; from here on
+    the defaults are stable, but any future edit to this template must
+    re-front every row whose oracle embeds it (review finding — do not
+    trust a byte-stability claim across template edits)."""
     k, w = _WIN_K, _WIN_W
     p = prefix
     return rf"""
@@ -741,8 +749,9 @@ def _stream_winnow_oracle(
     # splitting new/corpus AFTER is value-identical to computing each
     # side separately — the batch replay needs no stream in sight.
     # new_pred/scope_pred follow _stream_neardup_oracle's contract (the
-    # lifecycle oracle's wave split); defaults render the exact
-    # pre-parameterization string.
+    # lifecycle oracle's wave split). Defaults are stable going forward,
+    # but see _winnow_ctes' note: the r10 parameterization moved every
+    # winnow oracle hash once (rows re-fronted).
     new_pred = new_pred or f"doc_id % {_D_MOD} = {_D_REM}"
     src = (
         f"(SELECT doc_id, text FROM documents WHERE {scope_pred}) winsrc"
@@ -792,6 +801,7 @@ def q_stream_winnow_screen_parity(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % _D_MOD == _D_REM
+    arts: list = []  # persisted corpus artifacts; released in finally
     src = tempfile.mkdtemp(prefix="t2_stream_win_")
     try:
         (
@@ -813,11 +823,14 @@ def q_stream_winnow_screen_parity(spark, sf_dir):
             w=_WIN_W,
             max_df=_WIN_MAX_DF,
             materialize_static=True,
+            artifact_registry=arts,
         )
         name = f"stream_win_{next(_SEQ)}"
         run_stream_to_memory(out, name, "append", state_partitions=4)
         tbl = spark.table(name).localCheckpoint(eager=True)
     finally:
+        for a in arts:
+            a.unpersist()
         shutil.rmtree(src, ignore_errors=True)
     return tbl.select("doc_a", "doc_b", "fp")
 

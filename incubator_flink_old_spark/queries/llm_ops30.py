@@ -44,7 +44,6 @@ def _ingest_gate_oracle(
     new_pred: str | None = None,
     scope_pred: str | None = None,
     screens: tuple[str, ...] = ("neardup", "span"),
-    jaccard: float | None = None,
 ) -> str:
     """Stitched twin: the two screens' verified oracles (verbatim — the
     q_curate_full discipline of composing checked fragments) feed
@@ -58,12 +57,9 @@ def _ingest_gate_oracle(
     scope = f" AND ({scope_pred})" if scope_pred else ""
     ctes, near_flag, span_flag = [], "FALSE", "FALSE"
     if "neardup" in screens:
-        np_sql = _stream_neardup_oracle(new_pred, scope_pred)
-        if jaccard is not None:
-            np_sql = np_sql.replace(
-                f"jaccard >= {_NDS_THRESHOLD}", f"jaccard >= {jaccard}"
-            )
-        ctes.append(f"np AS MATERIALIZED ({np_sql})")
+        ctes.append(
+            f"np AS MATERIALIZED ({_stream_neardup_oracle(new_pred, scope_pred)})"
+        )
         near_flag = "doc_id IN (SELECT doc_a FROM np)"
     if "span" in screens:
         ctes.append(
@@ -172,6 +168,7 @@ def q_stream_ingest_gate_parity(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % _D_MOD == _D_REM
     corpus = docs.filter(~is_new)
+    arts: list = []  # persisted corpus artifacts; released in finally
     src = tempfile.mkdtemp(prefix="t2_stream_gate_")
     try:
         new_docs = docs.filter(is_new).select(
@@ -217,6 +214,7 @@ def q_stream_ingest_gate_parity(spark, sf_dir):
             event_time="ts",
             watermark_delay="30 seconds",
             materialize_static=True,
+            artifact_registry=arts,
         )
         name = f"stream_gate_{next(_SEQ)}"
         run_stream_to_memory(out, name, "append", state_partitions=4)
@@ -226,6 +224,8 @@ def q_stream_ingest_gate_parity(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     finally:
+        for a in arts:
+            a.unpersist()
         shutil.rmtree(src, ignore_errors=True)
     return tbl
 
