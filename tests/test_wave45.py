@@ -365,3 +365,25 @@ def test_ingest_lifecycle_absorption_screens_next_wave(spark):
             docs.filter(m5 <= 2),
             screens=("neardup", "spna"),
         )
+
+
+def test_review_fix_guards(spark):
+    """Round-10 review-fix guards: a multi-column doc_keys frame raises
+    (it would silently check the wrong column's disjointness), and an
+    empty delta raises the designed not-tripped error, not
+    ZeroDivisionError."""
+    from incubator_flink_old_spark.operators.text import (
+        merge_winnow_stats,
+        winnow_drift_audit,
+        winnow_fingerprints,
+        winnow_index_stats,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents").limit(40)
+    fps = winnow_fingerprints(docs, k=3, w=4, hashes_only=True)
+    stats = winnow_index_stats(fps)
+    with pytest.raises(ValueError, match="single-column"):
+        merge_winnow_stats(stats, stats, doc_keys=[fps, fps])
+    with pytest.raises(ValueError, match="empty delta"):
+        winnow_drift_audit(stats, stats, max_df=25, n_base=40, n_delta=0)
