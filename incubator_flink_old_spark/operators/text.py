@@ -1721,6 +1721,32 @@ def streaming_neardup_screen(
     )
 
 
+def neardup_corpus_artifacts(
+    corpus: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    text: str = "text",
+    key: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The STANDING corpus artifacts behind the near-dup screen,
+    factored out so they can be maintained incrementally: returns
+    ``(toks, bands)`` — toks = (doc_b, tb hashed-token-set), bands =
+    (doc_b, nb, band, bucket), exactly the two static sides
+    :func:`neardup_screen_events` probes. Absorbing an admitted wave is
+    an O(wave) APPEND on both frames (``unionByName`` with the wave's
+    own artifacts — fingerprint selection never crosses documents), so
+    the standing corpus is never re-hashed; at 100 TB these are the
+    bucketed band/token TABLES the screens join against."""
+    toks = corpus.select(
+        F.col(key).alias("doc_b"),
+        _hashed_set(tokens(text, distinct=True)).alias("tb"),
+    )
+    bands = minhash_bands(corpus, num_hashes, band_size, text, key).select(
+        F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket"
+    )
+    return toks, bands
+
+
 def neardup_screen_events(
     stream: DataFrame,
     corpus: DataFrame,
@@ -1732,6 +1758,7 @@ def neardup_screen_events(
     carry: tuple[str, ...] = (),
     materialize_static: bool = False,
     artifact_registry: "list | None" = None,
+    corpus_artifacts: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """The PRE-DEDUP verified match events under
     :func:`streaming_neardup_screen` — identical map-side signatures,
@@ -1756,28 +1783,47 @@ def neardup_screen_events(
     one-shot plan needs no pin. Pass ``artifact_registry`` (a list) to
     receive the persisted frames — the CALLER owns the stream lifecycle
     and should unpersist them after the run, else the blocks live until
-    JVM exit (review finding)."""
-    ts = [F.col(c) for c in carry]
-    toks_r = corpus.select(
-        F.col(key).alias("doc_b"),
-        _hashed_set(tokens(text, distinct=True)).alias("tb"),
-    )
-    bands_r = minhash_bands(corpus, num_hashes, band_size, text, key).select(
-        F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket"
-    )
-    if materialize_static:
-        # DISK_ONLY: the artifacts must not occupy driver/executor heap
-        # (the round driver's session runs with default memory; in-heap
-        # checkpoints accumulated across queries OOM a 1g driver). Batch
-        # 1 computes and spills them once; later batches read the
-        # persisted blocks instead of re-hashing the corpus.
-        from pyspark.storagelevel import StorageLevel
+    JVM exit (review finding).
 
-        toks_r = toks_r.persist(StorageLevel.DISK_ONLY)
-        bands_r = bands_r.persist(StorageLevel.DISK_ONLY)
-        if artifact_registry is not None:
-            artifact_registry.extend((toks_r, bands_r))
-    assert num_hashes % band_size == 0
+    ``corpus_artifacts=(toks, bands)`` supplies PRECOMPUTED standing
+    artifacts (:func:`neardup_corpus_artifacts`, possibly appended with
+    an admitted wave's delta — the N-wave absorb path) instead of
+    deriving them from ``corpus``; ``corpus`` is then unused and the
+    caller owns persistence (materialize_static is ignored)."""
+    if num_hashes % band_size != 0:
+        # ValueError BEFORE any artifact construction (review finding):
+        # a bare assert here was stripped under python -O, and placed
+        # after the persists an invalid config leaked the just-persisted
+        # corpus artifacts on failure.
+        raise ValueError(
+            f"neardup_screen_events: num_hashes ({num_hashes}) must be a"
+            f" multiple of band_size ({band_size})"
+        )
+    ts = [F.col(c) for c in carry]
+    if corpus_artifacts is not None:
+        # Maintained-index form: the caller supplies the standing corpus
+        # artifacts (possibly an O(wave) append-merge of frozen tables
+        # with a delta batch — the absorb path) and OWNS their
+        # persistence; materialize_static is ignored for supplied frames.
+        toks_r, bands_r = corpus_artifacts
+    else:
+        toks_r, bands_r = neardup_corpus_artifacts(
+            corpus, num_hashes=num_hashes, band_size=band_size,
+            text=text, key=key,
+        )
+        if materialize_static:
+            # DISK_ONLY: the artifacts must not occupy driver/executor
+            # heap (the round driver's session runs with default memory;
+            # in-heap checkpoints accumulated across queries OOM a 1g
+            # driver). Batch 1 computes and spills them once; later
+            # batches read the persisted blocks instead of re-hashing
+            # the corpus.
+            from pyspark.storagelevel import StorageLevel
+
+            toks_r = toks_r.persist(StorageLevel.DISK_ONLY)
+            bands_r = bands_r.persist(StorageLevel.DISK_ONLY)
+            if artifact_registry is not None:
+                artifact_registry.extend((toks_r, bands_r))
     n_bands = num_hashes // band_size
     dtoks = tokens(text, distinct=True)
     srows = stream.select(
@@ -2632,6 +2678,7 @@ def winnow_drift_audit(
     n_base: int,
     n_delta: int,
     min_skew: float = 2.5,
+    artifact_registry: "list | None" = None,
 ) -> DataFrame:
     """DRIFT AUDIT for the span-dedup index's stop-gram cap — the
     :func:`~incubator_flink_old_spark.queries.llm_ops28.q_drift_retrain`
@@ -2665,7 +2712,12 @@ def winnow_drift_audit(
     shuffle = distinct fingerprints, never documents; the skew reduce is
     one row. Refreshing the cap after a trip costs nothing more — the
     merged stats ARE the refreshed index (:func:`merge_winnow_stats`).
-    """
+
+    Pass ``artifact_registry`` (a list) to receive the internal eager
+    checkpoint of the merged digest for release — otherwise its blocks
+    live until JVM exit (review finding; the screens' registry
+    contract). Materialize the returned refresh frame before
+    unpersisting it."""
     if n_delta <= 0 or n_base < 0:
         # An empty delta cannot justify a refresh, and share would be a
         # zero/invalid denominator — the designed not-tripped error, not
@@ -2692,6 +2744,13 @@ def winnow_drift_audit(
         # re-shingle whole corpora to build the stats — review finding).
         .localCheckpoint(eager=True)
     )
+    if artifact_registry is not None:
+        # The checkpointed digest lives until JVM exit unless released
+        # (review finding — the screens' artifact_registry contract):
+        # the caller must materialize the returned refresh frame (e.g.
+        # its own eager checkpoint) BEFORE unpersisting, since a
+        # checkpoint's blocks cannot be recomputed once dropped.
+        artifact_registry.append(j)
     share = n_delta / (n_base + n_delta)
     mx = (
         j.filter(F.col("df_merged") > max_df)
@@ -2878,6 +2937,29 @@ def streaming_winnow_screen(
     )
 
 
+def winnow_corpus_index(
+    corpus: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text: str = "text",
+    key: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The STANDING span-dedup index behind the winnow screen, factored
+    out for incremental maintenance: returns ``(fps, stats)`` — fps =
+    (doc_b, fp), the UNCAPPED winnowed fingerprint table, and stats =
+    (fp, df) its document frequencies. The cap is applied at SCREEN
+    time from stats (never baked into fps — a capped table cannot be
+    merged, because a fingerprint under-cap in two halves can be
+    over-cap in their union). Absorbing an admitted wave is an O(wave)
+    append on fps plus :func:`merge_winnow_stats` on stats; the
+    standing corpus is never re-shingled."""
+    fps = winnow_fingerprints(
+        corpus, k=k, w=w, text=text, key=key, hashes_only=True
+    ).select(F.col(key).alias("doc_b"), "fp")
+    stats = fps.groupBy("fp").agg(F.count_distinct("doc_b").alias("df"))
+    return fps, stats
+
+
 def winnow_screen_events(
     stream: DataFrame,
     corpus: DataFrame,
@@ -2889,6 +2971,7 @@ def winnow_screen_events(
     carry: tuple[str, ...] = (),
     materialize_static: bool = False,
     artifact_registry: "list | None" = None,
+    corpus_index: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """The PRE-DEDUP match events under :func:`streaming_winnow_screen`
     — identical map-side winnowed selection, corpus df-cap and
@@ -2903,26 +2986,48 @@ def winnow_screen_events(
     ``materialize_static`` persists the capped corpus fingerprint
     index DISK_ONLY (lazy — batch 1 builds it) — see
     :func:`neardup_screen_events` for the contract, including
-    ``artifact_registry`` ownership of the unpersist."""
-    cfp = winnow_fingerprints(
-        corpus, k=k, w=w, text=text, key=key, hashes_only=True
-    ).select(F.col(key).alias("doc_b"), "fp")
-    if max_df is not None:
-        keep = (
-            cfp.groupBy("fp")
-            .agg(F.count_distinct("doc_b").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("fp")
-        )
-        cfp = cfp.join(keep, on="fp").select("doc_b", "fp")
-    if materialize_static:
-        from pyspark.storagelevel import StorageLevel
+    ``artifact_registry`` ownership of the unpersist.
 
-        # DISK_ONLY for the same heap-footprint reason as
-        # neardup_screen_events' artifacts.
-        cfp = cfp.persist(StorageLevel.DISK_ONLY)
-        if artifact_registry is not None:
-            artifact_registry.append(cfp)
+    ``corpus_index=(fps, stats)`` supplies the PRECOMPUTED standing
+    index (:func:`winnow_corpus_index`, possibly an O(wave) absorb:
+    fps appended, stats :func:`merge_winnow_stats`-merged); ``corpus``
+    is then unused, the cap is applied from the supplied stats, and
+    the caller owns persistence. By the merge exactness (integer df
+    sums over disjoint document sets) the capped probe is
+    value-identical to a from-scratch rebuild over the union corpus."""
+    if corpus_index is not None:
+        fps, stats = corpus_index
+        if max_df is not None:
+            keep = stats.filter(F.col("df") <= max_df).select("fp")
+            cfp = fps.join(keep, on="fp").select("doc_b", "fp")
+        else:
+            # Mirror winnow_matches_from_index's guard: a maintained
+            # stats frame with no cap means the caller forgot the
+            # stop-gram filter they built the stats for.
+            raise ValueError(
+                "winnow_screen_events: corpus_index given but max_df is"
+                " None — pass max_df to apply the stop-gram cap"
+            )
+    else:
+        cfp = winnow_fingerprints(
+            corpus, k=k, w=w, text=text, key=key, hashes_only=True
+        ).select(F.col(key).alias("doc_b"), "fp")
+        if max_df is not None:
+            keep = (
+                cfp.groupBy("fp")
+                .agg(F.count_distinct("doc_b").alias("__df"))
+                .filter(F.col("__df") <= max_df)
+                .select("fp")
+            )
+            cfp = cfp.join(keep, on="fp").select("doc_b", "fp")
+        if materialize_static:
+            from pyspark.storagelevel import StorageLevel
+
+            # DISK_ONLY for the same heap-footprint reason as
+            # neardup_screen_events' artifacts.
+            cfp = cfp.persist(StorageLevel.DISK_ONLY)
+            if artifact_registry is not None:
+                artifact_registry.append(cfp)
     sfp = winnow_fingerprints(
         stream, k=k, w=w, text=text, key=key, carry=carry, hashes_only=True
     ).select(F.col(key).alias("doc_a"), *carry, "fp")
@@ -2952,6 +3057,7 @@ def streaming_ingest_gate(
     screens: tuple[str, ...] = ("neardup", "span"),
     materialize_static: bool = False,
     artifact_registry: "list | None" = None,
+    corpus_artifacts: "dict | None" = None,
 ) -> DataFrame:
     """The COMPOSED crawl-ingest front door — quality gate, language
     allowlist, MinHash near-dup screen and winnowed span screen stitched
@@ -2988,6 +3094,19 @@ def streaming_ingest_gate(
     screen that is off contributes no evidence and its flag reads
     false — the lifecycle row runs the near-dup arm alone.
 
+    NULL regime (pinned, review finding): a document whose quality is
+    unscorable (zero tokens ⇒ NULL ratios) or whose ``lang`` is NULL
+    reads quality_ok / lang_ok FALSE and is rejected — never a NULL
+    verdict. Oracles mirror this with COALESCE(flag, FALSE).
+
+    ``corpus_artifacts`` supplies maintained standing indexes instead
+    of deriving them from ``corpus``: a dict with optional keys
+    ``"neardup"`` = (toks, bands) (:func:`neardup_corpus_artifacts`)
+    and ``"span"`` = (fps, stats) (:func:`winnow_corpus_index`) — the
+    N-wave absorb path, where admitting a wave appends its delta
+    artifacts instead of re-deriving the corpus. The caller owns
+    persistence of supplied frames.
+
     Scale: base is a pure map; both probes are stream-static equi-joins
     against materialized, bucketed corpus artifacts (band table by
     (band, bucket), fingerprint index by fp); the single aggregation
@@ -3008,6 +3127,7 @@ def streaming_ingest_gate(
         raise ValueError(
             f"streaming_ingest_gate: unknown screens {sorted(bad_screens)}"
         )
+    corpus_artifacts = corpus_artifacts or {}
     carry = (event_time,) if event_time is not None else ()
     zero, one = F.lit(0), F.lit(1)
     base = quality_score(
@@ -3015,8 +3135,14 @@ def streaming_ingest_gate(
     ).select(
         F.col(key).alias("__doc"),
         *carry,
-        F.col("keep").cast("int").alias("__q"),
-        F.col(lang).isin(*langs).cast("int").alias("__l"),
+        # COALESCE pins the NULL regime (review finding): a zero-token
+        # document scores a NULL quality and a NULL lang misses the
+        # allowlist as NULL — without the coalesce the max-fold turned
+        # those into false ONLY when a screen event coexisted (max(NULL,
+        # 0) = 0) and NULL otherwise, a fixture-dependent divergence.
+        # Pinned semantics: unscorable ⇒ gate fails ⇒ rejected.
+        F.coalesce(F.col("keep").cast("int"), zero).alias("__q"),
+        F.coalesce(F.col(lang).isin(*langs).cast("int"), zero).alias("__l"),
         zero.alias("__near"),
         zero.alias("__span"),
     )
@@ -3033,6 +3159,7 @@ def streaming_ingest_gate(
             carry=carry,
             materialize_static=materialize_static,
             artifact_registry=artifact_registry,
+            corpus_artifacts=corpus_artifacts.get("neardup"),
         ).select(
             F.col("doc_a").alias("__doc"),
             *carry,
@@ -3047,6 +3174,7 @@ def streaming_ingest_gate(
             stream, corpus, k=k, w=w, max_df=max_df, text=text, key=key,
             carry=carry, materialize_static=materialize_static,
             artifact_registry=artifact_registry,
+            corpus_index=corpus_artifacts.get("span"),
         ).select(
             F.col("doc_a").alias("__doc"),
             *carry,

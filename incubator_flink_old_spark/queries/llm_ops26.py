@@ -420,15 +420,16 @@ def _refine_oracle(refine_c: int = _REFINE_C) -> str:
     """
 
 
-def _refine_ranked(
-    spark, sf_dir, refine_c: int = _REFINE_C, n_probe: int | None = None
-):
-    """The refine pipeline's RANKED result and its ground truth:
-    returns (it, bt) where it = (q_id, vec_id, rn) — the exact-distance
-    top-k over the code-rank shortlist, rank kept — and bt = the
-    brute-force exact top-k (q_id, vec_id). Shared by the recall row
-    and the rank-aware evaluation row (MRR/nDCG) so both score the
-    same shipped pipeline."""
+def _serve_artifacts(spark, sf_dir) -> dict:
+    """The CONFIG-INDEPENDENT half of the serve pipeline, computed once
+    and threadable through any number of (n_probe, refine_c) settings
+    (VERDICT r10 item 1 — q_serve_operating_point used to re-derive all
+    of this per config): ONE Lloyd train (grid_ivf cells + centers),
+    ONE SQ8 encode (codes + the query codes), the full-precision
+    double-grid views (kd + the query vectors) and the brute-force
+    exact ground truth bt — none of which depend on the probe/shortlist
+    knobs. Single-config callers (:func:`_refine_ranked` with
+    ``artifacts=None``) build it inline, unchanged behavior."""
     from pyspark.sql import Window
 
     from incubator_flink_old_spark.operators.similarity import (
@@ -438,17 +439,14 @@ def _refine_ranked(
     from incubator_flink_old_spark.queries.llm_ops11 import (
         _ITERS,
         _N_CELLS,
-        _N_PROBE,
         _N_QUERIES,
         _TOPK,
-        _grid_probes,
     )
     from incubator_flink_old_spark.queries.llm_ops18 import (
         _grid_vec,
         _sq_codes,
     )
 
-    n_probe = _N_PROBE if n_probe is None else n_probe
     emb = t(spark, sf_dir, "embeddings")
     cells, centers = grid_ivf(emb, n_cells=_N_CELLS, iters=_ITERS)
     eg = emb.select("vec_id", _grid_vec().alias("k"))
@@ -456,11 +454,74 @@ def _refine_ranked(
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    probes = _grid_probes(queries, centers, n_probe=n_probe)
-    cand = probes.join(cells, on="cell").select("q_id", "vec_id")
     qcodes = codes.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("code").alias("qcode")
     )
+    kd = eg.select(
+        "vec_id", F.transform("k", lambda x: x.cast("double")).alias("kd")
+    )
+    qk = kd.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("kd").alias("qv")
+    )
+    # exact full-precision ground truth (the family's shared harness;
+    # brute force bounded to the 20-query sample)
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    bd = (
+        F.broadcast(qk)
+        .crossJoin(kd.select("vec_id", F.col("kd").alias("cv")))
+        .select(
+            "q_id", "vec_id", grid_sqdist(F.col("qv"), F.col("cv")).alias("d")
+        )
+    )
+    bt = (
+        bd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    return dict(
+        cells=cells,
+        centers=centers,
+        codes=codes,
+        queries=queries,
+        qcodes=qcodes,
+        kd=kd,
+        qk=qk,
+        bt=bt,
+    )
+
+
+def _refine_ranked(
+    spark,
+    sf_dir,
+    refine_c: int = _REFINE_C,
+    n_probe: int | None = None,
+    artifacts: dict | None = None,
+):
+    """The refine pipeline's RANKED result and its ground truth:
+    returns (it, bt) where it = (q_id, vec_id, rn) — the exact-distance
+    top-k over the code-rank shortlist, rank kept — and bt = the
+    brute-force exact top-k (q_id, vec_id). Shared by the recall row
+    and the rank-aware evaluation row (MRR/nDCG) so both score the
+    same shipped pipeline. Pass ``artifacts``
+    (:func:`_serve_artifacts`, possibly persisted by the caller) to
+    share ONE train/encode/truth across configs — only the probe and
+    shortlist tails below depend on (n_probe, refine_c)."""
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.operators.similarity import grid_sqdist
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _N_PROBE,
+        _TOPK,
+        _grid_probes,
+    )
+
+    n_probe = _N_PROBE if n_probe is None else n_probe
+    if artifacts is None:
+        artifacts = _serve_artifacts(spark, sf_dir)
+    cells, centers = artifacts["cells"], artifacts["centers"]
+    codes, qcodes = artifacts["codes"], artifacts["qcodes"]
+    probes = _grid_probes(artifacts["queries"], centers, n_probe=n_probe)
+    cand = probes.join(cells, on="cell").select("q_id", "vec_id")
     # stage A: compressed scan — rank the probed pool by int8 codes,
     # keep the refine_c shortlist (the only corpus-shaped work, at 8x
     # fewer bytes than the double grid)
@@ -481,12 +542,7 @@ def _refine_ranked(
     )
     # stage B: full-precision refine — refine_c point reads per query
     # (an equi-join on vec_id), exact grid distance, final top-k
-    kd = eg.select(
-        "vec_id", F.transform("k", lambda x: x.cast("double")).alias("kd")
-    )
-    qk = kd.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("kd").alias("qv")
-    )
+    kd, qk = artifacts["kd"], artifacts["qk"]
     refined = (
         shortlist.join(kd, on="vec_id")
         .join(F.broadcast(qk), on="q_id")
@@ -500,21 +556,7 @@ def _refine_ranked(
         .filter(F.col("rn") <= _TOPK)
         .select("q_id", "vec_id", "rn")
     )
-    # exact full-precision ground truth (the family's shared harness;
-    # brute force bounded to the 20-query sample)
-    bd = (
-        F.broadcast(qk)
-        .crossJoin(kd.select("vec_id", F.col("kd").alias("cv")))
-        .select(
-            "q_id", "vec_id", grid_sqdist(F.col("qv"), F.col("cv")).alias("d")
-        )
-    )
-    bt = (
-        bd.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOPK)
-        .select("q_id", "vec_id")
-    )
-    return it, bt
+    return it, artifacts["bt"]
 
 
 def _ivfsq8_refine_recall_df(

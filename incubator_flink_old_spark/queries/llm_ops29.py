@@ -533,7 +533,12 @@ def q_join_hotkeys(spark, sf_dir):
     rows/side) and canonicalized identically by every engine, where the
     r09 driver canonicalizer hash-mismatched the DECIMAL form that
     tools/driver_sim.py matched (the r02 array-encoding / r03 HUGEINT
-    red class). ``hot`` is still decided on the decimal product.
+    red class). ``hot`` is still decided on the decimal product, and
+    the BIGINT emission is GUARDED: past 2^63−1 Spark's non-ANSI
+    decimal→bigint cast would silently return NULL where the DuckDB
+    oracle's BIGINT product raises — the assert_true makes both engines
+    FAIL identically at the boundary instead of NULL-vs-error (review
+    finding; unreachable below ~3e9 rows/side).
 
     Scale: shuffle = distinct keys (map-side combinable counts), one
     equi-join of the two digests — cost independent of the join's
@@ -541,9 +546,25 @@ def q_join_hotkeys(spark, sf_dir):
     from incubator_flink_old_spark.operators.joins import join_hotkey_audit
 
     ev = t(spark, sf_dir, "events")
+    fits = F.col("est_rows") <= F.lit("9223372036854775807").cast(
+        "decimal(38,0)"
+    )
     return join_hotkey_audit(
         ev, ev, "user_id", threshold=_HOTKEY_THRESHOLD
-    ).withColumn("est_rows", F.col("est_rows").cast("bigint"))
+    ).withColumn(
+        "est_rows",
+        F.when(
+            F.assert_true(
+                fits,
+                F.lit(
+                    "q_join_hotkeys: est_rows exceeds BIGINT — a key"
+                    " past ~3e9 rows/side; report the DECIMAL audit"
+                    " directly instead of the BIGINT emission"
+                ),
+            ).isNull(),
+            F.col("est_rows").cast("bigint"),
+        ),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -82,14 +82,19 @@ def _ingest_gate_oracle(
                                        / len(tka)))
                  + 0.2 * CAST(LENGTH(text) BETWEEN 100 AND 20000 AS DOUBLE)
                    AS quality,
-               lang IN ({langs}) AS lang_ok
+               -- COALESCE pins the NULL regime to the engine's
+               -- (unscorable/NULL-lang ⇒ rejected, never a NULL
+               -- verdict): a zero-token document's quality is NULL and
+               -- a NULL lang misses the allowlist as NULL (review
+               -- finding — this was fixture-dependent before).
+               COALESCE(lang IN ({langs}), FALSE) AS lang_ok
         FROM nd)
     SELECT doc_id,
-           quality >= 0.4 AS quality_ok,
+           COALESCE(quality >= 0.4, FALSE) AS quality_ok,
            lang_ok,
            {near_flag} AS has_neardup,
            {span_flag} AS has_spandup,
-           quality >= 0.4 AND lang_ok
+           COALESCE(quality >= 0.4, FALSE) AND lang_ok
              AND NOT ({near_flag}) AND NOT ({span_flag}) AS admit
     FROM q
     """
@@ -332,14 +337,24 @@ def q_winnow_drift_refresh(spark, sf_dir):
     )
     n_base = base.count()  # bounded: 1-row action (corpus cardinality)
     n_delta = delta.count()  # bounded: 1-row action
-    return winnow_drift_audit(
+    arts: list = []  # the audit's internal digest checkpoint
+    out = winnow_drift_audit(
         bs,
         ds,
         max_df=_DRIFT_MAX_DF,
         n_base=n_base,
         n_delta=n_delta,
         min_skew=_DRIFT_MIN_SKEW,
+        artifact_registry=arts,
     )
+    # Materialize the (3-row) refresh list, then release the
+    # digest-sized internal checkpoint — repeated audits in one session
+    # no longer accumulate in-heap blocks until JVM exit (review
+    # finding; the stream-parity rows' release pattern).
+    out = out.localCheckpoint(eager=True)
+    for a in arts:
+        a.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -451,35 +466,87 @@ def q_serve_operating_point(spark, sf_dir):
     neighboring knob, measured on the shipped code path — the serving
     analogue of what q_drift_retrain pinned for maintenance.
 
-    Scale: the train/encode work is shared across configs (one Lloyd,
-    one SQ8 bounds pass in the oracle; the engine re-derives them per
-    config from the same deterministic recipe — value-identical by the
-    grid_ivf exactness laws); per-config serve cost is the partition-
-    pruned probe scan + refine point reads, exactly the production
-    shape. The brute-force truth arm is bounded to the 20-query
-    sample."""
+    Scale: the train/encode work is shared across configs — ONE Lloyd
+    train, ONE SQ8 encode, ONE brute-force truth (_serve_artifacts,
+    pinned below so the four config branches read the shared frames
+    instead of re-deriving them; VERDICT r10 item 1 — this row used to
+    retrain per config, value-identically by the grid_ivf exactness
+    laws but at 4x the bounded cost). Per-config serve cost is just
+    the probe scan + code-rank shortlist + refine point reads, exactly
+    the production shape. The brute-force truth arm is bounded to the
+    20-query sample; the pinned artifacts are released after the 4-row
+    result materializes."""
     from incubator_flink_old_spark.queries.llm_ops11 import (
         _N_QUERIES,
         _TOPK,
     )
-    from incubator_flink_old_spark.queries.llm_ops26 import _refine_ranked
+    from incubator_flink_old_spark.queries.llm_ops26 import (
+        _refine_ranked,
+        _serve_artifacts,
+    )
 
-    out = None
-    for np_, rc in _OP_CONFIGS:
-        it, bt = _refine_ranked(spark, sf_dir, refine_c=rc, n_probe=np_)
-        hits = bt.join(
-            it.select("q_id", "vec_id"), on=["q_id", "vec_id"]
-        ).agg(F.count(F.lit(1)).alias("hits"))
-        row = hits.select(
-            F.lit(np_).cast("long").alias("n_probe"),
-            F.lit(rc).cast("long").alias("refine_c"),
-            F.lit((np_, rc) == _OP_PROD).alias("is_production"),
-            F.col("hits"),
-            (F.col("hits").cast("double") / (_N_QUERIES * _TOPK)).alias(
-                "mean_recall"
-            ),
+    arts = _serve_artifacts(spark, sf_dir)
+    # Pin the per-vector artifacts every config branch re-reads — a
+    # shared DataFrame is NOT a shared execution, so without the pin
+    # each of the 4 plan branches would re-derive cells/codes/kd at
+    # action time (centers is already an eager checkpoint inside
+    # grid_ivf). ONE merged (vec_id, cell, code, kd) frame = one
+    # materialize job instead of three; released in finally once the
+    # 4-row result materializes. bt is referenced exactly once (the
+    # single truth join below), so it needs no pin.
+    vecs = (
+        arts["cells"]
+        .join(arts["codes"], on="vec_id")
+        .join(arts["kd"], on="vec_id")
+        .localCheckpoint(eager=True)
+    )
+    try:
+        arts["cells"] = vecs.select("vec_id", "cell")
+        arts["codes"] = vecs.select("vec_id", "code")
+        arts["kd"] = vecs.select("vec_id", "kd")
+        allit = None
+        for np_, rc in _OP_CONFIGS:
+            it, _ = _refine_ranked(
+                spark, sf_dir, refine_c=rc, n_probe=np_, artifacts=arts
+            )
+            it = it.select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                F.lit(rc).cast("long").alias("refine_c"),
+                "q_id",
+                "vec_id",
+            )
+            allit = it if allit is None else allit.unionByName(it)
+        # ONE truth join + one digest groupBy scores all 4 configs in a
+        # single job; the config frame left-join keeps a zero-hit
+        # config visible (the oracle always emits its row).
+        hits = (
+            arts["bt"]
+            .join(allit, on=["q_id", "vec_id"])
+            .groupBy("n_probe", "refine_c")
+            .agg(F.count(F.lit(1)).alias("hits"))
         )
-        out = row if out is None else out.unionByName(row)
+        cfg = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in _OP_CONFIGS],
+            "n_probe long, refine_c long",
+        )
+        out = cfg.join(hits, on=["n_probe", "refine_c"], how="left").select(
+            "n_probe",
+            "refine_c",
+            (
+                (F.col("n_probe") == _OP_PROD[0])
+                & (F.col("refine_c") == _OP_PROD[1])
+            ).alias("is_production"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            (
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / (_N_QUERIES * _TOPK)
+            ).alias("mean_recall"),
+        )
+        # Materialize the 4-row table BEFORE releasing the pin — a
+        # checkpoint's blocks cannot be recomputed once dropped.
+        out = out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
     return out
 
 
