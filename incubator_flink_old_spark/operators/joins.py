@@ -241,6 +241,20 @@ def merge_upsert(
     return joined.filter(keep).select(*out_cols)
 
 
+def checked_bigint(col: Column, msg: str) -> Column:
+    """Decimal→BIGINT cast that FAILS LOUDLY past 2^63−1: Spark's
+    non-ANSI decimal→bigint cast silently returns NULL on overflow
+    while an ANSI engine (the DuckDB oracles) raises — a NULL-vs-error
+    divergence at the boundary (review finding on
+    ``q_join_hotkeys``). assert_true makes both engines fail
+    identically; below the boundary the cast is exact and the guard is
+    codegen-friendly column algebra (no UDF)."""
+    fits = col <= F.lit("9223372036854775807").cast("decimal(38,0)")
+    return F.when(
+        F.assert_true(fits, F.lit(msg)).isNull(), col.cast("bigint")
+    )
+
+
 def join_hotkey_audit(
     left: DataFrame,
     right: DataFrame,

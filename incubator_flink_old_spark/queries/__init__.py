@@ -90,6 +90,7 @@ _QUERY_MODULES = (
     "llm_ops28",
     "llm_ops29",
     "llm_ops30",
+    "llm_ops31",
     "analytics",
     "analytics2",
     "surfaces",
@@ -107,30 +108,27 @@ LOAD_ERRORS: dict[str, str] = {}
 #: outranks pure age and cannot be derived from the artifacts. Purely an
 #: ordering hint — every query stays registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-10 code-changed re-fronts: the ADVICE r09 winnow guards
-    # touched winnow_matches_from_index (symmetric stats/max_df raise),
-    # merge_winnow_stats (optional doc_keys disjointness assertion) and
-    # streaming_winnow_stats (dedup_guard) — shared code under these
-    # three green r09 rows (defaults unchanged, SIM-rechecked at
-    # sf0.01+sf0.1).
-    "q_winnow_matches",
-    "q_winnow_incremental",
-    "q_stream_winnow_stats_parity",
-    # round-10: _winnow_ctes gained src/prefix parameterization for the
-    # drift-audit row — its rendered SQL (a CTE self-alias) changed for
-    # every winnow oracle, so the remaining winnow rows re-front too.
-    "q_winnow_fingerprints",
-    # round-10 code-changed re-fronts: the ingest-gate composition
-    # factored quality_score (carry param) and both streaming screens
-    # (pre-dedup event forms extracted) — shared code under these green
-    # rows (rendered plans unchanged, SIM-rechecked at sf0.01+sf0.1).
-    "q_text_quality",
-    "q_training_corpus",
-    "q_curate_full",
-    "q_curation_audit",
-    "q_cluster_rep",
-    "q_data_card",
-    "q_sample_weighted",
+    # round-11 code-changed re-fronts (SIM-rechecked at sf0.01+sf0.1):
+    # the ADVICE r10 NULL-regime pin changed the gate oracles
+    # (COALESCE(flag, FALSE)) and the engine's evidence coalesce under
+    # these three green r10 rows; q_ingest_absorb_parity (new, un-green)
+    # auto-fronts ahead of everything regardless.
+    "q_ingest_gate",
+    "q_stream_ingest_gate_parity",
+    "q_ingest_lifecycle",
+    # round-11: serve artifacts threaded through one train/encode/truth
+    # (_serve_artifacts / _refine_ranked(artifacts=)) — shared code
+    # under the refine rows; the operating-point row's body rewrote.
+    "q_serve_operating_point",
+    "q_ann_recall_ivfsq8_refine",
+    "q_ann_eval_refine",
+    # round-11: checked_bigint guard on the hotkeys emission; drift
+    # audit gained the registry release path.
+    "q_join_hotkeys",
+    "q_winnow_drift_refresh",
+    # round-11: both screen event functions gained the maintained-index
+    # params (corpus_artifacts / corpus_index; defaults unchanged) —
+    # shared code under the streaming parity rows.
     "q_stream_neardup_screen_parity",
     "q_stream_neardup_watermark_parity",
     "q_stream_winnow_screen_parity",

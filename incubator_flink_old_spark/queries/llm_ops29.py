@@ -543,26 +543,21 @@ def q_join_hotkeys(spark, sf_dir):
     Scale: shuffle = distinct keys (map-side combinable counts), one
     equi-join of the two digests — cost independent of the join's
     output size, which is the whole point."""
-    from incubator_flink_old_spark.operators.joins import join_hotkey_audit
+    from incubator_flink_old_spark.operators.joins import (
+        checked_bigint,
+        join_hotkey_audit,
+    )
 
     ev = t(spark, sf_dir, "events")
-    fits = F.col("est_rows") <= F.lit("9223372036854775807").cast(
-        "decimal(38,0)"
-    )
     return join_hotkey_audit(
         ev, ev, "user_id", threshold=_HOTKEY_THRESHOLD
     ).withColumn(
         "est_rows",
-        F.when(
-            F.assert_true(
-                fits,
-                F.lit(
-                    "q_join_hotkeys: est_rows exceeds BIGINT — a key"
-                    " past ~3e9 rows/side; report the DECIMAL audit"
-                    " directly instead of the BIGINT emission"
-                ),
-            ).isNull(),
-            F.col("est_rows").cast("bigint"),
+        checked_bigint(
+            F.col("est_rows"),
+            "q_join_hotkeys: est_rows exceeds BIGINT — a key past ~3e9"
+            " rows/side; report the DECIMAL audit directly instead of"
+            " the BIGINT emission",
         ),
     )
 

@@ -1,0 +1,227 @@
+"""Training-data pipeline queries, wave 46 (round 11): N-wave ingest
+ABSORPTION through the O(wave) artifact-merge operators — VERDICT r10
+item 2. q_ingest_lifecycle (llm_ops30) checks the absorption LOOP with a
+recompute-from-union engine path (the oracle discipline); this wave's
+q_ingest_absorb_parity drives the same loop through the MAINTAINED
+indexes: the standing corpus artifacts (near-dup band/token tables,
+winnow fingerprint table + df stats) are built once, persisted, and
+wave-1 admits are absorbed by APPEND + integer stats merge
+(merge_winnow_stats with the doc_keys disjointness assertion) — the
+standing corpus is never re-hashed for wave 2, which is the only
+absorption shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incubator_flink_old_spark.queries import register
+from incubator_flink_old_spark.queries._util import t
+from incubator_flink_old_spark.queries.llm_ops28 import (
+    _NDS_BAND,
+    _NDS_HASHES,
+    _NDS_THRESHOLD,
+)
+from incubator_flink_old_spark.queries.llm_ops29 import (
+    _WIN_K,
+    _WIN_MAX_DF,
+    _WIN_W,
+)
+from incubator_flink_old_spark.queries.llm_ops30 import (
+    _GATE_LANGS,
+    _ingest_gate_oracle,
+)
+
+#: The absorption rule: quality + lang + verified near-dup. The span
+#: flag is carried and parity-checked (it exercises the merged winnow
+#: index end-to-end) but does NOT gate absorption — the fixture corpus
+#: is winnow-span-saturated at every knob (documented in test_wave45 /
+#: q_ingest_lifecycle), so a span-gated loop would absorb nothing and
+#: the merge path would be vacuously "checked" on empty deltas.
+_ABSORB_RULE = "quality_ok AND lang_ok AND NOT has_neardup"
+
+
+def _absorb_oracle() -> str:
+    """Two stitched gate oracles over GROWING scope — the
+    q_ingest_lifecycle recompute discipline, extended to both screens:
+    wave 2's corpus side is corpus ∪ wave-1 ABSORBS, with the absorbed
+    set derived from wave 1's own verdicts inside the SQL. The oracle
+    recomputes from the union; the ENGINE path under test absorbs by
+    artifact append + integer stats merge — their equality at the
+    verdict level is exactly the merge-exactness claim
+    (merge_winnow_stats' disjoint integer sums; band/token append)."""
+    g1 = _ingest_gate_oracle(
+        new_pred="doc_id % 5 = 3",
+        scope_pred="doc_id % 5 <= 3",
+    )
+    g2 = _ingest_gate_oracle(
+        new_pred="doc_id % 5 = 4",
+        scope_pred=(
+            "doc_id % 5 <= 2 OR doc_id % 5 = 4"
+            " OR doc_id IN (SELECT doc_id FROM a1)"
+        ),
+    )
+    return f"""
+    WITH g1 AS MATERIALIZED ({g1}),
+    a1 AS (SELECT doc_id FROM g1 WHERE {_ABSORB_RULE}),
+    g2 AS MATERIALIZED ({g2})
+    SELECT CAST(1 AS BIGINT) AS wave, doc_id, quality_ok, lang_ok,
+           has_neardup, has_spandup,
+           {_ABSORB_RULE} AS absorbed
+    FROM g1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS wave, doc_id, quality_ok, lang_ok,
+           has_neardup, has_spandup,
+           {_ABSORB_RULE} AS absorbed
+    FROM g2
+    """
+
+
+@register("q_ingest_absorb_parity", oracle=_absorb_oracle())
+def q_ingest_absorb_parity(spark, sf_dir):
+    """N-WAVE INGEST ABSORPTION AS THE ENGINE PATH (VERDICT r10 item
+    2): the front door's absorption loop driven through the MAINTAINED
+    indexes instead of a corpus rebuild. The standing corpus
+    (doc_id % 5 ≤ 2) is materialized ONCE into its four serve
+    artifacts — near-dup token-set + band tables
+    (neardup_corpus_artifacts) and the uncapped winnow fingerprint
+    table + df stats (winnow_corpus_index) — and persisted. Wave 1
+    (doc_id % 5 = 3) is gated against those frozen artifacts; its
+    ABSORBED documents (quality + lang + no verified near-dup; the
+    span flag is parity-checked but does not gate — the fixture corpus
+    is span-saturated, see _ABSORB_RULE) are absorbed by the O(wave)
+    merge: band/token/fingerprint rows APPEND, dfs integer-merge
+    through merge_winnow_stats WITH the doc_keys disjointness
+    assertion. Wave 2 (doc_id % 5 = 4) is then gated against the
+    merged artifacts — the standing corpus is never re-hashed, the
+    plan's only corpus-shaped inputs are the persisted artifact blocks
+    (plan-pinned in tests/test_wave46.py), and the verdicts
+    hash-match an oracle that RECOMPUTES wave 2's corpus from the
+    union — absorb ≡ recompute at the verdict level, the
+    merge-exactness law made a driver-checked row.
+
+    Companion rows: q_ingest_lifecycle (llm_ops30) runs the same loop
+    with a recompute engine path (near-dup arm only) — together they
+    pin engine-recompute ≡ oracle AND engine-absorb ≡ oracle;
+    q_winnow_incremental pins the same absorb ≡ recompute claim at the
+    span-match level; test_wave46's laws pin it on a crafted fixture
+    where absorption changes a verdict (a wave-2 copy of a wave-1
+    admit) and where a df cap decision flips only in the merged stats.
+
+    Scale: absorbing a wave costs O(wave) — the delta's own artifact
+    build (map-side) plus a digest-sized stats merge; wave-2 serve
+    cost is unchanged from q_ingest_gate (equi-join probes against the
+    standing tables, one evidence fold). At 100 TB the persisted
+    frames are the standing bucketed band/fp tables and absorption is
+    a partition append + stats upsert — nothing rescans the corpus."""
+    from pyspark.storagelevel import StorageLevel
+
+    from incubator_flink_old_spark.operators.text import (
+        merge_winnow_stats,
+        neardup_corpus_artifacts,
+        streaming_ingest_gate,
+        winnow_corpus_index,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    m5 = F.col("doc_id") % 5
+    corpus0 = docs.filter(m5 <= 2).select("doc_id", "text")
+    wave1 = docs.filter(m5 == 3).select("doc_id", "text", "lang")
+    wave2 = docs.filter(m5 == 4).select("doc_id", "text", "lang")
+    kw = dict(
+        langs=_GATE_LANGS,
+        num_hashes=_NDS_HASHES,
+        band_size=_NDS_BAND,
+        jaccard_threshold=_NDS_THRESHOLD,
+        k=_WIN_K,
+        w=_WIN_W,
+        max_df=_WIN_MAX_DF,
+    )
+    absorbed = (
+        F.col("quality_ok") & F.col("lang_ok") & ~F.col("has_neardup")
+    ).alias("absorbed")
+
+    # The standing corpus artifacts, built ONCE and pinned DISK_ONLY
+    # (the stream-parity rows' heap discipline) — every later read is
+    # the persisted blocks, never a corpus re-hash. Released in
+    # finally after the verdict table materializes.
+    toks0, bands0 = neardup_corpus_artifacts(
+        corpus0, num_hashes=_NDS_HASHES, band_size=_NDS_BAND
+    )
+    fps0, stats0 = winnow_corpus_index(corpus0, k=_WIN_K, w=_WIN_W)
+    pinned = [
+        f.persist(StorageLevel.DISK_ONLY)
+        for f in (toks0, bands0, fps0, stats0)
+    ]
+    toks0, bands0, fps0, stats0 = pinned
+    try:
+        g1 = streaming_ingest_gate(
+            wave1,
+            None,  # corpus unused: both screens read the artifacts
+            corpus_artifacts={
+                "neardup": (toks0, bands0),
+                "span": (fps0, stats0),
+            },
+            **kw,
+        )
+        # Pin wave 1's verdicts: they are read three times (output
+        # rows, the absorbed-set join, the disjointness probe) and
+        # each unpinned read would replay the whole wave-1 gate.
+        g1 = g1.localCheckpoint(eager=True)
+        pinned.append(g1)
+        admitted1 = wave1.join(
+            g1.filter(
+                F.col("quality_ok")
+                & F.col("lang_ok")
+                & ~F.col("has_neardup")
+            ).select("doc_id"),
+            on="doc_id",
+        )
+        # The O(wave) absorb: delta artifacts from the admitted docs
+        # alone, appended to the standing tables; dfs integer-merge
+        # with the disjointness assertion (a bounded ≤1-row probe over
+        # the two key sets — the ingest-gate-cost guard the operator
+        # documents).
+        toks_d, bands_d = neardup_corpus_artifacts(
+            admitted1, num_hashes=_NDS_HASHES, band_size=_NDS_BAND
+        )
+        fps_d, stats_d = winnow_corpus_index(admitted1, k=_WIN_K, w=_WIN_W)
+        stats1 = merge_winnow_stats(
+            stats0,
+            stats_d,
+            doc_keys=[corpus0.select("doc_id"), admitted1.select("doc_id")],
+        )
+        g2 = streaming_ingest_gate(
+            wave2,
+            None,
+            corpus_artifacts={
+                "neardup": (
+                    toks0.unionByName(toks_d),
+                    bands0.unionByName(bands_d),
+                ),
+                "span": (fps0.unionByName(fps_d), stats1),
+            },
+            **kw,
+        )
+
+        def tag(g, wave):
+            # wave FIRST to mirror the oracle's column order; absorbed
+            # replaces the gate's span-inclusive admit (see
+            # _ABSORB_RULE).
+            return g.select(
+                F.lit(wave).cast("long").alias("wave"),
+                "doc_id",
+                "quality_ok",
+                "lang_ok",
+                "has_neardup",
+                "has_spandup",
+                absorbed,
+            )
+
+        # Materialize the verdict table BEFORE releasing the pins (a
+        # checkpoint's blocks cannot be recomputed once dropped).
+        out = tag(g1, 1).unionByName(tag(g2, 2)).localCheckpoint(eager=True)
+    finally:
+        for f in pinned:
+            f.unpersist()
+    return out
