@@ -132,6 +132,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_neardup_screen_parity",
     "q_stream_neardup_watermark_parity",
     "q_stream_winnow_screen_parity",
+    # round-11 perf fixes under green rows (PERF.md round-11 entry):
+    # write_event_time_replay pins the tiled frame (shared by the
+    # winnow replay rows) and the sentinel writes moved to
+    # append_literal_rows (the three sentinel sites).
+    "q_stream_winnow_stats_parity",
+    "q_stream_leftouter_join_parity",
+    "q_stream_join_window_parity",
 )
 
 

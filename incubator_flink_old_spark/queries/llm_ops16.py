@@ -175,9 +175,13 @@ def q_stream_join_window_parity(spark, sf_dir):
     m = ev.agg(F.max("ts")).collect()[0][0]
     src = tempfile.mkdtemp(prefix="t2_jw_src_")
     ev.repartition(1).write.mode("overwrite").parquet(src)
+    from incubator_flink_old_spark.streaming import append_literal_rows
+
     for i in (1, 2):
         before = set(os.listdir(src))
-        cap = spark.createDataFrame(
+        append_literal_rows(
+            spark,
+            src,
             [
                 (
                     -100 - i,
@@ -198,7 +202,6 @@ def q_stream_join_window_parity(spark, sf_dir):
             ],
             _EVENT_SCHEMA,
         )
-        cap.repartition(1).write.mode("append").parquet(src)
         bump = time.time() + 1800 * i
         for f in os.listdir(src):
             if f.endswith(".parquet") and f not in before:

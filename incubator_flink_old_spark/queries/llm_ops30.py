@@ -193,11 +193,15 @@ def q_stream_ingest_gate_parity(spark, sf_dir):
         import datetime
         import time
 
+        from incubator_flink_old_spark.streaming import append_literal_rows
+
         for i in (1, 2):
-            spark.createDataFrame(
+            append_literal_rows(
+                spark,
+                src,
                 [(-i, "the of and to a", "en", mx + datetime.timedelta(hours=i))],
                 "doc_id long, text string, lang string, ts timestamp",
-            ).coalesce(1).write.mode("append").parquet(src)
+            )
             time.sleep(0.2)
         stream = (
             spark.readStream.schema(

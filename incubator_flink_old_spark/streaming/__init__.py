@@ -736,6 +736,28 @@ def stateful_latest(
     )
 
 
+def append_literal_rows(spark, path: str, rows, schema: str) -> None:
+    """Append a handful of LITERAL rows (watermark sentinels, cap rows)
+    to a replay directory as one tiny parquet file — via a
+    ``range(1)``-projection plan, NOT ``createDataFrame``: writing a
+    local-rows frame goes through the Python-RDD evaluation path and
+    costs 5–10 s PER SENTINEL on a warm sf0.1 session (measured,
+    PERF.md round 11 — it was ~40%% of the gate-parity row's wall),
+    where the literal projection writes in ~0.2 s. ``schema`` is the
+    DDL string the stream reader uses; values are cast field-wise."""
+    fields = spark.createDataFrame([], schema).schema.fields
+    frame = None
+    for row in rows:
+        one = spark.range(1).select(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(row, fields)
+            ]
+        )
+        frame = one if frame is None else frame.unionByName(one)
+    frame.coalesce(1).write.mode("append").parquet(path)
+
+
 def write_event_time_replay(
     df,
     path: str,
@@ -757,15 +779,22 @@ def write_event_time_replay(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # Pin the tiled frame ONCE: each per-file write otherwise re-runs
+    # the source scan + global ntile sort (n_files full jobs — measured
+    # ~45% of q_stream_ingest_gate_parity's wall at sf0.1, PERF.md
+    # round 11). Eager checkpoint, released after the last write.
     tiled = df.withColumn(
         "__b", F.ntile(n_files).over(Window.orderBy(order_by))
-    )
-    for g in range(1, n_files + 1):
-        (
-            tiled.filter(F.col("__b") == g)
-            .drop("__b")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(path)
-        )
-        time.sleep(pause)
+    ).localCheckpoint(eager=True)
+    try:
+        for g in range(1, n_files + 1):
+            (
+                tiled.filter(F.col("__b") == g)
+                .drop("__b")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(path)
+            )
+            time.sleep(pause)
+    finally:
+        tiled.unpersist()

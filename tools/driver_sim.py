@@ -11,6 +11,13 @@ Probe flags:
   SIM_SKIP=a,b skip queries whose name contains any listed substring —
                for chunked sf0.1 sweeps where DuckDB's single-threaded
                pair oracles dominate wall time.
+  SIM_STREAM_BATCH=n  max streaming-family queries per JVM (default 2;
+               0 disables the split). PERF.md (round 10) measured that
+               batching several 1.1M-row streaming parity rows in one
+               default-memory (1g) driver JVM OOMs the sim — when more
+               than n `q_stream*` queries are selected, the sim runs
+               them in child processes of ≤ n each (VERDICT r10 item
+               6) and only the non-streaming remainder in-process.
 """
 
 from __future__ import annotations
@@ -53,7 +60,75 @@ def value_hash(cols, rows):
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
 
+def _selected_names() -> tuple[list[str], list[str], list[str]]:
+    """Resolve SIM_ONLY/SIM_SKIP against the registry WITHOUT starting
+    Spark: returns (all selected, streaming subset, non-streaming
+    subset). Streaming-family = name starts with 'q_stream' — the rows
+    that hold multi-batch state-store + replay buffers alive in the
+    JVM."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from incubator_flink_old_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    only = [s for s in os.environ.get("SIM_ONLY", "").split(",") if s]
+    skip = [s for s in os.environ.get("SIM_SKIP", "").split(",") if s]
+    names = [
+        n
+        for n in sorted(QUERIES)
+        if (not only or any(s in n for s in only))
+        and not (skip and any(s in n for s in skip))
+    ]
+    stream = [n for n in names if n.startswith("q_stream")]
+    rest = [n for n in names if not n.startswith("q_stream")]
+    return sorted(QUERIES), stream, rest
+
+
+def _run_chunked() -> int:
+    """Auto-batch streaming rows into child sims of ≤ SIM_STREAM_BATCH
+    each (PERF.md round-10: several 1.1M-row streaming parities in one
+    1g-driver JVM OOM). Children get SIM_ONLY=<exact names> and
+    SIM_STREAM_CHILD=1 (no further splitting); exact names are safe as
+    substrings only because each child also SKIPs every other selected
+    name that contains one of its names."""
+    import subprocess
+
+    batch = int(os.environ.get("SIM_STREAM_BATCH", "2"))
+    allnames, stream, rest = _selected_names()
+    if batch <= 0 or len(stream) <= batch:
+        return -1  # no split needed; run in-process
+    rc = 0
+    me = os.path.abspath(__file__)
+    chunks = [stream[i : i + batch] for i in range(0, len(stream), batch)]
+    if rest:
+        chunks.append(rest)
+    for chunk in chunks:
+        chunk_set = set(chunk)
+        env = dict(
+            os.environ,
+            SIM_ONLY=",".join(chunk),
+            # exact-name selection: skip every REGISTERED name that a
+            # chunk name substring-matches but that isn't in the chunk
+            # — unless the skip entry would itself substring-match a
+            # chunk member (an extra run is safe; a wrong skip is not)
+            SIM_SKIP=",".join(
+                n
+                for n in allnames
+                if n not in chunk_set
+                and any(c in n for c in chunk)
+                and not any(n in m for m in chunk)
+            ),
+            SIM_STREAM_CHILD="1",
+        )
+        print(f"--- child sim: {len(chunk)} queries ---", flush=True)
+        rc |= subprocess.call([sys.executable, me, SF_DIR], env=env)
+    return rc
+
+
 def main() -> int:
+    if not os.environ.get("SIM_STREAM_CHILD"):
+        rc = _run_chunked()
+        if rc >= 0:
+            return rc
     builder = SparkSession.builder.master("local[8]").appName("driver-sim")
     if os.environ.get("TZ_PROBE"):
         builder = builder.config("spark.sql.session.timeZone", "America/New_York")
