@@ -1567,3 +1567,103 @@ def pca_top_component(
         lambda acc, x: acc + x,
     )
     return e.select(key, F.round(proj, 6).alias("pc1"))
+
+
+def semantic_screen_events(
+    new_emb: DataFrame,
+    corpus_emb: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    n_probe: int = 3,
+    threshold: float = 0.40,
+    grid: float = 1_000_000.0,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """SEMANTIC near-dup SCREEN EVENTS for the ingest front door — the
+    embedding-space sibling of the MinHash/winnow screens: each arriving
+    vector probes the STANDING corpus's IVF index (``grid_ivf`` — the
+    cross-engine-replayable integer-grid trainer) and emits one event
+    per corpus vector in the probed cells whose exact grid cosine
+    reaches ``threshold``. Duplicate-insensitive by construction (the
+    existence-MAX contract of ``streaming_ingest_gate.extra_screens``);
+    the q_semantic_dedup family's SemDeDup screen, re-shaped as
+    per-arrival events against a frozen index.
+
+    Approximation is the SERVE trade-off, not an accident: a true
+    neighbor outside the ``n_probe`` probed cells is missed — exactly
+    the production IVF recall trade-off the q_ann_recall_* rows
+    measure. The oracle replays the SAME probe (train, probe ranking,
+    verify are all integer-exact / correctly-rounded arithmetic), so
+    screen parity holds bit-for-bit despite the approximation.
+
+    Scale: the trainer is the standing grid-IVF artifact (at 100 TB:
+    trained once, maintained by q_ivf_incremental's delta absorb); the
+    probe is a broadcast of n_cells centers, the candidate fetch a
+    partition-pruned equi-join on cell, and the verify reads only the
+    probed cells' vectors — per-arrival cost is O(corpus/n_cells ·
+    n_probe), never the corpus. The corpus-side joins are stream-static;
+    this BATCH form ranks the probes with a per-arrival window, which a
+    streaming deployment replaces with the :func:`grid_assign_map`
+    recipe (literal collected centers, map-side array sort + slice for
+    the top-n_probe cells — same arithmetic, no window).
+
+    Returns (doc_a, *carry, doc_b, cos)."""
+    from pyspark.sql import Window
+
+    cells, centers = grid_ivf(
+        corpus_emb, n_cells=n_cells, iters=iters, grid=grid, key=key, vec=vec
+    )
+    eg = corpus_emb.select(
+        F.col(key).alias("doc_b"),
+        F.transform(
+            as_double_array(vec),
+            lambda x: F.floor(x * F.lit(grid)).cast("long"),
+        ).alias("ck"),
+    )
+    qg = new_emb.select(
+        F.col(key).alias("doc_a"),
+        *[F.col(c) for c in carry],
+        F.transform(
+            as_double_array(vec),
+            lambda x: F.floor(x * F.lit(grid)).cast("long"),
+        ).alias("qk"),
+    )
+    # probe: top-n_probe cells by exact grid cosine (zero-norm sentinel,
+    # cell-id tie-break — the grid_ivf assignment arithmetic verbatim)
+    probes = (
+        qg.crossJoin(F.broadcast(centers))
+        .select(
+            "doc_a",
+            *carry,
+            "qk",
+            "cell",
+            cosine_safe(
+                as_double_array("qk"), as_double_array("cv")
+            ).alias("__sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_a").orderBy(
+                    F.col("__sim").desc(), "cell"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("doc_a", *carry, "qk", "cell")
+    )
+    cand = probes.join(
+        cells.select(F.col(key).alias("doc_b"), "cell"), on="cell"
+    ).join(eg, on="doc_b")
+    return cand.select(
+        "doc_a",
+        *carry,
+        "doc_b",
+        cosine_safe(as_double_array("qk"), as_double_array("ck")).alias(
+            "cos"
+        ),
+    ).filter(
+        (F.col("cos") >= threshold) & (F.col("doc_a") != F.col("doc_b"))
+    )

@@ -3058,6 +3058,7 @@ def streaming_ingest_gate(
     materialize_static: bool = False,
     artifact_registry: "list | None" = None,
     corpus_artifacts: "dict | None" = None,
+    extra_screens: "dict[str, DataFrame] | None" = None,
 ) -> DataFrame:
     """The COMPOSED crawl-ingest front door — quality gate, language
     allowlist, MinHash near-dup screen and winnowed span screen stitched
@@ -3107,6 +3108,18 @@ def streaming_ingest_gate(
     artifacts instead of re-deriving the corpus. The caller owns
     persistence of supplied frames.
 
+    ``extra_screens`` composes ADDITIONAL dup screens into the SAME
+    single evidence fold: ``{name: events}`` where events is any frame
+    of (doc_a, *carry) hit rows — one row per evidence event, duplicate
+    multiplicity irrelevant (the existence-MAX contract; the pre-dedup
+    event forms of any screen qualify). Each contributes a
+    ``has_<name>`` verdict column (after has_spandup, names in sorted
+    order) and joins the admit conjunction. The semantic near-dup gate
+    (q_semantic_ingest_gate) passes the IVF-pruned cosine screen's
+    events here — still ONE stateful operator whatever the screen
+    count. With ``event_time`` set, each events frame must carry the
+    event-time column.
+
     Scale: base is a pure map; both probes are stream-static equi-joins
     against materialized, bucketed corpus artifacts (band table by
     (band, bucket), fingerprint index by fp); the single aggregation
@@ -3128,8 +3141,24 @@ def streaming_ingest_gate(
             f"streaming_ingest_gate: unknown screens {sorted(bad_screens)}"
         )
     corpus_artifacts = corpus_artifacts or {}
+    extra = dict(extra_screens or {})
+    bad_extra = [n for n in extra if not n.isidentifier()] + [
+        n for n in extra if n in ("neardup", "span")
+    ]
+    if bad_extra:
+        # A shadowed or non-identifier name would silently rename or
+        # collide a verdict column (fail-loudly, the screens guard).
+        raise ValueError(
+            f"streaming_ingest_gate: bad extra_screens names {bad_extra}"
+        )
+    extra_names = sorted(extra)
+    ind = ["__near", "__span"] + [f"__x{i}" for i in range(len(extra_names))]
     carry = (event_time,) if event_time is not None else ()
     zero, one = F.lit(0), F.lit(1)
+
+    def one_hot(hot: str) -> list:
+        return [(one if c == hot else zero).alias(c) for c in ind]
+
     base = quality_score(
         stream, text=text, key=key, carry=(lang, *carry)
     ).select(
@@ -3143,8 +3172,7 @@ def streaming_ingest_gate(
         # Pinned semantics: unscorable ⇒ gate fails ⇒ rejected.
         F.coalesce(F.col("keep").cast("int"), zero).alias("__q"),
         F.coalesce(F.col(lang).isin(*langs).cast("int"), zero).alias("__l"),
-        zero.alias("__near"),
-        zero.alias("__span"),
+        *one_hot(""),
     )
     ev = base
     if "neardup" in screens:
@@ -3165,8 +3193,7 @@ def streaming_ingest_gate(
             *carry,
             zero.alias("__q"),
             zero.alias("__l"),
-            one.alias("__near"),
-            zero.alias("__span"),
+            *one_hot("__near"),
         )
         ev = ev.unionByName(near)
     if "span" in screens:
@@ -3180,29 +3207,42 @@ def streaming_ingest_gate(
             *carry,
             zero.alias("__q"),
             zero.alias("__l"),
-            zero.alias("__near"),
-            one.alias("__span"),
+            *one_hot("__span"),
         )
         ev = ev.unionByName(span)
+    for i, name in enumerate(extra_names):
+        xev = extra[name].select(
+            F.col("doc_a").alias("__doc"),
+            *carry,
+            zero.alias("__q"),
+            zero.alias("__l"),
+            *one_hot(f"__x{i}"),
+        )
+        ev = ev.unionByName(xev)
     if event_time is not None:
         ev = ev.withWatermark(event_time, watermark_delay)
     agg = ev.groupBy("__doc", *carry).agg(
         F.max("__q").alias("__mq"),
         F.max("__l").alias("__ml"),
-        F.max("__near").alias("__mn"),
-        F.max("__span").alias("__ms"),
+        *[F.max(c).alias(f"__m{c}") for c in ind],
     )
     q_ok = F.col("__mq") == 1
     l_ok = F.col("__ml") == 1
-    n_hit = F.col("__mn") == 1
-    s_hit = F.col("__ms") == 1
+    hits = [F.col(f"__m{c}") == 1 for c in ind]
+    no_hit = ~hits[0]
+    for h in hits[1:]:
+        no_hit = no_hit & ~h
     return agg.select(
         F.col("__doc").alias(key),
         q_ok.alias("quality_ok"),
         l_ok.alias("lang_ok"),
-        n_hit.alias("has_neardup"),
-        s_hit.alias("has_spandup"),
-        (q_ok & l_ok & ~n_hit & ~s_hit).alias("admit"),
+        hits[0].alias("has_neardup"),
+        hits[1].alias("has_spandup"),
+        *[
+            h.alias(f"has_{n}")
+            for h, n in zip(hits[2:], extra_names)
+        ],
+        (q_ok & l_ok & no_hit).alias("admit"),
     )
 
 

@@ -44,6 +44,8 @@ def _ingest_gate_oracle(
     new_pred: str | None = None,
     scope_pred: str | None = None,
     screens: tuple[str, ...] = ("neardup", "span"),
+    extra_ctes: tuple[str, ...] = (),
+    extra_flags: tuple[tuple[str, str], ...] = (),
 ) -> str:
     """Stitched twin: the two screens' verified oracles (verbatim — the
     q_curate_full discipline of composing checked fragments) feed
@@ -51,11 +53,15 @@ def _ingest_gate_oracle(
     q_text_quality arithmetic in the exact double-rounding order the
     engine computes (0.3 * (1 - (1 - d/n)), not 0.3 * d/n).
     new_pred/scope_pred/screens parameterize the lifecycle oracle's
-    wave splits; defaults render the exact single-wave string."""
+    wave splits; defaults render the exact single-wave string.
+    extra_ctes/extra_flags mirror the engine gate's ``extra_screens``:
+    each (colname, bool_expr) flag renders after has_spandup and joins
+    the admit conjunction (pass flags in the engine's sorted-name
+    order)."""
     langs = ", ".join(f"'{x}'" for x in _GATE_LANGS)
     new_pred = new_pred or f"doc_id % {_D_MOD} = {_D_REM}"
     scope = f" AND ({scope_pred})" if scope_pred else ""
-    ctes, near_flag, span_flag = [], "FALSE", "FALSE"
+    ctes, near_flag, span_flag = list(extra_ctes), "FALSE", "FALSE"
     if "neardup" in screens:
         ctes.append(
             f"np AS MATERIALIZED ({_stream_neardup_oracle(new_pred, scope_pred)})"
@@ -66,6 +72,12 @@ def _ingest_gate_oracle(
             f"wp AS MATERIALIZED ({_stream_winnow_oracle(new_pred, scope_pred)})"
         )
         span_flag = "doc_id IN (SELECT doc_a FROM wp)"
+    extra_cols = "".join(
+        f"\n           {expr} AS {name}," for name, expr in extra_flags
+    )
+    extra_admit = "".join(
+        f" AND NOT ({expr})" for _, expr in extra_flags
+    )
     cte_sql = ",\n    ".join(ctes) + ",\n    " if ctes else ""
     return rf"""
     WITH {cte_sql}nd AS (
@@ -93,9 +105,9 @@ def _ingest_gate_oracle(
            COALESCE(quality >= 0.4, FALSE) AS quality_ok,
            lang_ok,
            {near_flag} AS has_neardup,
-           {span_flag} AS has_spandup,
+           {span_flag} AS has_spandup,{extra_cols}
            COALESCE(quality >= 0.4, FALSE) AND lang_ok
-             AND NOT ({near_flag}) AND NOT ({span_flag}) AS admit
+             AND NOT ({near_flag}) AND NOT ({span_flag}){extra_admit} AS admit
     FROM q
     """
 

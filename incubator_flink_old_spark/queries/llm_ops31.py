@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from incubator_flink_old_spark.queries import register
 from incubator_flink_old_spark.queries._util import t
 from incubator_flink_old_spark.queries.llm_ops28 import (
+    _D_MOD,
+    _D_REM,
     _NDS_BAND,
     _NDS_HASHES,
     _NDS_THRESHOLD,
@@ -225,3 +227,123 @@ def q_ingest_absorb_parity(spark, sf_dir):
         for f in pinned:
             f.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Semantic ingest gate: the embedding-space screen joins the front door —
+# quality + lang + lexical near-dup + IVF-pruned cosine near-dup, ONE fold
+# --------------------------------------------------------------------------
+
+_SEM_CELLS = 8
+_SEM_ITERS = 2
+_SEM_PROBE = 3
+#: SemDeDup-family cosine threshold, set from measurement: at 0.40 the
+#: fixture flags 17/100 new docs at sf0.01 and 205/1000 at sf0.1 before
+#: probe pruning — varied verdicts at every checked scale (0.35 floods,
+#: 0.45 starves).
+_SEM_THRESHOLD = 0.40
+
+
+def _semantic_gate_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops11 import (
+        _grid_ivf_ctes,
+        _sql_cos,
+    )
+
+    ivf, last_centers = _grid_ivf_ctes(
+        n_cells=_SEM_CELLS,
+        iters=_SEM_ITERS,
+        src=(
+            f"(SELECT * FROM embeddings"
+            f" WHERE vec_id % {_D_MOD} <> {_D_REM})"
+        ),
+        prefix="sg",
+    )
+    sem_ctes = (
+        ivf,
+        f"""sq AS (
+        SELECT vec_id AS q_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS qk
+        FROM embeddings WHERE vec_id % {_D_MOD} = {_D_REM})""",
+        f"""spr AS (
+        SELECT q_id, cell, qk FROM (
+            SELECT q.q_id, c.cell, q.qk,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_sql_cos('q.qk', 'c.cv')} DESC, c.cell
+                   ) AS rn
+            FROM sq q CROSS JOIN {last_centers} c) t
+        WHERE rn <= {_SEM_PROBE})""",
+        f"""sev AS (
+        SELECT DISTINCT p.q_id
+        FROM spr p JOIN sgaf a ON p.cell = a.cell
+        WHERE {_sql_cos('p.qk', 'a.k')} >= {_SEM_THRESHOLD}
+          AND p.q_id <> a.vec_id)""",
+    )
+    return _ingest_gate_oracle(
+        screens=("neardup",),
+        extra_ctes=sem_ctes,
+        extra_flags=(
+            ("has_semdup", "doc_id IN (SELECT q_id FROM sev)"),
+        ),
+    )
+
+
+@register("q_semantic_ingest_gate", oracle=_semantic_gate_oracle())
+def q_semantic_ingest_gate(spark, sf_dir):
+    """SEMANTIC INGEST GATE — the embedding-space screen joins the
+    crawl front door (streaming_ingest_gate.extra_screens +
+    operators/similarity.semantic_screen_events): each arriving
+    document is scored for quality, language and LEXICAL near-dup
+    (verified MinHash vs the corpus band table), and its EMBEDDING
+    (vec_id = doc_id, the hybrid-retrieval linkage) probes the standing
+    grid-IVF index — n_probe of n_cells cells by exact integer-grid
+    cosine, one evidence event per probed corpus vector at cosine ≥
+    0.40 (the SemDeDup screen as per-arrival events). All four gates
+    fold in the gate's ONE existence-MAX aggregation; admit requires
+    passing every gate. This closes the front door's blind spot: a
+    paraphrase shares no 8-gram MinHash band yet sits at high cosine —
+    lexical and semantic screens catch disjoint duplicate classes
+    (q_dedup_agreement measures exactly that disagreement).
+
+    Probe pruning is the production recall trade-off, replayed
+    bit-for-bit by the oracle (grid-IVF train, probe ranking and
+    verify are integer-exact / correctly-rounded on both engines), so
+    the row is exact despite the screen being approximate.
+
+    Scale: the IVF index is the standing serve artifact (trained once,
+    delta-absorbed by q_ivf_incremental's recipe); per-arrival semantic
+    cost is a broadcast of n_cells centers + a partition-pruned fetch
+    of n_probe cells — O(corpus/n_cells · n_probe) point reads, never
+    the corpus; evidence rows are digest-sized; the verdict is still
+    ONE stateful fold."""
+    from incubator_flink_old_spark.operators.similarity import (
+        semantic_screen_events,
+    )
+    from incubator_flink_old_spark.operators.text import (
+        streaming_ingest_gate,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    new_d = F.col("doc_id") % _D_MOD == _D_REM
+    new_v = F.col("vec_id") % _D_MOD == _D_REM
+    sem = semantic_screen_events(
+        emb.filter(new_v),
+        emb.filter(~new_v),
+        n_cells=_SEM_CELLS,
+        iters=_SEM_ITERS,
+        n_probe=_SEM_PROBE,
+        threshold=_SEM_THRESHOLD,
+    ).select(F.col("doc_a"))
+    return streaming_ingest_gate(
+        docs.filter(new_d).select("doc_id", "text", "lang"),
+        docs.filter(~new_d),
+        langs=_GATE_LANGS,
+        num_hashes=_NDS_HASHES,
+        band_size=_NDS_BAND,
+        jaccard_threshold=_NDS_THRESHOLD,
+        screens=("neardup",),
+        extra_screens={"semdup": sem},
+    )

@@ -402,3 +402,92 @@ def test_serve_artifacts_match_per_config(spark):
         assert sorted(map(tuple, bt_a.collect())) == sorted(
             map(tuple, bt_b.collect())
         )
+
+
+# --------------------------------------------------------------------------
+# Semantic ingest gate (extra_screens + semantic_screen_events)
+# --------------------------------------------------------------------------
+
+
+def test_semantic_and_lexical_screens_are_complementary(spark):
+    """The q_dedup_agreement claim, pinned at the front door: a
+    PARAPHRASE (disjoint tokens, near-identical embedding) is caught
+    ONLY by the semantic screen; a lexical near-copy with an orthogonal
+    embedding ONLY by MinHash — and the composed gate rejects both
+    through the same single fold."""
+    from incubator_flink_old_spark.operators.similarity import (
+        semantic_screen_events,
+    )
+    from incubator_flink_old_spark.operators.text import (
+        streaming_ingest_gate,
+    )
+
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)          # corpus doc 1's embedding
+    e1b = [0.99, 0.01] + [0.0] * (dim - 2)  # paraphrase: cos ~ 1
+    e2 = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)  # orthogonal to e1
+    sw = "the a of and to the a of and to "
+    t1 = sw + " ".join(f"c{i}" for i in range(26))
+    para = sw + " ".join(f"p{i}" for i in range(26))  # disjoint tokens
+    corpus = spark.createDataFrame([(1, t1)], "doc_id long, text string")
+    cemb = spark.createDataFrame([(1, e1)], "doc_id long, embedding array<float>")
+    new = spark.createDataFrame(
+        [(10, para, "en"), (20, t1, "en")],
+        "doc_id long, text string, lang string",
+    )
+    nemb = spark.createDataFrame(
+        [(10, e1b), (20, e2)], "doc_id long, embedding array<float>"
+    )
+    sem = semantic_screen_events(
+        nemb, cemb, n_cells=1, iters=1, n_probe=1, threshold=0.4,
+        key="doc_id",
+    ).select("doc_a")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in streaming_ingest_gate(
+            new,
+            corpus,
+            langs=("en",),
+            screens=("neardup",),
+            extra_screens={"semdup": sem},
+            **_GATE_KW,
+        ).collect()
+    }
+    # paraphrase: semantic-only catch (reversed stopword prefix shares
+    # no shingle/band with the corpus text)
+    assert out[10]["has_semdup"] and not out[10]["has_neardup"]
+    # lexical copy with orthogonal embedding: MinHash-only catch
+    assert out[20]["has_neardup"] and not out[20]["has_semdup"]
+    assert not out[10]["admit"] and not out[20]["admit"]
+
+
+def test_extra_screens_guards_and_flag_columns(spark):
+    """extra_screens fail-loud guards (shadowing / non-identifier
+    names) and the verdict schema contract: has_<name> columns render
+    after has_spandup in sorted-name order, all feeding admit."""
+    from incubator_flink_old_spark.operators.text import (
+        streaming_ingest_gate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the a of and to x y z", "en")],
+        "doc_id long, text string, lang string",
+    )
+    ev = df.select(F.col("doc_id").alias("doc_a"))
+    with pytest.raises(ValueError, match="extra_screens"):
+        streaming_ingest_gate(
+            df, df, screens=(), extra_screens={"span": ev}
+        )
+    with pytest.raises(ValueError, match="extra_screens"):
+        streaming_ingest_gate(
+            df, df, screens=(), extra_screens={"not a name": ev}
+        )
+    out = streaming_ingest_gate(
+        df, df, screens=(), extra_screens={"zeta": ev, "alpha": ev}
+    )
+    assert out.columns == [
+        "doc_id", "quality_ok", "lang_ok", "has_neardup", "has_spandup",
+        "has_alpha", "has_zeta", "admit",
+    ]
+    row = out.collect()[0]
+    assert row["has_alpha"] and row["has_zeta"] and not row["admit"]
