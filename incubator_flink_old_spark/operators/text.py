@@ -3423,3 +3423,107 @@ def sorted_neighborhood_pairs(
         "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
     )
     return scored.filter(F.col("dist") <= max_distance)
+
+
+def quality_calibrate(
+    df: DataFrame,
+    keep_frac: float = 0.75,
+    text: str = "text",
+    key: str = "doc_id",
+    source: str = "source",
+) -> DataFrame:
+    """PER-SOURCE quality CALIBRATION — the step q_text_quality's
+    absolute 0.4 threshold cannot do: heuristic quality scores are not
+    comparable across sources (a forum's stopword/length profile is not
+    an encyclopedia's), so a single global cut over- or under-prunes
+    per source. The standard fix is a per-source quality BUDGET: rank
+    each document within its source by (quality desc, key asc — fully
+    tie-broken) and keep the top ``keep_frac`` by PERCENT_RANK. The
+    keep boundary is then a property of the source's own distribution,
+    and the kept fraction is uniform across sources by construction.
+
+    Exactness: quality is the q_text_quality arithmetic (hash-checked
+    doubles, bit-equal cross-engine); percent_rank = (rank−1)/(n−1)
+    over a fully tie-broken order is one correctly-rounded integer
+    division — reproducible on any engine, unlike a sampled quantile
+    threshold. NULL quality (zero-token docs) sorts LAST explicitly
+    (engine desc_nulls_last = DuckDB DESC NULLS LAST, pinned) and so is
+    kept only at keep_frac = 1.
+
+    Scale: one window shuffled on ``source``. A mega-source funnels
+    through one task — at 100 TB either salt the rank within source
+    (two-level rank) or switch the boundary to an approx-quantile
+    threshold per source (the q_approx_quantile sketch); exactness is
+    chosen here because the keep boundary must replay bit-for-bit.
+
+    Returns (key, source, quality, src_pct, keep)."""
+    from pyspark.sql import Window
+
+    q = quality_score(df, text=text, key=key, carry=(source,))
+    w = Window.partitionBy(source).orderBy(
+        F.col("quality").desc_nulls_last(), F.col(key)
+    )
+    pct = F.percent_rank().over(w)
+    return q.select(
+        key,
+        source,
+        "quality",
+        pct.alias("src_pct"),
+        (pct <= F.lit(keep_frac)).alias("keep"),
+    )
+
+
+def token_budget_chunks(
+    df: DataFrame,
+    budget: int,
+    weights: "dict[str, float]",
+    text: str = "text",
+    key: str = "doc_id",
+    source: str = "source",
+) -> DataFrame:
+    """TOKEN-BUDGET CHUNKING of the training schedule — the step
+    between :func:`mixture_schedule` (the one global consume order) and
+    a trainer that thinks in TOKENS, not documents: assign every
+    scheduled document to the training chunk in which it STARTS, where
+    chunk c covers global token interval [c·budget, (c+1)·budget).
+    Document-granular by design (a document is never split here —
+    :func:`pack_sequences` owns intra-sequence packing); the cumulative
+    whitespace token count over the schedule order decides the chunk,
+    so chunk boundaries are a pure function of (corpus, weights,
+    budget) — the reproducible curriculum a rand()-fed dataloader
+    cannot give.
+
+    Exactness: token counts and their prefix sums are int64 — exact on
+    any engine under the fixed schedule order; chunk_id is one integer
+    floor-division.
+
+    Scale: the schedule's own windows plus ONE distributed prefix sum
+    (:func:`~incubator_flink_old_spark.operators.aggregates.
+    global_prefix_agg` — range-partitioned, per-partition running sums,
+    broadcast prefix offsets; no empty-partitionBy window anywhere).
+    The range exchange's output is the chunk-sharded layout the
+    dataloader reads.
+
+    Returns (key, source, sched_pos, n_tokens, cum_tokens, chunk_id)."""
+    from incubator_flink_old_spark.operators.aggregates import (
+        global_prefix_agg,
+    )
+
+    sched = mixture_schedule(df, weights, key=key, source=source)
+    counts = df.select(key, token_count(text).cast("long").alias("n_tokens"))
+    joined = sched.join(counts, on=key)
+    run = global_prefix_agg(
+        joined,
+        order=[F.col("sched_pos")],
+        values={"cum_tokens": (F.col("n_tokens"), "sum")},
+    )
+    return run.select(
+        key,
+        source,
+        "sched_pos",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {int(budget)}").alias(
+            "chunk_id"
+        ),
+    )

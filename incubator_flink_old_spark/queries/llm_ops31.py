@@ -347,3 +347,142 @@ def q_semantic_ingest_gate(spark, sf_dir):
         screens=("neardup",),
         extra_screens={"semdup": sem},
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source quality calibration: the distributional cut the absolute 0.4
+# threshold cannot make
+# --------------------------------------------------------------------------
+
+_CAL_KEEP_FRAC = 0.75
+
+
+@register(
+    "q_quality_calibration",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '\s+'), x -> x <> ''
+               )) AS tk,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS tka
+        FROM documents),
+    base AS (
+        SELECT d.doc_id, d.source,
+               CAST(len(list_filter(t.tka,
+                   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                   / len(t.tka) AS stopword_ratio,
+               1.0 - CAST(len(t.tk) AS DOUBLE) / len(t.tka) AS repetition,
+               LENGTH(d.text) BETWEEN 100 AND 20000 AS len_ok
+        FROM documents d JOIN toks t USING (doc_id)),
+    q AS (
+        SELECT doc_id, source,
+               0.5 * stopword_ratio + 0.3 * (1.0 - repetition)
+                 + 0.2 * CAST(len_ok AS DOUBLE) AS quality
+        FROM base)
+    SELECT doc_id, source, quality,
+           PERCENT_RANK() OVER (
+               PARTITION BY source
+               ORDER BY quality DESC NULLS LAST, doc_id) AS src_pct,
+           PERCENT_RANK() OVER (
+               PARTITION BY source
+               ORDER BY quality DESC NULLS LAST, doc_id)
+             <= {_CAL_KEEP_FRAC} AS keep
+    FROM q
+    """,
+)
+def q_quality_calibration(spark, sf_dir):
+    """PER-SOURCE QUALITY CALIBRATION (operators/text.quality_calibrate)
+    — the distributional cut q_text_quality's absolute 0.4 threshold
+    cannot make: heuristic quality is not comparable across sources
+    (stopword/length profiles differ), so the calibrated gate ranks
+    each document WITHIN its source (quality desc, doc_id — fully
+    tie-broken) and keeps the top 75%% by percent_rank. Every source
+    contributes the same fraction; the keep boundary is each source's
+    own distribution. The standard pre-mixing normalization step
+    between scoring (q_text_quality) and mixing (q_data_mixture /
+    q_mixture_schedule).
+
+    Exactness: the quality doubles are the hash-checked q_text_quality
+    arithmetic; percent_rank over a fully tie-broken order is one
+    correctly-rounded integer division — a sampled/approx quantile
+    threshold would not replay cross-engine. NULL ordering pinned
+    (desc_nulls_last both sides).
+
+    Scale: one window shuffled on source; the mega-source skew path
+    (salted two-level rank, or the q_approx_quantile sketch threshold)
+    is documented on the operator."""
+    from incubator_flink_old_spark.operators.text import quality_calibrate
+
+    return quality_calibrate(
+        t(spark, sf_dir, "documents"), keep_frac=_CAL_KEEP_FRAC
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget schedule: the mixture order, chunked by token budget
+# --------------------------------------------------------------------------
+
+_TB_BUDGET = 512
+
+
+def _token_budget_oracle() -> str:
+    from incubator_flink_old_spark.queries.llm_ops29 import (
+        _mixture_schedule_oracle,
+    )
+
+    return rf"""
+    WITH sched AS MATERIALIZED ({_mixture_schedule_oracle()}),
+    cnt AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+    run AS (
+        SELECT s.doc_id, s.source, s.sched_pos, c.n_tokens,
+               SUM(c.n_tokens) OVER (
+                   ORDER BY s.sched_pos
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sched s JOIN cnt c USING (doc_id))
+    SELECT doc_id, source, sched_pos, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           (CAST(cum_tokens AS BIGINT) - n_tokens) // {_TB_BUDGET}
+               AS chunk_id
+    FROM run
+    """
+
+
+@register("q_token_budget_schedule", oracle=_token_budget_oracle())
+def q_token_budget_schedule(spark, sf_dir):
+    """TOKEN-BUDGET SCHEDULE (operators/text.token_budget_chunks) — the
+    missing step between the mixture order (q_mixture_schedule: WHICH
+    document comes next) and a trainer that consumes TOKENS: every
+    scheduled document is assigned to the training chunk in which it
+    starts, chunk c = global token interval [c·512, (c+1)·512). The
+    chunk map is a pure function of (corpus, weights, budget) — the
+    reproducible curriculum boundary a rand()-fed dataloader cannot
+    give, and the unit checkpoint/restart granularity ("resume from
+    chunk 41" re-reads exactly the same documents on any cluster).
+    Document-granular by contract (q_pack_sequences owns intra-sequence
+    packing).
+
+    Exactness: whitespace token counts and the prefix sum are int64;
+    chunk_id is one integer floor-division (Spark div ≡ DuckDB // on
+    non-negative operands).
+
+    Scale: the schedule's windows plus ONE distributed prefix sum
+    (global_prefix_agg — range partition, per-partition running sums,
+    broadcast prefix-total offsets; the oracle's empty-partitionBy
+    window is the ORACLE's shape, never the engine's). The range
+    exchange is already the chunk-sharded layout a dataloader reads."""
+    from incubator_flink_old_spark.operators.text import (
+        token_budget_chunks,
+    )
+    from incubator_flink_old_spark.queries.llm_ops29 import _MIX_WEIGHTS
+
+    return token_budget_chunks(
+        t(spark, sf_dir, "documents"),
+        budget=_TB_BUDGET,
+        weights=dict(_MIX_WEIGHTS),
+    )

@@ -491,3 +491,81 @@ def test_extra_screens_guards_and_flag_columns(spark):
     ]
     row = out.collect()[0]
     assert row["has_alpha"] and row["has_zeta"] and not row["admit"]
+
+
+# --------------------------------------------------------------------------
+# Per-source quality calibration + token-budget schedule
+# --------------------------------------------------------------------------
+
+
+def test_quality_calibration_uniform_per_source(spark):
+    """The calibration claim: every source keeps exactly the same COUNT
+    under the percent-rank budget (25 docs/source in the fixture, frac
+    0.75 -> (r-1)/24 <= 0.75 -> 19 kept), where the absolute 0.4
+    threshold keeps wildly uneven fractions (measured 1..8 of 25).
+    Bracketing knobs: frac=1 keeps all, frac=0 keeps exactly the
+    per-source best."""
+    from incubator_flink_old_spark.operators.text import (
+        quality_calibrate,
+        quality_score,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents")
+    cal = quality_calibrate(docs, keep_frac=0.75)
+    per_src = {
+        r["source"]: r["n"]
+        for r in cal.filter("keep")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(set(per_src.values())) == 1  # uniform by construction
+    abs_keep = {
+        r["source"]: r["n"]
+        for r in quality_score(docs, carry=("source",))
+        .filter("keep")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(set(abs_keep.values())) > 1  # the motivation, in-fixture
+
+    n_all = docs.count()
+    assert quality_calibrate(docs, keep_frac=1.0).filter("keep").count() == n_all
+    best = quality_calibrate(docs, keep_frac=0.0).filter("keep")
+    n_src = docs.select("source").distinct().count()
+    assert best.count() == n_src
+
+
+def test_token_budget_schedule_laws(spark):
+    """Chunking laws replayed driver-side from the collected schedule:
+    chunk_id is exactly (cum - n) div budget, cum_tokens is the exact
+    prefix sum in sched order, chunk_id is non-decreasing, the last
+    cum equals the corpus total, and a rerun is bit-identical
+    (reproducible curriculum)."""
+    from incubator_flink_old_spark.operators.text import (
+        token_budget_chunks,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops29 import _MIX_WEIGHTS
+
+    docs = t(spark, SF, "documents")
+    out = token_budget_chunks(docs, budget=512, weights=dict(_MIX_WEIGHTS))
+    rows = sorted(out.collect(), key=lambda r: r["sched_pos"])
+    assert rows, "mixture sources missing from fixture"
+    cum = 0
+    prev_chunk = 0
+    for r in rows:
+        cum += r["n_tokens"]
+        assert r["cum_tokens"] == cum
+        assert r["chunk_id"] == (cum - r["n_tokens"]) // 512
+        assert r["chunk_id"] >= prev_chunk
+        prev_chunk = r["chunk_id"]
+    rows2 = sorted(
+        token_budget_chunks(
+            docs, budget=512, weights=dict(_MIX_WEIGHTS)
+        ).collect(),
+        key=lambda r: r["sched_pos"],
+    )
+    assert list(map(tuple, rows)) == list(map(tuple, rows2))
