@@ -486,3 +486,203 @@ def q_token_budget_schedule(spark, sf_dir):
         budget=_TB_BUDGET,
         weights=dict(_MIX_WEIGHTS),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming absorb parity: the MERGED artifacts serve the live crawl
+# --------------------------------------------------------------------------
+
+import itertools as _itertools
+
+_SEQ31 = _itertools.count()
+
+
+def _stream_absorb_oracle() -> str:
+    """Wave 2 of the absorb oracle, alone: the streamed gate emits the
+    same verdicts whatever the batch boundaries (every evidence event
+    depends only on its own documents), so the oracle is the batch
+    recompute restricted to wave 2."""
+    g1 = _ingest_gate_oracle(
+        new_pred="doc_id % 5 = 3",
+        scope_pred="doc_id % 5 <= 3",
+    )
+    g2 = _ingest_gate_oracle(
+        new_pred="doc_id % 5 = 4",
+        scope_pred=(
+            "doc_id % 5 <= 2 OR doc_id % 5 = 4"
+            " OR doc_id IN (SELECT doc_id FROM a1)"
+        ),
+    )
+    return f"""
+    WITH g1 AS MATERIALIZED ({g1}),
+    a1 AS (SELECT doc_id FROM g1 WHERE {_ABSORB_RULE}),
+    g2 AS MATERIALIZED ({g2})
+    SELECT doc_id, quality_ok, lang_ok, has_neardup, has_spandup, admit
+    FROM g2
+    """
+
+
+@register("q_stream_absorb_parity", oracle=_stream_absorb_oracle())
+def q_stream_absorb_parity(spark, sf_dir):
+    """THE MERGED ARTIFACTS SERVE THE LIVE CRAWL — q_ingest_absorb_
+    parity's wave 2 re-run as a REAL STREAM: wave 1 is gated and
+    absorbed batch-side exactly as in the absorb row (frozen standing
+    artifacts, O(wave) append + merge_winnow_stats), then wave 2
+    arrives as a 3-file in-event-time-order replay and the SAME
+    composed gate — quality, lang, both corpus screens, one watermarked
+    existence fold — executes as a streaming DAG whose static sides are
+    the MERGED artifacts. This is the absorption loop's operating
+    state: the index a wave just updated immediately screens the next
+    wave's live arrivals, with no stream restart beyond swapping the
+    static-side artifact frames (at 100 TB: the standing bucketed
+    tables the absorb appended to). Two far-future sentinels advance
+    the watermark (the standing flush recipe); sentinels are filtered
+    from the returned table.
+
+    Oracle: the batch absorb oracle restricted to wave 2 — every
+    evidence event depends only on its own documents, so streaming ≡
+    batch whatever the boundaries (the q_stream_ingest_gate_parity
+    argument, over merged artifacts).
+
+    Scale: per-batch cost is the map-side gates plus O(batch
+    candidates) probe joins against the persisted merged artifacts;
+    state is one row per in-flight document, watermark-evicted."""
+    import datetime
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.storagelevel import StorageLevel
+
+    from incubator_flink_old_spark.operators.text import (
+        merge_winnow_stats,
+        neardup_corpus_artifacts,
+        streaming_ingest_gate,
+        winnow_corpus_index,
+    )
+    from incubator_flink_old_spark.streaming import (
+        append_literal_rows,
+        run_stream_to_memory,
+        write_event_time_replay,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    m5 = F.col("doc_id") % 5
+    corpus0 = docs.filter(m5 <= 2).select("doc_id", "text")
+    wave1 = docs.filter(m5 == 3).select("doc_id", "text", "lang")
+    wave2 = docs.filter(m5 == 4).select("doc_id", "text", "lang")
+    kw = dict(
+        langs=_GATE_LANGS,
+        num_hashes=_NDS_HASHES,
+        band_size=_NDS_BAND,
+        jaccard_threshold=_NDS_THRESHOLD,
+        k=_WIN_K,
+        w=_WIN_W,
+        max_df=_WIN_MAX_DF,
+    )
+    toks0, bands0 = neardup_corpus_artifacts(
+        corpus0, num_hashes=_NDS_HASHES, band_size=_NDS_BAND
+    )
+    fps0, stats0 = winnow_corpus_index(corpus0, k=_WIN_K, w=_WIN_W)
+    pinned = [
+        f.persist(StorageLevel.DISK_ONLY)
+        for f in (toks0, bands0, fps0, stats0)
+    ]
+    toks0, bands0, fps0, stats0 = pinned
+    src = tempfile.mkdtemp(prefix="t2_stream_absorb_")
+    try:
+        g1 = streaming_ingest_gate(
+            wave1,
+            None,
+            corpus_artifacts={
+                "neardup": (toks0, bands0),
+                "span": (fps0, stats0),
+            },
+            **kw,
+        ).localCheckpoint(eager=True)
+        pinned.append(g1)
+        admitted1 = wave1.join(
+            g1.filter(
+                F.col("quality_ok")
+                & F.col("lang_ok")
+                & ~F.col("has_neardup")
+            ).select("doc_id"),
+            on="doc_id",
+        )
+        toks_d, bands_d = neardup_corpus_artifacts(
+            admitted1, num_hashes=_NDS_HASHES, band_size=_NDS_BAND
+        )
+        fps_d, stats_d = winnow_corpus_index(admitted1, k=_WIN_K, w=_WIN_W)
+        merged = {
+            "neardup": (
+                toks0.unionByName(toks_d),
+                bands0.unionByName(bands_d),
+            ),
+            "span": (
+                fps0.unionByName(fps_d),
+                merge_winnow_stats(stats0, stats_d),
+            ),
+        }
+        # Pin the merged static sides once: the stream-static joins
+        # re-evaluate the static plan per micro-batch otherwise (the
+        # materialize_static lesson, applied to supplied artifacts).
+        for name in merged:
+            a, b = merged[name]
+            a, b = (
+                a.persist(StorageLevel.DISK_ONLY),
+                b.persist(StorageLevel.DISK_ONLY),
+            )
+            merged[name] = (a, b)
+            pinned.extend((a, b))
+        stream_src = wave2.select(
+            "doc_id",
+            "text",
+            "lang",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias(
+                "ts"
+            ),
+        )
+        write_event_time_replay(stream_src, src, n_files=3)
+        mx = stream_src.agg(F.max("ts")).collect()[0][0]
+        for i in (1, 2):
+            append_literal_rows(
+                spark,
+                src,
+                [
+                    (
+                        -i,
+                        "the of and to a",
+                        "en",
+                        mx + datetime.timedelta(hours=i),
+                    )
+                ],
+                "doc_id long, text string, lang string, ts timestamp",
+            )
+            time.sleep(0.2)
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_ingest_gate(
+            stream,
+            None,
+            corpus_artifacts=merged,
+            event_time="ts",
+            watermark_delay="30 seconds",
+            **kw,
+        )
+        name = f"stream_absorb_{next(_SEQ31)}"
+        run_stream_to_memory(out, name, "append", state_partitions=4)
+        tbl = (
+            spark.table(name)
+            .filter(F.col("doc_id") >= 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for f in pinned:
+            f.unpersist()
+        shutil.rmtree(src, ignore_errors=True)
+    return tbl
