@@ -248,8 +248,13 @@ def checked_bigint(col: Column, msg: str) -> Column:
     divergence at the boundary (review finding on
     ``q_join_hotkeys``). assert_true makes both engines fail
     identically; below the boundary the cast is exact and the guard is
-    codegen-friendly column algebra (no UDF)."""
-    fits = col <= F.lit("9223372036854775807").cast("decimal(38,0)")
+    codegen-friendly column algebra (no UDF). Both bounds are guarded —
+    a value below −2^63 silently NULLs under the same non-ANSI cast
+    (review finding; the hotkeys caller is non-negative, but the helper
+    is general)."""
+    fits = (
+        col <= F.lit("9223372036854775807").cast("decimal(38,0)")
+    ) & (col >= F.lit("-9223372036854775808").cast("decimal(38,0)"))
     return F.when(
         F.assert_true(fits, F.lit(msg)).isNull(), col.cast("bigint")
     )

@@ -3141,6 +3141,16 @@ def streaming_ingest_gate(
             f"streaming_ingest_gate: unknown screens {sorted(bad_screens)}"
         )
     corpus_artifacts = corpus_artifacts or {}
+    bad_artifacts = set(corpus_artifacts) - {"neardup", "span"}
+    if bad_artifacts:
+        # A typo'd artifact key ("spans") would be silently ignored and
+        # the screen would fall back to deriving from ``corpus`` — which
+        # maintained-index callers pass as None, crashing deep inside
+        # instead of here (review finding; the bad_screens discipline).
+        raise ValueError(
+            "streaming_ingest_gate: unknown corpus_artifacts keys"
+            f" {sorted(bad_artifacts)}"
+        )
     extra = dict(extra_screens or {})
     bad_extra = [n for n in extra if not n.isidentifier()] + [
         n for n in extra if n in ("neardup", "span")
@@ -3508,6 +3518,13 @@ def token_budget_chunks(
     from incubator_flink_old_spark.operators.aggregates import (
         global_prefix_agg,
     )
+
+    if budget <= 0:
+        # Non-ANSI div by zero would silently NULL every chunk_id — the
+        # fail-loud convention (mixture_schedule's weight guard).
+        raise ValueError(
+            f"token_budget_chunks: budget must be positive, got {budget}"
+        )
 
     sched = mixture_schedule(df, weights, key=key, source=source)
     counts = df.select(key, token_count(text).cast("long").alias("n_tokens"))

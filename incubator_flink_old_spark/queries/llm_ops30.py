@@ -354,22 +354,27 @@ def q_winnow_drift_refresh(spark, sf_dir):
     n_base = base.count()  # bounded: 1-row action (corpus cardinality)
     n_delta = delta.count()  # bounded: 1-row action
     arts: list = []  # the audit's internal digest checkpoint
-    out = winnow_drift_audit(
-        bs,
-        ds,
-        max_df=_DRIFT_MAX_DF,
-        n_base=n_base,
-        n_delta=n_delta,
-        min_skew=_DRIFT_MIN_SKEW,
-        artifact_registry=arts,
-    )
-    # Materialize the (3-row) refresh list, then release the
-    # digest-sized internal checkpoint — repeated audits in one session
-    # no longer accumulate in-heap blocks until JVM exit (review
-    # finding; the stream-parity rows' release pattern).
-    out = out.localCheckpoint(eager=True)
-    for a in arts:
-        a.unpersist()
+    try:
+        out = winnow_drift_audit(
+            bs,
+            ds,
+            max_df=_DRIFT_MAX_DF,
+            n_base=n_base,
+            n_delta=n_delta,
+            min_skew=_DRIFT_MIN_SKEW,
+            artifact_registry=arts,
+        )
+        # Materialize the (3-row) refresh list, then release the
+        # digest-sized internal checkpoint — repeated audits in one
+        # session no longer accumulate in-heap blocks until JVM exit
+        # (review finding; the stream-parity rows' release pattern).
+        out = out.localCheckpoint(eager=True)
+    finally:
+        # finally, not tail code: the audit checkpoints BEFORE its
+        # fail-loud gates, so the designed not-tripped ValueError would
+        # otherwise leak the digest blocks (review finding).
+        for a in arts:
+            a.unpersist()
     return out
 
 
@@ -520,6 +525,18 @@ def q_serve_operating_point(spark, sf_dir):
         arts["cells"] = vecs.select("vec_id", "cell")
         arts["codes"] = vecs.select("vec_id", "code")
         arts["kd"] = vecs.select("vec_id", "kd")
+        # qcodes/qk too (review finding): their _serve_artifacts plans
+        # hang off the ORIGINAL codes/kd lineage, and the SQ8 encode
+        # under qcodes embeds a global per-dimension bounds aggregate
+        # that a vec_id filter cannot prune — left unthreaded, each of
+        # the 4 config branches would re-run that full-corpus pass.
+        qv = vecs.filter(F.col("vec_id") < _N_QUERIES)
+        arts["qcodes"] = qv.select(
+            F.col("vec_id").alias("q_id"), F.col("code").alias("qcode")
+        )
+        arts["qk"] = qv.select(
+            F.col("vec_id").alias("q_id"), F.col("kd").alias("qv")
+        )
         allit = None
         for np_, rc in _OP_CONFIGS:
             it, _ = _refine_ranked(

@@ -744,10 +744,21 @@ def append_literal_rows(spark, path: str, rows, schema: str) -> None:
     costs 5–10 s PER SENTINEL on a warm sf0.1 session (measured,
     PERF.md round 11 — it was ~40%% of the gate-parity row's wall),
     where the literal projection writes in ~0.2 s. ``schema`` is the
-    DDL string the stream reader uses; values are cast field-wise."""
+    DDL string the stream reader uses; values are cast field-wise.
+    Row arity is CHECKED against the schema (review finding): a silent
+    zip would write a short row whose missing column reads back NULL —
+    e.g. a NULL event-time sentinel that never advances the watermark,
+    hanging the replay instead of failing at write time."""
+    if not rows:
+        raise ValueError("append_literal_rows: rows is empty")
     fields = spark.createDataFrame([], schema).schema.fields
     frame = None
     for row in rows:
+        if len(row) != len(fields):
+            raise ValueError(
+                f"append_literal_rows: row has {len(row)} values for"
+                f" {len(fields)} schema fields: {row!r}"
+            )
         one = spark.range(1).select(
             *[
                 F.lit(v).cast(f.dataType).alias(f.name)

@@ -569,3 +569,76 @@ def test_token_budget_schedule_laws(spark):
         key=lambda r: r["sched_pos"],
     )
     assert list(map(tuple, rows)) == list(map(tuple, rows2))
+
+
+# --------------------------------------------------------------------------
+# Round-11 self-review guards (applied before round close)
+# --------------------------------------------------------------------------
+
+
+def test_gate_unknown_corpus_artifacts_key_raises(spark):
+    """A typo'd artifact key must fail loudly at the gate, not crash
+    deep inside a screen deriving from corpus=None."""
+    from incubator_flink_old_spark.operators.text import (
+        streaming_ingest_gate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="corpus_artifacts"):
+        streaming_ingest_gate(
+            df, None, corpus_artifacts={"spans": (df, df)}
+        )
+
+
+def test_checked_bigint_lower_bound(spark):
+    """The guard covers BOTH bigint bounds: below -2^63 raises instead
+    of the silent non-ANSI NULL."""
+    from py4j.protocol import Py4JJavaError
+
+    from incubator_flink_old_spark.operators.joins import checked_bigint
+
+    ok = spark.range(1).select(
+        checked_bigint(
+            F.lit("-9223372036854775808").cast("decimal(38,0)"), "boom"
+        ).alias("v")
+    )
+    assert ok.collect()[0]["v"] == -9223372036854775808
+    bad = spark.range(1).select(
+        checked_bigint(
+            F.lit("-9223372036854775809").cast("decimal(38,0)"), "boom"
+        ).alias("v")
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="boom"):
+        bad.collect()
+
+
+def test_append_literal_rows_guards(spark, tmp_path):
+    """Arity mismatch and empty rows fail at write time — a short row
+    would otherwise read back as a NULL column (e.g. a NULL event-time
+    sentinel that never advances the watermark)."""
+    from incubator_flink_old_spark.streaming import append_literal_rows
+
+    p = str(tmp_path / "lit")
+    with pytest.raises(ValueError, match="rows is empty"):
+        append_literal_rows(spark, p, [], "a long, b string")
+    with pytest.raises(ValueError, match="schema fields"):
+        append_literal_rows(spark, p, [(1,)], "a long, b string")
+    append_literal_rows(spark, p, [(1, "x"), (2, "y")], "a long, b string")
+    got = sorted(map(tuple, spark.read.parquet(p).collect()))
+    assert got == [(1, "x"), (2, "y")]
+
+
+def test_token_budget_requires_positive_budget(spark):
+    """budget <= 0 raises instead of silently NULLing every chunk_id
+    under non-ANSI div."""
+    from incubator_flink_old_spark.operators.text import (
+        token_budget_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b", "src0")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_chunks(df, budget=0, weights={"src0": 1.0})

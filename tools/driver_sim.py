@@ -17,7 +17,8 @@ Probe flags:
                default-memory (1g) driver JVM OOMs the sim — when more
                than n `q_stream*` queries are selected, the sim runs
                them in child processes of ≤ n each (VERDICT r10 item
-               6) and only the non-streaming remainder in-process.
+               6), with the non-streaming remainder in one further
+               child of its own.
 """
 
 from __future__ import annotations
@@ -95,7 +96,7 @@ def _run_chunked() -> int:
     batch = int(os.environ.get("SIM_STREAM_BATCH", "2"))
     allnames, stream, rest = _selected_names()
     if batch <= 0 or len(stream) <= batch:
-        return -1  # no split needed; run in-process
+        return None  # no split needed; run in-process
     rc = 0
     me = os.path.abspath(__file__)
     chunks = [stream[i : i + batch] for i in range(0, len(stream), batch)]
@@ -120,14 +121,19 @@ def _run_chunked() -> int:
             SIM_STREAM_CHILD="1",
         )
         print(f"--- child sim: {len(chunk)} queries ---", flush=True)
-        rc |= subprocess.call([sys.executable, me, SF_DIR], env=env)
+        # Normalize to 0/1: a signal-killed child (e.g. OOM-killed, the
+        # very scenario the split exists for) returns NEGATIVE from
+        # subprocess.call, and a negative aggregate must still read as
+        # failure — never as the in-process fall-through (review
+        # finding; the old -1 sentinel collided with it).
+        rc |= 1 if subprocess.call([sys.executable, me, SF_DIR], env=env) else 0
     return rc
 
 
 def main() -> int:
     if not os.environ.get("SIM_STREAM_CHILD"):
         rc = _run_chunked()
-        if rc >= 0:
+        if rc is not None:
             return rc
     builder = SparkSession.builder.master("local[8]").appName("driver-sim")
     if os.environ.get("TZ_PROBE"):
