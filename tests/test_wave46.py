@@ -642,3 +642,104 @@ def test_token_budget_requires_positive_budget(spark):
     )
     with pytest.raises(ValueError, match="budget"):
         token_budget_chunks(df, budget=0, weights={"src0": 1.0})
+
+
+def test_semantic_screen_all_cells_equals_brute_force(spark):
+    """The IVF-family composition law, applied to the new screen:
+    probing ALL cells (n_probe = n_cells) makes the screen lossless —
+    its event set equals the brute-force cosine screen over the full
+    corpus — so the production n_probe's only effect is the documented
+    recall trade-off, never the arithmetic."""
+    from incubator_flink_old_spark.operators.similarity import (
+        as_double_array,
+        cosine_safe,
+        semantic_screen_events,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    emb = t(spark, SF, "embeddings").limit(200)
+    new_v = F.col("vec_id") % 5 == 4
+    new_e, corp_e = emb.filter(new_v), emb.filter(~new_v)
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in semantic_screen_events(
+            new_e, corp_e, n_cells=4, iters=1, n_probe=4, threshold=0.40
+        ).collect()
+    )
+    grid = lambda c: F.transform(
+        as_double_array(c), lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long")
+    )
+    qg = new_e.select(F.col("vec_id").alias("doc_a"), grid("embedding").alias("qk"))
+    cg = corp_e.select(F.col("vec_id").alias("doc_b"), grid("embedding").alias("ck"))
+    brute = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in qg.crossJoin(cg)
+        .filter(
+            cosine_safe(as_double_array("qk"), as_double_array("ck"))
+            >= 0.40
+        )
+        .collect()
+    )
+    assert got == brute and len(got) > 0
+
+
+def test_absorb_with_no_admits_equals_frozen_gate(spark):
+    """Absorption edge law: when wave 1 admits NOTHING (every wave-1
+    doc fails the lang gate), the merged artifacts are value-identical
+    to the frozen ones, and the wave-2 gate over the 'merged' indexes
+    emits exactly the frozen gate's verdicts — absorb degenerates to
+    no-op, never to corruption (empty delta frames union/merge
+    cleanly)."""
+    from incubator_flink_old_spark.operators.text import (
+        merge_winnow_stats,
+        neardup_corpus_artifacts,
+        streaming_ingest_gate,
+        winnow_corpus_index,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    docs = t(spark, SF, "documents").limit(150)
+    m5 = F.col("doc_id") % 5
+    corpus0 = docs.filter(m5 <= 2).select("doc_id", "text")
+    # a lang allowlist nothing passes -> zero admits
+    wave1 = docs.filter(m5 == 3).select("doc_id", "text", "lang")
+    wave2 = docs.filter(m5 == 4).select("doc_id", "text", "lang")
+    kw = dict(langs=("xx",), k=3, w=4, max_df=25, **_GATE_KW)
+
+    toks0, bands0 = neardup_corpus_artifacts(corpus0, 8, 4)
+    fps0, stats0 = winnow_corpus_index(corpus0, k=3, w=4)
+    frozen = {"neardup": (toks0, bands0), "span": (fps0, stats0)}
+    g1 = streaming_ingest_gate(wave1, None, corpus_artifacts=frozen, **kw)
+    assert g1.filter("admit").count() == 0
+    admitted = wave1.join(
+        g1.filter("admit").select("doc_id"), on="doc_id"
+    )
+    toks_d, bands_d = neardup_corpus_artifacts(admitted, 8, 4)
+    fps_d, stats_d = winnow_corpus_index(admitted, k=3, w=4)
+    merged = {
+        "neardup": (
+            toks0.unionByName(toks_d),
+            bands0.unionByName(bands_d),
+        ),
+        "span": (
+            fps0.unionByName(fps_d),
+            merge_winnow_stats(stats0, stats_d),
+        ),
+    }
+    a = sorted(
+        map(
+            tuple,
+            streaming_ingest_gate(
+                wave2, None, corpus_artifacts=merged, **kw
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            streaming_ingest_gate(
+                wave2, None, corpus_artifacts=frozen, **kw
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
