@@ -251,10 +251,15 @@ def checked_bigint(col: Column, msg: str) -> Column:
     codegen-friendly column algebra (no UDF). Both bounds are guarded —
     a value below −2^63 silently NULLs under the same non-ANSI cast
     (review finding; the hotkeys caller is non-negative, but the helper
-    is general)."""
-    fits = (
-        col <= F.lit("9223372036854775807").cast("decimal(38,0)")
-    ) & (col >= F.lit("-9223372036854775808").cast("decimal(38,0)"))
+    is general). A NULL input PASSES THROUGH as NULL — without the
+    isNull arm, ``fits`` evaluates NULL and assert_true(NULL) throws,
+    misreporting a NULL as overflow (ADVICE r11; unreachable at the
+    hotkeys call site, but the helper is advertised as general and a
+    cast of NULL is NULL on both engines)."""
+    fits = col.isNull() | (
+        (col <= F.lit("9223372036854775807").cast("decimal(38,0)"))
+        & (col >= F.lit("-9223372036854775808").cast("decimal(38,0)"))
+    )
     return F.when(
         F.assert_true(fits, F.lit(msg)).isNull(), col.cast("bigint")
     )

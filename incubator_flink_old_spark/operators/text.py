@@ -3118,7 +3118,13 @@ def streaming_ingest_gate(
     (q_semantic_ingest_gate) passes the IVF-pruned cosine screen's
     events here — still ONE stateful operator whatever the screen
     count. With ``event_time`` set, each events frame must carry the
-    event-time column.
+    event-time column. KEY-DOMAIN CONTRACT (ADVICE r11): every event's
+    ``doc_a`` must be a key of ``stream`` — an event keyed outside the
+    stream mints a verdict row for a document that never arrived
+    (quality/lang false, the screen flag true). Events derived FROM the
+    stream satisfy this by construction; events derived from a side
+    table (e.g. an embeddings join) must be semi-joined to the stream's
+    key set by the caller.
 
     Scale: base is a pure map; both probes are stream-static equi-joins
     against materialized, bucketed corpus artifacts (band table by

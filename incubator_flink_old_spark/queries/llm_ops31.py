@@ -329,16 +329,33 @@ def q_semantic_ingest_gate(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     new_d = F.col("doc_id") % _D_MOD == _D_REM
     new_v = F.col("vec_id") % _D_MOD == _D_REM
-    sem = semantic_screen_events(
-        emb.filter(new_v),
-        emb.filter(~new_v),
-        n_cells=_SEM_CELLS,
-        iters=_SEM_ITERS,
-        n_probe=_SEM_PROBE,
-        threshold=_SEM_THRESHOLD,
-    ).select(F.col("doc_a"))
+    stream = docs.filter(new_d).select("doc_id", "text", "lang")
+    sem = (
+        semantic_screen_events(
+            emb.filter(new_v),
+            emb.filter(~new_v),
+            n_cells=_SEM_CELLS,
+            iters=_SEM_ITERS,
+            n_probe=_SEM_PROBE,
+            threshold=_SEM_THRESHOLD,
+        )
+        .select(F.col("doc_a"))
+        # Key-domain guard (ADVICE r11): extra_screens is the first
+        # hook where a FOREIGN key can enter the evidence fold — an
+        # event whose doc_a has no stream document would mint an
+        # engine-only verdict row (quality/lang false) the oracle
+        # (domain = documents) never produces. The fixture links
+        # vec_id = doc_id so this is empirically a no-op at every SF,
+        # but the semi-join makes the contract structural instead of
+        # an unguarded fixture invariant.
+        .join(
+            stream.select(F.col("doc_id").alias("doc_a")),
+            on="doc_a",
+            how="leftsemi",
+        )
+    )
     return streaming_ingest_gate(
-        docs.filter(new_d).select("doc_id", "text", "lang"),
+        stream,
         docs.filter(~new_d),
         langs=_GATE_LANGS,
         num_hashes=_NDS_HASHES,

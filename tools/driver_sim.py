@@ -11,6 +11,11 @@ Probe flags:
   SIM_SKIP=a,b skip queries whose name contains any listed substring —
                for chunked sf0.1 sweeps where DuckDB's single-threaded
                pair oracles dominate wall time.
+  SIM_EXACT=a,b run EXACTLY the named queries (comma-separated full
+               names, matched by equality; overrides SIM_ONLY/SIM_SKIP).
+               This is how the chunked runner selects for its children —
+               substring selection could run a name in two children when
+               one registered name nests inside another (ADVICE r11).
   SIM_STREAM_BATCH=n  max streaming-family queries per JVM (default 2;
                0 disables the split). PERF.md (round 10) measured that
                batching several 1.1M-row streaming parity rows in one
@@ -71,14 +76,18 @@ def _selected_names() -> tuple[list[str], list[str], list[str]]:
     from incubator_flink_old_spark.queries import QUERIES, load_all_queries
 
     load_all_queries()
+    exact = {s for s in os.environ.get("SIM_EXACT", "").split(",") if s}
     only = [s for s in os.environ.get("SIM_ONLY", "").split(",") if s]
     skip = [s for s in os.environ.get("SIM_SKIP", "").split(",") if s]
-    names = [
-        n
-        for n in sorted(QUERIES)
-        if (not only or any(s in n for s in only))
-        and not (skip and any(s in n for s in skip))
-    ]
+    if exact:
+        names = [n for n in sorted(QUERIES) if n in exact]
+    else:
+        names = [
+            n
+            for n in sorted(QUERIES)
+            if (not only or any(s in n for s in only))
+            and not (skip and any(s in n for s in skip))
+        ]
     stream = [n for n in names if n.startswith("q_stream")]
     rest = [n for n in names if not n.startswith("q_stream")]
     return sorted(QUERIES), stream, rest
@@ -87,10 +96,11 @@ def _selected_names() -> tuple[list[str], list[str], list[str]]:
 def _run_chunked() -> int:
     """Auto-batch streaming rows into child sims of ≤ SIM_STREAM_BATCH
     each (PERF.md round-10: several 1.1M-row streaming parities in one
-    1g-driver JVM OOM). Children get SIM_ONLY=<exact names> and
-    SIM_STREAM_CHILD=1 (no further splitting); exact names are safe as
-    substrings only because each child also SKIPs every other selected
-    name that contains one of its names."""
+    1g-driver JVM OOM). Children get SIM_EXACT=<names> (equality match —
+    a substring scheme could run a name in two children when one
+    registered name nests inside another, pushing a child past the very
+    OOM bound the split enforces; ADVICE r11) and SIM_STREAM_CHILD=1
+    (no further splitting)."""
     import subprocess
 
     batch = int(os.environ.get("SIM_STREAM_BATCH", "2"))
@@ -103,21 +113,9 @@ def _run_chunked() -> int:
     if rest:
         chunks.append(rest)
     for chunk in chunks:
-        chunk_set = set(chunk)
         env = dict(
             os.environ,
-            SIM_ONLY=",".join(chunk),
-            # exact-name selection: skip every REGISTERED name that a
-            # chunk name substring-matches but that isn't in the chunk
-            # — unless the skip entry would itself substring-match a
-            # chunk member (an extra run is safe; a wrong skip is not)
-            SIM_SKIP=",".join(
-                n
-                for n in allnames
-                if n not in chunk_set
-                and any(c in n for c in chunk)
-                and not any(n in m for m in chunk)
-            ),
+            SIM_EXACT=",".join(chunk),
             SIM_STREAM_CHILD="1",
         )
         print(f"--- child sim: {len(chunk)} queries ---", flush=True)
@@ -154,13 +152,17 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    exact = {s for s in os.environ.get("SIM_EXACT", "").split(",") if s}
     only = [s for s in os.environ.get("SIM_ONLY", "").split(",") if s]
     skip = [s for s in os.environ.get("SIM_SKIP", "").split(",") if s]
     n_match = n_fail = n_rows_only = 0
     for name in sorted(qs):
-        if only and not any(s in name for s in only):
-            continue
-        if skip and any(s in name for s in skip):
+        if exact:
+            if name not in exact:
+                continue
+        elif (only and not any(s in name for s in only)) or (
+            skip and any(s in name for s in skip)
+        ):
             continue
         df = qs[name](spark, SF_DIR)
         out = df.collect()
