@@ -1580,6 +1580,7 @@ def semantic_screen_events(
     key: str = "vec_id",
     vec: str = "embedding",
     carry: tuple[str, ...] = (),
+    index: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """SEMANTIC near-dup SCREEN EVENTS for the ingest front door — the
     embedding-space sibling of the MinHash/winnow screens: each arriving
@@ -1607,14 +1608,30 @@ def semantic_screen_events(
     this BATCH form ranks the probes with a per-arrival window, which a
     streaming deployment replaces with the :func:`grid_assign_map`
     recipe (literal collected centers, map-side array sort + slice for
-    the top-n_probe cells — same arithmetic, no window).
+    the top-n_probe cells — same arithmetic, no window; that form is
+    :func:`semantic_screen_events_map`, law-pinned map ≡ window in
+    tests/test_wave47.py).
+
+    ``index`` supplies the STANDING (cells, centers) artifact instead
+    of training here — the absorbed-index serve path (``n_cells`` /
+    ``iters`` are then unused): cells is the (key, cell) assignment and
+    centers the (cell, cv) table; ``corpus_emb`` must still cover every
+    key in cells (it provides the verify vectors).
 
     Returns (doc_a, *carry, doc_b, cos)."""
     from pyspark.sql import Window
 
-    cells, centers = grid_ivf(
-        corpus_emb, n_cells=n_cells, iters=iters, grid=grid, key=key, vec=vec
-    )
+    if index is None:
+        cells, centers = grid_ivf(
+            corpus_emb,
+            n_cells=n_cells,
+            iters=iters,
+            grid=grid,
+            key=key,
+            vec=vec,
+        )
+    else:
+        cells, centers = index
     eg = corpus_emb.select(
         F.col(key).alias("doc_b"),
         F.transform(
@@ -1656,6 +1673,129 @@ def semantic_screen_events(
     )
     cand = probes.join(
         cells.select(F.col(key).alias("doc_b"), "cell"), on="cell"
+    ).join(eg, on="doc_b")
+    return cand.select(
+        "doc_a",
+        *carry,
+        "doc_b",
+        cosine_safe(as_double_array("qk"), as_double_array("ck")).alias(
+            "cos"
+        ),
+    ).filter(
+        (F.col("cos") >= threshold) & (F.col("doc_a") != F.col("doc_b"))
+    )
+
+
+def semantic_screen_events_map(
+    new_emb: DataFrame,
+    centers_rows,
+    corpus_cells: DataFrame,
+    corpus_emb: DataFrame,
+    n_probe: int = 3,
+    threshold: float = 0.40,
+    grid: float = 1_000_000.0,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`semantic_screen_events`'s STREAMING deployment form — the
+    probe as a PURE MAP (VERDICT r11 item 1): the batch form ranks a
+    query's cells with a per-arrival ROW_NUMBER window, which is legal
+    batch-side only; here the centers arrive as collected rows (bounded
+    — n_cells of them, the :func:`grid_assign_map` recipe) embedded as
+    a literal (cell, cv) array, and the top-``n_probe`` cells fall out
+    of an expression-level ``array_sort`` (comparator: sim desc, cell
+    asc — the window's exact ORDER BY) + ``slice`` + ``explode``. NO
+    window, NO shuffle on the query side; candidate fetch and verify
+    are plain equi-joins (stream-static when ``new_emb`` streams) —
+    the whole screen is streaming-legal, so the semantic gate runs at
+    crawl throughput like the lexical screens.
+
+    Arithmetic is bit-identical to the window form: same floor
+    quantization, same :func:`cosine_safe` (−2.0 zero-norm sentinel —
+    strictly below any true cosine, so a sentinel never outranks a real
+    cell), and ``array_sort``'s total order (sim desc, cell asc) equals
+    the window's ROW_NUMBER order, so the sliced prefix IS the window's
+    rn ≤ n_probe set (map ≡ window law, tests/test_wave47.py).
+
+    ``corpus_cells`` is the standing (key, cell) assignment and
+    ``corpus_emb`` the standing vectors — the frozen serve artifacts
+    (the caller pins them DISK_ONLY for stream-static reads and absorbs
+    deltas via :func:`grid_assign`).
+
+    Scale: per arrival O(n_cells) literal-array work map-side, then a
+    partition-pruned fetch of ``n_probe`` cells' candidates —
+    O(corpus/n_cells · n_probe) per arrival, never the corpus; state-
+    free (the gate's one fold owns all state).
+
+    Returns (doc_a, *carry, doc_b, cos)."""
+    if not centers_rows:
+        # The grid_assign_map guard: an empty literal index would
+        # silently emit zero probes (an unscreened front door admits
+        # semantic duplicates) — fail loudly instead.
+        raise ValueError("semantic_screen_events_map: centers_rows is empty")
+    ordered = sorted(centers_rows, key=lambda r: r.cell)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.cell)).alias("cell"),
+                F.array(*[F.lit(int(v)) for v in r.cv]).alias("cv"),
+            )
+            for r in ordered
+        ]
+    )
+    qg = new_emb.select(
+        F.col(key).alias("doc_a"),
+        *[F.col(c) for c in carry],
+        F.transform(
+            as_double_array(vec),
+            lambda x: F.floor(x * F.lit(grid)).cast("long"),
+        ).alias("qk"),
+    )
+    sims = F.transform(
+        arr,
+        lambda ctr: F.struct(
+            ctr.getField("cell").alias("c"),
+            cosine_safe(
+                as_double_array("qk"), as_double_array(ctr.getField("cv"))
+            ).alias("s"),
+        ),
+    )
+    # Total order (s desc, c asc) — the window form's ORDER BY verbatim;
+    # doubles here are grid cosines or the -2.0 sentinel, never NaN, so
+    # the three-way comparison is total.
+    by_sim_desc_cell_asc = lambda l, r: (  # noqa: E731
+        F.when(l.getField("s") > r.getField("s"), F.lit(-1))
+        .when(l.getField("s") < r.getField("s"), F.lit(1))
+        .when(l.getField("c") < r.getField("c"), F.lit(-1))
+        .when(l.getField("c") > r.getField("c"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    probes = (
+        qg.withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(sims, by_sim_desc_cell_asc),
+                        1,
+                        n_probe,
+                    ),
+                    lambda x: x.getField("c"),
+                )
+            ),
+        )
+        .select("doc_a", *carry, "qk", "cell")
+    )
+    eg = corpus_emb.select(
+        F.col(key).alias("doc_b"),
+        F.transform(
+            as_double_array(vec),
+            lambda x: F.floor(x * F.lit(grid)).cast("long"),
+        ).alias("ck"),
+    )
+    cand = probes.join(
+        corpus_cells.select(F.col(key).alias("doc_b"), "cell"), on="cell"
     ).join(eg, on="doc_b")
     return cand.select(
         "doc_a",

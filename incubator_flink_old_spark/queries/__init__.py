@@ -91,6 +91,7 @@ _QUERY_MODULES = (
     "llm_ops29",
     "llm_ops30",
     "llm_ops31",
+    "llm_ops32",
     "analytics",
     "analytics2",
     "surfaces",

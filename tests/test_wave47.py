@@ -1,0 +1,293 @@
+"""Wave-47 laws (round 12): the semantic screen's streaming deployment
+form — the pure-map probe (semantic_screen_events_map) is bit-equal to
+the batch window form on the fixture, its fail-loud guards, and the
+streaming semantic gate's plan pins (NO window anywhere in the stream
+DAG, exactly ONE stateful operator) — plus the ADVICE r11 review-fix
+guards: checked_bigint passes NULL through as NULL, and the sim's
+chunked runner selects children by exact name (a nested registered
+name must not run in two children)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="no testdata")
+
+
+# --------------------------------------------------------------------------
+# Streaming semantic screen (q_stream_semantic_gate_parity, VERDICT r11 #1)
+# --------------------------------------------------------------------------
+
+
+def test_semantic_map_equals_window(spark):
+    """The row's core law: the pure-map probe (literal centers,
+    array_sort by (sim desc, cell asc) + slice) emits EXACTLY the
+    batch form's events — same pairs, same cosines — on the fixture
+    index. The sorted-prefix ≡ ROW_NUMBER claim, end-to-end through
+    candidate fetch and verify."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_ivf,
+        semantic_screen_events,
+        semantic_screen_events_map,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    emb = t(spark, SF, "embeddings")
+    new_v = F.col("vec_id") % 5 == 4
+    new, corpus = emb.filter(new_v), emb.filter(~new_v)
+    w = semantic_screen_events(
+        new, corpus, n_cells=8, iters=2, n_probe=3, threshold=0.40
+    )
+    cells, centers = grid_ivf(corpus, n_cells=8, iters=2)
+    m = semantic_screen_events_map(
+        new, centers.collect(), cells, corpus, n_probe=3, threshold=0.40
+    )
+    key = lambda r: (r.doc_a, r.doc_b, round(r.cos, 12))  # noqa: E731
+    wr = sorted(map(key, w.collect()))
+    mr = sorted(map(key, m.collect()))
+    assert wr == mr and len(wr) > 0
+
+
+def test_semantic_map_probe_overflow_and_tie_break(spark):
+    """Edge laws of the map probe: n_probe > n_cells degrades to
+    all-cells (slice past the end is the available prefix — matching
+    the window form's rn ≤ n_probe), and an exact similarity TIE keeps
+    the SMALLER cell first (the (sim desc, cell asc) order) — pinned on
+    a crafted two-center index where both centers are equidistant from
+    the query."""
+    from incubator_flink_old_spark.operators.similarity import (
+        semantic_screen_events_map,
+    )
+
+    # Two centers symmetric about the query: cos(q, c1) == cos(q, c2).
+    centers = spark.createDataFrame(
+        [(1, [1000000, 0]), (2, [0, 1000000])], "cell int, cv array<long>"
+    ).collect()
+    cells = spark.createDataFrame(
+        [(101, 1), (202, 2)], "vec_id long, cell int"
+    )
+    cemb = spark.createDataFrame(
+        [(101, [1.0, 0.0]), (202, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(9, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    # n_probe=1: the tie must resolve to cell 1 → only 101 verified.
+    one = semantic_screen_events_map(
+        q, centers, cells, cemb, n_probe=1, threshold=0.1
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in one] == [(9, 101)]
+    # n_probe=5 > n_cells=2: all cells probed, both partners emit.
+    allp = semantic_screen_events_map(
+        q, centers, cells, cemb, n_probe=5, threshold=0.1
+    ).collect()
+    assert sorted((r.doc_a, r.doc_b) for r in allp) == [(9, 101), (9, 202)]
+
+
+def test_semantic_map_empty_centers_raises(spark):
+    """An empty literal index must fail loudly (an unscreened front
+    door admits semantic duplicates) — the grid_assign_map guard."""
+    from incubator_flink_old_spark.operators.similarity import (
+        semantic_screen_events_map,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="centers_rows is empty"):
+        semantic_screen_events_map(df, [], df.select("vec_id"), df)
+
+
+def test_stream_semantic_gate_no_window_one_state(spark, tmp_path):
+    """Plan pins for the streaming semantic gate (VERDICT r11 item 1's
+    'done' criterion): the streaming DAG contains NO window operator
+    (the batch probe's ROW_NUMBER rank is replaced by the pure-map
+    array_sort — a Window node would make the plan stream-illegal or
+    smuggle a per-key shuffle in), and the executed query runs exactly
+    ONE stateful operator (the gate's single existence-MAX fold) while
+    emitting verdicts equal to the batch gate's."""
+    import time
+
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_ivf,
+        semantic_screen_events_map,
+    )
+    from incubator_flink_old_spark.operators.text import (
+        streaming_ingest_gate,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.streaming import append_literal_rows
+
+    docs = t(spark, SF, "documents")
+    emb = t(spark, SF, "embeddings")
+    new_d = F.col("doc_id") % 5 == 4
+    new_v = F.col("vec_id") % 5 == 4
+    corpus = docs.filter(~new_d)
+    corpus_emb = emb.filter(~new_v).select("vec_id", "embedding")
+    cells, centers = grid_ivf(corpus_emb, n_cells=8, iters=2)
+    # Materialize the index the way production serves it — a STANDING
+    # artifact read from storage, not an inline re-train (the train's
+    # own ROW_NUMBER windows are batch-side and legal, but the strongest
+    # pin is a DAG with no Window node at all).
+    cells = cells.localCheckpoint(eager=True)
+    centers_rows = centers.collect()
+    nemb = emb.filter(new_v).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+
+    src = str(tmp_path / "replay")
+    stream_src = docs.filter(new_d).select(
+        "doc_id",
+        "text",
+        "lang",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+    )
+    stream_src.coalesce(1).write.parquet(src)
+    mx = stream_src.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    time.sleep(0.2)
+    append_literal_rows(
+        spark,
+        src,
+        [(-1, "the of and to a", "en", mx + datetime.timedelta(hours=1))],
+        "doc_id long, text string, lang string, ts timestamp",
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sem = semantic_screen_events_map(
+        stream.select(F.col("doc_id").alias("vec_id"), "ts").join(
+            nemb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            on="vec_id",
+        ),
+        centers_rows,
+        cells,
+        corpus_emb,
+        n_probe=3,
+        threshold=0.40,
+        carry=("ts",),
+    ).select("doc_a", "ts")
+    out = streaming_ingest_gate(
+        stream,
+        corpus,
+        langs=("en", "de", "fr"),
+        num_hashes=8,
+        band_size=4,
+        jaccard_threshold=0.7,
+        screens=("neardup",),
+        extra_screens={"semdup": sem},
+        event_time="ts",
+        watermark_delay="30 seconds",
+    )
+    # Plan pin 1: no Window node anywhere in the DAG (the standing
+    # index is a materialized artifact, so even the batch-side train
+    # windows are out of the plan), and — the load-bearing half — no
+    # Window node on ANY streaming subtree (walked structurally, not
+    # string-matched).
+    analyzed = out._jdf.queryExecution().analyzed()
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    windows = [n for n in walk(analyzed) if n.nodeName() == "Window"]
+    assert not windows, [str(n) for n in windows]
+    assert not any(
+        n.isStreaming() for n in walk(analyzed) if n.nodeName() == "Window"
+    )
+
+    name = "t47_semgate"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # Plan pin 2: exactly ONE stateful operator executed.
+    assert len(q.lastProgress["stateOperators"]) == 1
+
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in spark.table(name).filter(F.col("doc_id") >= 0).collect()
+    }
+    from incubator_flink_old_spark.operators.similarity import (
+        semantic_screen_events,
+    )
+
+    sem_b = semantic_screen_events(
+        emb.filter(new_v),
+        emb.filter(~new_v),
+        n_cells=8,
+        iters=2,
+        n_probe=3,
+        threshold=0.40,
+    ).select("doc_a")
+    batch = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in streaming_ingest_gate(
+            docs.filter(new_d).select("doc_id", "text", "lang"),
+            corpus,
+            langs=("en", "de", "fr"),
+            num_hashes=8,
+            band_size=4,
+            jaccard_threshold=0.7,
+            screens=("neardup",),
+            extra_screens={"semdup": sem_b},
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# ADVICE r11 review-fix guards
+# --------------------------------------------------------------------------
+
+
+def test_checked_bigint_null_passthrough(spark):
+    """A NULL input passes through as NULL — not misreported as
+    overflow (ADVICE r11: fits evaluated NULL and assert_true(NULL)
+    threw)."""
+    from incubator_flink_old_spark.operators.joins import checked_bigint
+
+    out = spark.range(1).select(
+        checked_bigint(
+            F.lit(None).cast("decimal(38,0)"), "boom"
+        ).alias("v")
+    )
+    assert out.collect()[0]["v"] is None
+
+
+def test_sim_chunk_selection_exact(monkeypatch):
+    """The chunked sim selects children by EXACT name (SIM_EXACT):
+    a registered name nested inside another (q_x substring of q_x_more)
+    must select only itself — the substring scheme double-ran it
+    (ADVICE r11)."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    driver_sim = importlib.import_module("driver_sim")
+
+    monkeypatch.setenv("SIM_EXACT", "q_stream_dedup_parity")
+    monkeypatch.delenv("SIM_ONLY", raising=False)
+    monkeypatch.delenv("SIM_SKIP", raising=False)
+    names, stream, rest = driver_sim._selected_names()
+    selected = stream + rest
+    assert selected == ["q_stream_dedup_parity"]
+    # the nested sibling q_stream_dedup_watermark_parity is registered
+    # (the premise of the guard) but NOT selected
+    assert "q_stream_dedup_watermark_parity" in names
