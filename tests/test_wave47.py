@@ -291,3 +291,90 @@ def test_sim_chunk_selection_exact(monkeypatch):
     # the nested sibling q_stream_dedup_watermark_parity is registered
     # (the premise of the guard) but NOT selected
     assert "q_stream_dedup_watermark_parity" in names
+
+
+# --------------------------------------------------------------------------
+# Semantic-tier absorption (q_semantic_absorb_parity, VERDICT r11 #2)
+# --------------------------------------------------------------------------
+
+
+def test_semantic_absorption_changes_verdict(spark):
+    """The absorption law on a crafted fixture: a wave-2 paraphrase of
+    a wave-1 ADMIT is invisible to the frozen standing index but
+    caught by the absorbed one — the verdict flip comes from exactly
+    the rows grid_assign appended (frozen centers, no re-train)."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign,
+        grid_ivf,
+        semantic_screen_events,
+    )
+
+    dim = 4
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    admit = (10, [0.0, 0.0, 1.0, 0.0])       # wave-1 admit: new direction
+    probe = (20, [0.0, 0.0, 0.99, 0.01])     # wave-2 paraphrase of 10
+    schema = "vec_id long, embedding array<float>"
+    corpus0 = spark.createDataFrame(base, schema)
+    w1 = spark.createDataFrame([admit], schema)
+    w2 = spark.createDataFrame([probe], schema)
+    cells0, centers = grid_ivf(corpus0, n_cells=2, iters=1)
+
+    frozen = semantic_screen_events(
+        w2, corpus0, n_probe=2, threshold=0.9, index=(cells0, centers)
+    ).collect()
+    assert frozen == []  # the paraphrase's partner is not in the corpus
+
+    cells1 = cells0.unionByName(grid_assign(w1, centers))
+    emb1 = corpus0.unionByName(w1)
+    absorbed = semantic_screen_events(
+        w2, emb1, n_probe=2, threshold=0.9, index=(cells1, centers)
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in absorbed] == [(20, 10)]
+
+
+def test_semantic_absorb_plan_no_retrain_reads_cached_index(spark):
+    """The 100 TB claim on the plan: wave 2's screen over the absorbed
+    index never re-trains (no Lloyd signature — the train's posexplode
+    — anywhere in the optimized plan) and serves the standing index
+    from cache (InMemoryRelations for the pinned cells + vectors); the
+    only non-cached work is the O(wave) delta assignment."""
+    from pyspark.storagelevel import StorageLevel
+
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign,
+        grid_ivf,
+        semantic_screen_events,
+    )
+    from incubator_flink_old_spark.queries._util import t
+
+    emb = t(spark, SF, "embeddings")
+    m5 = F.col("vec_id") % 5
+    corpus0 = emb.filter(m5 <= 2).select("vec_id", "embedding")
+    w1 = emb.filter(m5 == 3).select("vec_id", "embedding")
+    w2 = emb.filter(m5 == 4).select("vec_id", "embedding")
+    cells0, centers = grid_ivf(corpus0, n_cells=8, iters=2)
+    pinned = [
+        f.persist(StorageLevel.DISK_ONLY) for f in (cells0, corpus0)
+    ]
+    cells0, corpus0 = pinned
+    try:
+        cells0.count(), corpus0.count()  # materialize the pins
+        cells1 = cells0.unionByName(grid_assign(w1, centers))
+        sem2 = semantic_screen_events(
+            w2,
+            corpus0.unionByName(w1),
+            n_probe=3,
+            threshold=0.4,
+            index=(cells1, centers),
+        )
+        plan = sem2._jdf.queryExecution().optimizedPlan().toString()
+        assert "posexplode" not in plan  # no Lloyd re-train in the DAG
+        assert plan.count("InMemoryRelation") >= 2
+        assert "CartesianProduct" not in plan
+        assert sem2.count() > 0
+    finally:
+        for f in pinned:
+            f.unpersist()
