@@ -217,6 +217,90 @@ def global_row_number(
     )
 
 
+def per_group_row_number(
+    df: DataFrame,
+    group: str,
+    order: list[Column],
+    alias: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`global_row_number`'s pattern applied PER GROUP — the
+    mega-group skew path for grouped rank/percent_rank (VERDICT r11
+    item 3): ``Window.partitionBy(group)`` funnels each group through
+    ONE task, which at 100 TB with a CommonCrawl-sized dominant source
+    is the first real skew cliff; here no task ever holds more than one
+    range partition.
+
+    Shape (all JVM-side): range-partition on (group, *order) — so each
+    physical partition holds a CONTIGUOUS slice of the (group, order)
+    space and a mega group spans MANY partitions; number rows with a
+    window keyed on (partition id, group) — within one physical
+    partition a group's rows are one contiguous run, balanced across
+    reducers; then add per-(partition, group) offsets via a broadcast
+    join against a tiny offsets table. The offsets collect is bounded
+    STRUCTURALLY: contiguity means distinct (pid, group) pairs ≤
+    n_partitions + n_groups − 1 (each partition adds at most one
+    group-straddle), never O(rows).
+
+    Deterministic for a fully tie-broken ``order`` regardless of where
+    the range sampler draws boundaries — identical output to the
+    single-window ``row_number() OVER (PARTITION BY group ORDER BY
+    ...)`` (law-pinned in tests/test_wave47.py).
+    """
+    keys = [F.col(group)] + list(order)
+    ranged = (
+        df.repartitionByRange(*keys)
+        if num_partitions is None
+        else df.repartitionByRange(num_partitions, *keys)
+    )
+    local_w = Window.partitionBy("__pid", group).orderBy(*order)
+    # Materialize before the sizes collect: the offset join must see
+    # the SAME pid assignment the sizes were measured on (the
+    # global_row_number discipline — range-boundary sampling would
+    # otherwise re-run and could land differently).
+    indexed = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local", F.row_number().over(local_w).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        indexed.groupBy("__pid", group)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: ≤ n_partitions + n_groups − 1 (contiguity)
+    )
+    acc: dict[object, int] = {}
+    offsets = []
+    for r in sorted(sizes, key=lambda r: r["__pid"]):
+        g = r[group]
+        offsets.append((r["__pid"], g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + r["n"]
+    spark = df.sparkSession
+    from incubator_flink_old_spark.sources import local_rows
+
+    gtype = dict(df.dtypes)[group]
+    offsets_df = local_rows(
+        spark,
+        offsets or [(0, None, 0)],
+        f"__opid int, __og {gtype}, __offset long",
+    )
+    # eqNullSafe on the group key: a NULL group is a legal rank group
+    # under the single-window form (NULLs partition together), so the
+    # offset lookup must match it too — plain equality would leave a
+    # partition-straddling NULL group with offset 0 in every partition.
+    return (
+        indexed.join(
+            F.broadcast(offsets_df),
+            (F.col("__pid") == F.col("__opid"))
+            & F.col(group).eqNullSafe(F.col("__og")),
+            "left",
+        )
+        .withColumn(
+            alias, F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local")
+        )
+        .drop("__pid", "__local", "__opid", "__og", "__offset")
+    )
+
+
 def global_prefix_agg(
     df: DataFrame,
     order: list[Column],

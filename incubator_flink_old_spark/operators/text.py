@@ -3447,6 +3447,7 @@ def quality_calibrate(
     text: str = "text",
     key: str = "doc_id",
     source: str = "source",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """PER-SOURCE quality CALIBRATION — the step q_text_quality's
     absolute 0.4 threshold cannot do: heuristic quality scores are not
@@ -3466,19 +3467,57 @@ def quality_calibrate(
     (engine desc_nulls_last = DuckDB DESC NULLS LAST, pinned) and so is
     kept only at keep_frac = 1.
 
-    Scale: one window shuffled on ``source``. A mega-source funnels
-    through one task — at 100 TB either salt the rank within source
-    (two-level rank) or switch the boundary to an approx-quantile
-    threshold per source (the q_approx_quantile sketch); exactness is
-    chosen here because the keep boundary must replay bit-for-bit.
+    Scale: the default is one window shuffled on ``source`` — a
+    mega-source funnels through one task. ``skew_safe=True`` is the
+    100 TB path (VERDICT r11 item 3): the per-source rank is computed
+    by the TWO-LEVEL exact form — range-partition on (source, quality
+    desc, key) so a mega source spans many partitions, number within
+    (partition, source), add per-(partition, source) count offsets via
+    a broadcast join (:func:`~incubator_flink_old_spark.operators.
+    aggregates.per_group_row_number`) — and percent_rank is recomposed
+    as (rank−1)/(n−1) against a per-source count join. Bit-identical
+    to the single-window form (percent_rank over a fully tie-broken
+    order IS that division — one correctly-rounded op; n = 1 reads
+    0.0 on both paths; law-pinned two-level ≡ window in
+    tests/test_wave47.py), so the keep boundary still replays
+    cross-engine — unlike the approx-quantile alternative the
+    docstring previously only gestured at.
 
     Returns (key, source, quality, src_pct, keep)."""
     from pyspark.sql import Window
 
     q = quality_score(df, text=text, key=key, carry=(source,))
-    w = Window.partitionBy(source).orderBy(
-        F.col("quality").desc_nulls_last(), F.col(key)
-    )
+    order = [F.col("quality").desc_nulls_last(), F.col(key)]
+    if skew_safe:
+        from incubator_flink_old_spark.operators.aggregates import (
+            per_group_row_number,
+        )
+
+        rn = per_group_row_number(q, source, order, alias="__rn")
+        counts = q.groupBy(source).agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+        # eqNullSafe: a NULL source is one rank group (matching the
+        # window form's NULL partitioning).
+        ranked = rn.join(
+            F.broadcast(
+                counts.select(F.col(source).alias("__cs"), "__n")
+            ),
+            F.col(source).eqNullSafe(F.col("__cs")),
+            "left",
+        )
+        pct = F.when(F.col("__n") > 1,
+                     (F.col("__rn") - 1).cast("double")
+                     / (F.col("__n") - 1).cast("double")
+              ).otherwise(F.lit(0.0))
+        return ranked.select(
+            key,
+            source,
+            "quality",
+            pct.alias("src_pct"),
+            (pct <= F.lit(keep_frac)).alias("keep"),
+        )
+    w = Window.partitionBy(source).orderBy(*order)
     pct = F.percent_rank().over(w)
     return q.select(
         key,

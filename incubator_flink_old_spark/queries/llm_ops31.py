@@ -427,13 +427,20 @@ def q_quality_calibration(spark, sf_dir):
     threshold would not replay cross-engine. NULL ordering pinned
     (desc_nulls_last both sides).
 
-    Scale: one window shuffled on source; the mega-source skew path
-    (salted two-level rank, or the q_approx_quantile sketch threshold)
-    is documented on the operator."""
+    Scale: runs the operator's skew_safe mode — the TWO-LEVEL exact
+    rank (range partition on (source, quality desc, key), number
+    within (partition, source), broadcast count offsets;
+    per_group_row_number) so a mega-source spans many partitions
+    instead of funnelling one task (VERDICT r11 item 3). Bit-identical
+    to the single-window form (two-level ≡ window law + no-per-source-
+    window plan pin in tests/test_wave47.py), so the oracle's plain
+    PERCENT_RANK window stays the twin."""
     from incubator_flink_old_spark.operators.text import quality_calibrate
 
     return quality_calibrate(
-        t(spark, sf_dir, "documents"), keep_frac=_CAL_KEEP_FRAC
+        t(spark, sf_dir, "documents"),
+        keep_frac=_CAL_KEEP_FRAC,
+        skew_safe=True,
     )
 
 
