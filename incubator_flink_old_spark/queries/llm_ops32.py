@@ -467,3 +467,185 @@ def q_semantic_absorb_parity(spark, sf_dir):
         for f in pinned:
             f.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# The training-data factory, end-to-end: crawl gate -> calibration ->
+# mixture schedule -> token-budget chunks, ONE checked row
+# --------------------------------------------------------------------------
+
+
+#: The factory's mixture weights, over the sources the NEW wave can
+#: contain: source tracks doc_id % 10 in the fixture, and the wave is
+#: doc_id % 5 = 4 — so admitted docs are src4/src9 only (the llm_ops29
+#: _MIX_WEIGHTS src0..src3 would exclude the whole wave). Powers of two,
+#: per the mixture_schedule exactness contract.
+_FACTORY_WEIGHTS = (("src4", 2.0), ("src9", 1.0))
+
+
+def _factory_oracle() -> str:
+    """The stitched curriculum twin (VERDICT r11 item 4 — the
+    q_curate_full discipline applied to the schedule side): the four
+    stages' VERIFIED oracles composed in one WITH, each restricted to
+    the previous stage's survivors — the gate's verdicts
+    (_ingest_gate_oracle verbatim), q_quality_calibration's
+    percent_rank cut over the ADMITTED docs, q_mixture_schedule's
+    stride schedule over the KEPT docs, q_token_budget_schedule's
+    running prefix over that schedule."""
+    from incubator_flink_old_spark.queries.llm_ops31 import (
+        _CAL_KEEP_FRAC,
+        _TB_BUDGET,
+    )
+
+    from incubator_flink_old_spark.queries.llm_ops31 import _ABSORB_RULE
+
+    values = ", ".join(f"('{s}', {w})" for s, w in _FACTORY_WEIGHTS)
+    return rf"""
+    WITH g AS MATERIALIZED ({_ingest_gate_oracle(screens=("neardup",))}),
+    adm AS (
+        SELECT d.doc_id, d.text, d.source
+        FROM documents d JOIN g USING (doc_id) WHERE {_ABSORB_RULE}),
+    ktoks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '\s+'), x -> x <> ''
+               )) AS tk,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS tka
+        FROM adm),
+    kbase AS (
+        SELECT d.doc_id, d.source,
+               CAST(len(list_filter(t.tka,
+                   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                   / len(t.tka) AS stopword_ratio,
+               1.0 - CAST(len(t.tk) AS DOUBLE) / len(t.tka) AS repetition,
+               LENGTH(d.text) BETWEEN 100 AND 20000 AS len_ok
+        FROM adm d JOIN ktoks t USING (doc_id)),
+    kq AS (
+        SELECT doc_id, source,
+               0.5 * stopword_ratio + 0.3 * (1.0 - repetition)
+                 + 0.2 * CAST(len_ok AS DOUBLE) AS quality
+        FROM kbase),
+    cal AS (
+        SELECT doc_id,
+               PERCENT_RANK() OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC NULLS LAST, doc_id)
+                 <= {_CAL_KEEP_FRAC} AS keep
+        FROM kq),
+    kept AS (
+        SELECT a.doc_id, a.text, a.source
+        FROM adm a JOIN cal c USING (doc_id) WHERE c.keep),
+    w(source, wt) AS (SELECT * FROM (VALUES {values})),
+    r AS (
+        SELECT k.doc_id, k.source, w.wt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY k.source
+                   ORDER BY ('0x' || substr(md5(k.doc_id::VARCHAR),
+                                            1, 15))::BIGINT, k.doc_id
+               ) AS src_rank
+        FROM kept k JOIN w USING (source)),
+    sched AS (
+        SELECT doc_id, source, src_rank,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY src_rank / wt, source, doc_id) AS BIGINT)
+                   AS sched_pos
+        FROM r),
+    cnt AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM kept),
+    run AS (
+        SELECT s.doc_id, s.source, s.sched_pos, c.n_tokens,
+               SUM(c.n_tokens) OVER (
+                   ORDER BY s.sched_pos
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sched s JOIN cnt c USING (doc_id))
+    SELECT doc_id, source, sched_pos, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           (CAST(cum_tokens AS BIGINT) - n_tokens) // {_TB_BUDGET}
+               AS chunk_id
+    FROM run
+    """
+
+
+@register("q_training_factory_e2e", oracle=_factory_oracle())
+def q_training_factory_e2e(spark, sf_dir):
+    """THE TRAINING-DATA FACTORY IN ONE ROW (VERDICT r11 item 4) —
+    crawl → curriculum, end-to-end: new documents pass the composed
+    ingest front door (quality + lang + MinHash near-dup + winnowed
+    span vs the standing corpus — q_ingest_gate's exact gate), the
+    ADMITTED set is calibrated per source (skew-safe two-level
+    percent_rank, top 75% per source — q_quality_calibration), the
+    KEPT set is stride-scheduled into the one reproducible mixture
+    order (q_mixture_schedule) and chunked by token budget via ONE
+    distributed prefix sum (q_token_budget_schedule). Every stage is
+    individually driver-green; this row checks their COMPOSITION — the
+    admitted/kept boundaries feed forward, so a single gate flip moves
+    every downstream sched_pos/chunk_id, and the oracle recomputes the
+    whole chain in one stitched WITH.
+
+    Scale: the gate is the one corpus-shaped stage (equi-join probes +
+    one evidence fold); everything downstream is admitted-sized — the
+    calibration's two-level rank range-partitions (no per-source
+    funnel), the schedule's global numbering and the token prefix sum
+    are the distributed two-pass forms (no empty-partitionBy window
+    anywhere — plan-pinned in tests/test_wave47.py), and the final
+    range exchange IS the chunk-sharded layout a dataloader reads.
+    This is the 100 TB shape: each curriculum rebuild touches the
+    admitted wave, never the standing corpus."""
+    from incubator_flink_old_spark.operators.text import (
+        quality_calibrate,
+        streaming_ingest_gate,
+        token_budget_chunks,
+    )
+    from incubator_flink_old_spark.queries.llm_ops31 import (
+        _CAL_KEEP_FRAC,
+        _TB_BUDGET,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _D_MOD == _D_REM
+    new_docs = docs.filter(is_new).select(
+        "doc_id", "text", "lang", "source"
+    )
+    # Near-dup arm only, selection by the absorb rule (quality + lang +
+    # no verified near-dup): the fixture corpus is winnow-span-SATURATED
+    # at every knob (the documented _ABSORB_RULE rationale,
+    # llm_ops31/q_ingest_lifecycle) — a span-gated factory would
+    # schedule nothing and every downstream stage would be vacuously
+    # "checked" on empty frames.
+    gate = streaming_ingest_gate(
+        new_docs,
+        docs.filter(~is_new),
+        langs=_GATE_LANGS,
+        num_hashes=_NDS_HASHES,
+        band_size=_NDS_BAND,
+        jaccard_threshold=_NDS_THRESHOLD,
+        screens=("neardup",),
+    )
+    # Admitted docs feed three downstream reads (calibration, the kept
+    # join, the schedule's token counts) — pin once, release after the
+    # result materializes.
+    admitted = new_docs.join(
+        gate.filter(
+            F.col("quality_ok")
+            & F.col("lang_ok")
+            & ~F.col("has_neardup")
+        ).select("doc_id"),
+        on="doc_id",
+    ).localCheckpoint(eager=True)
+    try:
+        cal = quality_calibrate(
+            admitted, keep_frac=_CAL_KEEP_FRAC, skew_safe=True
+        )
+        kept = admitted.join(
+            cal.filter("keep").select("doc_id"), on="doc_id"
+        )
+        out = token_budget_chunks(
+            kept, budget=_TB_BUDGET, weights=dict(_FACTORY_WEIGHTS)
+        ).localCheckpoint(eager=True)
+    finally:
+        admitted.unpersist()
+    return out

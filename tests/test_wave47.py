@@ -453,3 +453,90 @@ def test_quality_calibrate_skew_safe_plan_no_per_source_window(spark):
         quality_calibrate(docs)._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "percent_rank" in wplan
+
+
+# --------------------------------------------------------------------------
+# Training-data factory end-to-end (q_training_factory_e2e, VERDICT r11 #4)
+# --------------------------------------------------------------------------
+
+
+def test_factory_composition_laws_and_plan(spark):
+    """The composed crawl→schedule chain: every scheduled document is
+    an absorb-rule ADMIT that survived calibration (the stage
+    boundaries feed forward — stage-subset law), cum_tokens is the
+    exact prefix sum over sched order with chunk_id = (cum−n) div
+    budget (the chunk laws, on the composed output), and the composed
+    plan carries NO empty-partitionBy window (walked structurally —
+    every Window node partitions on ≥1 key) and no cartesian
+    product."""
+    from incubator_flink_old_spark.operators.text import (
+        quality_calibrate,
+        streaming_ingest_gate,
+        token_budget_chunks,
+    )
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops32 import (
+        _FACTORY_WEIGHTS,
+    )
+
+    docs = t(spark, SF, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    new_docs = docs.filter(is_new).select("doc_id", "text", "lang", "source")
+    gate = streaming_ingest_gate(
+        new_docs,
+        docs.filter(~is_new),
+        langs=("en", "de", "fr"),
+        num_hashes=8,
+        band_size=4,
+        jaccard_threshold=0.7,
+        screens=("neardup",),
+    )
+    admitted = new_docs.join(
+        gate.filter(
+            F.col("quality_ok") & F.col("lang_ok") & ~F.col("has_neardup")
+        ).select("doc_id"),
+        on="doc_id",
+    ).localCheckpoint(eager=True)
+    try:
+        cal = quality_calibrate(admitted, keep_frac=0.75, skew_safe=True)
+        kept = admitted.join(
+            cal.filter("keep").select("doc_id"), on="doc_id"
+        )
+        out = token_budget_chunks(
+            kept, budget=512, weights=dict(_FACTORY_WEIGHTS)
+        )
+
+        analyzed = out._jdf.queryExecution().analyzed()
+
+        def walk(node):
+            yield node
+            for i in range(node.children().size()):
+                yield from walk(node.children().apply(i))
+
+        for n in walk(analyzed):
+            if n.nodeName() == "Window":
+                assert n.partitionSpec().size() >= 1, str(n)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+        rows = sorted(out.collect(), key=lambda r: r["sched_pos"])
+        assert rows, "factory scheduled nothing — fixture drift?"
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        adm_ids = {r["doc_id"] for r in admitted.collect()}
+        sched_ids = {r["doc_id"] for r in rows}
+        assert sched_ids <= kept_ids <= adm_ids
+        # scheduled = kept ∩ weighted sources (the mixture selection)
+        srcs = {s for s, _ in _FACTORY_WEIGHTS}
+        expect = {
+            r["doc_id"]
+            for r in kept.collect()
+            if r["source"] in srcs
+        }
+        assert sched_ids == expect
+        cum = 0
+        for r in rows:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+            assert r["chunk_id"] == (cum - r["n_tokens"]) // 512
+    finally:
+        admitted.unpersist()
