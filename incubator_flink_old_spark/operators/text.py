@@ -3267,6 +3267,7 @@ def mixture_schedule(
     weights: dict[str, float],
     key: str = "doc_id",
     source: str = "source",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Deterministic WEIGHTED-INTERLEAVE training schedule (stride
     scheduling): materialize the one global order in which a training
@@ -3293,13 +3294,21 @@ def mixture_schedule(
     global_row_number two-pass (range partition + per-partition
     numbering + broadcast offsets), so no single-task global window
     anywhere in the plan; the range exchange's output is already the
-    vt-sharded layout a dataloader reads.
+    vt-sharded layout a dataloader reads. ``skew_safe=True`` replaces
+    the per-source window with the two-level exact rank
+    (:func:`~incubator_flink_old_spark.operators.aggregates.
+    per_group_row_number` — the quality_calibrate skew path): at 100 TB
+    a CommonCrawl-sized dominant source otherwise funnels its whole
+    hash-rank through ONE task. Output is bit-identical either mode
+    (row_number over the fully tie-broken (__h, key) order — law-pinned
+    in tests/test_wave47.py).
 
     Returns (key, source, src_rank, sched_pos)."""
     from pyspark.sql import Window
 
     from incubator_flink_old_spark.operators.aggregates import (
         global_row_number,
+        per_group_row_number,
     )
 
     w_rows = sorted(weights.items())
@@ -3328,16 +3337,20 @@ def mixture_schedule(
         16,
         10,
     ).cast("long")
-    ranked = (
-        df.join(wdf, on=source)
-        .select(F.col(key), F.col(source), "__wt", h.alias("__h"))
-        .withColumn(
+    weighted = df.join(wdf, on=source).select(
+        F.col(key), F.col(source), "__wt", h.alias("__h")
+    )
+    if skew_safe:
+        ranked = per_group_row_number(
+            weighted, source, [F.col("__h"), F.col(key)], alias="src_rank"
+        )
+    else:
+        ranked = weighted.withColumn(
             "src_rank",
             F.row_number()
             .over(Window.partitionBy(source).orderBy("__h", key))
             .cast("long"),
         )
-    )
     staged = ranked.withColumn("__vt", F.col("src_rank") / F.col("__wt"))
     return global_row_number(
         staged, [F.col("__vt"), F.col(source), F.col(key)], alias="sched_pos"
@@ -3535,6 +3548,7 @@ def token_budget_chunks(
     text: str = "text",
     key: str = "doc_id",
     source: str = "source",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """TOKEN-BUDGET CHUNKING of the training schedule — the step
     between :func:`mixture_schedule` (the one global consume order) and
@@ -3552,7 +3566,9 @@ def token_budget_chunks(
     any engine under the fixed schedule order; chunk_id is one integer
     floor-division.
 
-    Scale: the schedule's own windows plus ONE distributed prefix sum
+    Scale (``skew_safe`` forwards to :func:`mixture_schedule`'s
+    two-level per-source rank — the mega-source path): the schedule's
+    own windows plus ONE distributed prefix sum
     (:func:`~incubator_flink_old_spark.operators.aggregates.
     global_prefix_agg` — range-partitioned, per-partition running sums,
     broadcast prefix offsets; no empty-partitionBy window anywhere).
@@ -3571,7 +3587,9 @@ def token_budget_chunks(
             f"token_budget_chunks: budget must be positive, got {budget}"
         )
 
-    sched = mixture_schedule(df, weights, key=key, source=source)
+    sched = mixture_schedule(
+        df, weights, key=key, source=source, skew_safe=skew_safe
+    )
     counts = df.select(key, token_count(text).cast("long").alias("n_tokens"))
     joined = sched.join(counts, on=key)
     run = global_prefix_agg(

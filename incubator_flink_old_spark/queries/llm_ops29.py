@@ -610,13 +610,16 @@ def q_mixture_schedule(spark, sf_dir):
     within one stride of the weight proportion; each source's
     subsequence preserves its hash order; reruns are bit-identical.
 
-    Scale: one per-source rank window + one global range sort over
-    digest triples (the q_sink_global_sort posture) — the range
-    exchange IS the sharded schedule layout a dataloader reads."""
+    Scale: runs the operator's skew_safe mode (round 12) — the
+    per-source hash rank via the two-level range-partitioned form
+    (per_group_row_number), so a mega-source never funnels one task —
+    plus the global range numbering over digest triples; the range
+    exchange IS the sharded schedule layout a dataloader reads.
+    Bit-identical to the window form (law, tests/test_wave47.py)."""
     from incubator_flink_old_spark.operators.text import mixture_schedule
 
     return mixture_schedule(
-        t(spark, sf_dir, "documents"), dict(_MIX_WEIGHTS)
+        t(spark, sf_dir, "documents"), dict(_MIX_WEIGHTS), skew_safe=True
     )
 
 

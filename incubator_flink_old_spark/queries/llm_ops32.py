@@ -644,7 +644,10 @@ def q_training_factory_e2e(spark, sf_dir):
             cal.filter("keep").select("doc_id"), on="doc_id"
         )
         out = token_budget_chunks(
-            kept, budget=_TB_BUDGET, weights=dict(_FACTORY_WEIGHTS)
+            kept,
+            budget=_TB_BUDGET,
+            weights=dict(_FACTORY_WEIGHTS),
+            skew_safe=True,
         ).localCheckpoint(eager=True)
     finally:
         admitted.unpersist()

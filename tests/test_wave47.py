@@ -540,3 +540,27 @@ def test_factory_composition_laws_and_plan(spark):
             assert r["chunk_id"] == (cum - r["n_tokens"]) // 512
     finally:
         admitted.unpersist()
+
+
+def test_mixture_schedule_skew_safe_equals_window(spark):
+    """mixture_schedule's two-level ≡ single-window law (the
+    quality_calibrate skew story applied to the schedule's per-source
+    hash rank): identical (src_rank, sched_pos) either mode, so the
+    curriculum is bit-reproducible whichever path a deployment
+    picks."""
+    from incubator_flink_old_spark.operators.text import mixture_schedule
+    from incubator_flink_old_spark.queries._util import t
+    from incubator_flink_old_spark.queries.llm_ops29 import _MIX_WEIGHTS
+
+    docs = t(spark, SF, "documents")
+    key = lambda r: (r.doc_id, r.source, r.src_rank, r.sched_pos)  # noqa: E731
+    plain = sorted(map(key, mixture_schedule(docs, dict(_MIX_WEIGHTS)).collect()))
+    safe = sorted(
+        map(
+            key,
+            mixture_schedule(
+                docs, dict(_MIX_WEIGHTS), skew_safe=True
+            ).collect(),
+        )
+    )
+    assert plain == safe and len(plain) > 0
