@@ -109,37 +109,26 @@ LOAD_ERRORS: dict[str, str] = {}
 #: outranks pure age and cannot be derived from the artifacts. Purely an
 #: ordering hint — every query stays registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-11 code-changed re-fronts (SIM-rechecked at sf0.01+sf0.1):
-    # the ADVICE r10 NULL-regime pin changed the gate oracles
-    # (COALESCE(flag, FALSE)) and the engine's evidence coalesce under
-    # these three green r10 rows; q_ingest_absorb_parity (new, un-green)
-    # auto-fronts ahead of everything regardless.
-    "q_ingest_gate",
-    "q_stream_ingest_gate_parity",
-    "q_ingest_lifecycle",
-    # round-11: serve artifacts threaded through one train/encode/truth
-    # (_serve_artifacts / _refine_ranked(artifacts=)) — shared code
-    # under the refine rows; the operating-point row's body rewrote.
-    "q_serve_operating_point",
-    "q_ann_recall_ivfsq8_refine",
-    "q_ann_eval_refine",
-    # round-11: checked_bigint guard on the hotkeys emission; drift
-    # audit gained the registry release path.
+    # round-12 code-changed re-fronts (each SIM-rechecked at
+    # sf0.001+sf0.01+sf0.1; the three NEW rows — q_stream_semantic_
+    # gate_parity, q_semantic_absorb_parity, q_training_factory_e2e —
+    # are un-green and auto-front ahead of everything regardless):
+    #
+    # ADVICE r11 key-domain semi-join added to the semantic events, and
+    # semantic_screen_events gained the supplied-index param (default
+    # path unchanged) — shared code under the batch semantic gate row.
+    "q_semantic_ingest_gate",
+    # flipped onto quality_calibrate's new skew_safe two-level rank
+    # (bit-identical by law, but the executed plan is new).
+    "q_quality_calibration",
+    # flipped onto mixture_schedule's skew_safe mode / body refactor
+    # (the rank expression moved into a branch; token_budget_chunks
+    # threads the flag with a default-off path under the budget row).
+    "q_mixture_schedule",
+    "q_token_budget_schedule",
+    # checked_bigint gained the NULL-passthrough arm (ADVICE r11) —
+    # shared code under the hotkeys emission.
     "q_join_hotkeys",
-    "q_winnow_drift_refresh",
-    # round-11: both screen event functions gained the maintained-index
-    # params (corpus_artifacts / corpus_index; defaults unchanged) —
-    # shared code under the streaming parity rows.
-    "q_stream_neardup_screen_parity",
-    "q_stream_neardup_watermark_parity",
-    "q_stream_winnow_screen_parity",
-    # round-11 perf fixes under green rows (PERF.md round-11 entry):
-    # write_event_time_replay pins the tiled frame (shared by the
-    # winnow replay rows) and the sentinel writes moved to
-    # append_literal_rows (the three sentinel sites).
-    "q_stream_winnow_stats_parity",
-    "q_stream_leftouter_join_parity",
-    "q_stream_join_window_parity",
 )
 
 
