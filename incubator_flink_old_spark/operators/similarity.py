@@ -1621,6 +1621,14 @@ def semantic_screen_events(
     Returns (doc_a, *carry, doc_b, cos)."""
     from pyspark.sql import Window
 
+    if n_probe <= 0:
+        # A degenerate probe count silently emits ZERO events — an
+        # unscreened front door admitting semantic duplicates (the
+        # centers_rows guard's rationale; the token_budget_chunks
+        # fail-loud convention).
+        raise ValueError(
+            f"semantic_screen_events: n_probe must be positive, got {n_probe}"
+        )
     if index is None:
         cells, centers = grid_ivf(
             corpus_emb,
@@ -1734,6 +1742,13 @@ def semantic_screen_events_map(
         # silently emit zero probes (an unscreened front door admits
         # semantic duplicates) — fail loudly instead.
         raise ValueError("semantic_screen_events_map: centers_rows is empty")
+    if n_probe <= 0:
+        # slice(, 1, 0) would drop every query row on explode — the
+        # same silent-unscreened failure, same guard.
+        raise ValueError(
+            "semantic_screen_events_map: n_probe must be positive,"
+            f" got {n_probe}"
+        )
     ordered = sorted(centers_rows, key=lambda r: r.cell)
     arr = F.array(
         *[

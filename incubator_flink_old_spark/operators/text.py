@@ -3507,7 +3507,10 @@ def quality_calibrate(
         )
 
         rn = per_group_row_number(q, source, order, alias="__rn")
-        counts = q.groupBy(source).agg(
+        # Counts from rn, NOT q: rn is per_group_row_number's eager
+        # checkpoint, so this reads blocks — grouping q would re-run
+        # the whole tokenize+score scan a second time (review finding).
+        counts = rn.groupBy(source).agg(
             F.count(F.lit(1)).cast("long").alias("__n")
         )
         # eqNullSafe: a NULL source is one rank group (matching the

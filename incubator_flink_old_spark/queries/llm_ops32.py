@@ -493,11 +493,10 @@ def _factory_oracle() -> str:
     stride schedule over the KEPT docs, q_token_budget_schedule's
     running prefix over that schedule."""
     from incubator_flink_old_spark.queries.llm_ops31 import (
+        _ABSORB_RULE,
         _CAL_KEEP_FRAC,
         _TB_BUDGET,
     )
-
-    from incubator_flink_old_spark.queries.llm_ops31 import _ABSORB_RULE
 
     values = ", ".join(f"('{s}', {w})" for s, w in _FACTORY_WEIGHTS)
     return rf"""

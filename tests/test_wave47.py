@@ -190,11 +190,11 @@ def test_stream_semantic_gate_no_window_one_state(spark, tmp_path):
         event_time="ts",
         watermark_delay="30 seconds",
     )
-    # Plan pin 1: no Window node anywhere in the DAG (the standing
-    # index is a materialized artifact, so even the batch-side train
-    # windows are out of the plan), and — the load-bearing half — no
-    # Window node on ANY streaming subtree (walked structurally, not
-    # string-matched).
+    # Plan pin 1 (walked structurally, not string-matched). The
+    # load-bearing half: no Window node on ANY streaming subtree —
+    # asserted FIRST so it stands on its own if the stricter pin below
+    # is ever relaxed (review finding: filtering the already-empty
+    # window list was dead code).
     analyzed = out._jdf.queryExecution().analyzed()
 
     def walk(node):
@@ -203,10 +203,11 @@ def test_stream_semantic_gate_no_window_one_state(spark, tmp_path):
             yield from walk(node.children().apply(i))
 
     windows = [n for n in walk(analyzed) if n.nodeName() == "Window"]
+    streaming_windows = [n for n in windows if n.isStreaming()]
+    assert not streaming_windows, [str(n) for n in streaming_windows]
+    # The stricter pin for THIS fixture: the standing index is a
+    # materialized artifact, so even batch-side train windows are out.
     assert not windows, [str(n) for n in windows]
-    assert not any(
-        n.isStreaming() for n in walk(analyzed) if n.nodeName() == "Window"
-    )
 
     name = "t47_semgate"
     q = (
@@ -282,15 +283,19 @@ def test_sim_chunk_selection_exact(monkeypatch):
     sys.path.insert(0, "/root/repo/tools")
     driver_sim = importlib.import_module("driver_sim")
 
-    monkeypatch.setenv("SIM_EXACT", "q_stream_dedup_parity")
+    # q_tpch_q1 is a true PREFIX of q_tpch_q10..q_tpch_q19 — under
+    # substring selection it would match all of them (review finding:
+    # the first draft used a pair that was not actually nested, making
+    # the guard vacuous).
+    monkeypatch.setenv("SIM_EXACT", "q_tpch_q1")
     monkeypatch.delenv("SIM_ONLY", raising=False)
     monkeypatch.delenv("SIM_SKIP", raising=False)
     names, stream, rest = driver_sim._selected_names()
     selected = stream + rest
-    assert selected == ["q_stream_dedup_parity"]
-    # the nested sibling q_stream_dedup_watermark_parity is registered
-    # (the premise of the guard) but NOT selected
-    assert "q_stream_dedup_watermark_parity" in names
+    assert selected == ["q_tpch_q1"]
+    # the nested siblings are registered (the premise of the guard)
+    # but NOT selected
+    assert "q_tpch_q10" in names and "q_tpch_q19" in names
 
 
 # --------------------------------------------------------------------------
@@ -564,3 +569,26 @@ def test_mixture_schedule_skew_safe_equals_window(spark):
         )
     )
     assert plain == safe and len(plain) > 0
+
+
+def test_semantic_screens_reject_nonpositive_n_probe(spark):
+    """Degenerate n_probe must fail loudly in BOTH screen forms — a
+    zero/negative probe count silently emits zero events (an
+    unscreened front door), the centers_rows-guard class (round-12
+    review finding)."""
+    from incubator_flink_old_spark.operators.similarity import (
+        semantic_screen_events,
+        semantic_screen_events_map,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    centers = spark.createDataFrame(
+        [(1, [1000000, 0])], "cell int, cv array<long>"
+    ).collect()
+    cells = spark.createDataFrame([(1, 1)], "vec_id long, cell int")
+    with pytest.raises(ValueError, match="n_probe"):
+        semantic_screen_events(df, df, n_probe=0)
+    with pytest.raises(ValueError, match="n_probe"):
+        semantic_screen_events_map(df, centers, cells, df, n_probe=0)
