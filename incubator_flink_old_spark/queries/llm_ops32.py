@@ -253,7 +253,7 @@ def _sem_wave_ctes(
     )
 
 
-def _semantic_absorb_oracle() -> str:
+def _sem_absorb_cte_block() -> str:
     """Stitched twin of the semantic absorption loop. Wave 1 screens
     against the corpus0-trained index (the _grid_ivf_ctes replay); the
     oracle then RECOMPUTES wave 2's index as the frozen-center
@@ -320,6 +320,12 @@ def _semantic_absorb_oracle() -> str:
     WITH g1 AS MATERIALIZED ({g1}),
     a1 AS (SELECT doc_id FROM g1 WHERE {_SEM_ABSORB_RULE}),
     g2 AS MATERIALIZED ({g2})
+    """
+
+
+def _semantic_absorb_oracle() -> str:
+    return f"""
+    {_sem_absorb_cte_block()}
     SELECT CAST(1 AS BIGINT) AS wave, doc_id, quality_ok, lang_ok,
            has_semdup, {_SEM_ABSORB_RULE} AS absorbed
     FROM g1
@@ -651,3 +657,201 @@ def q_training_factory_e2e(spark, sf_dir):
     finally:
         admitted.unpersist()
     return out
+
+
+def _stream_sem_absorb_oracle() -> str:
+    """Wave 2 of the semantic absorb oracle, alone, in the streamed
+    gate's full verdict schema: every evidence event depends only on
+    its own document + the frozen merged index, so streaming ≡ batch
+    whatever the micro-batch boundaries (the q_stream_absorb_parity
+    argument, over the absorbed SEMANTIC index)."""
+    return f"""
+    {_sem_absorb_cte_block()}
+    SELECT doc_id, quality_ok, lang_ok, has_neardup, has_spandup,
+           has_semdup, admit
+    FROM g2
+    """
+
+
+@register(
+    "q_stream_semantic_absorb_parity", oracle=_stream_sem_absorb_oracle()
+)
+def q_stream_semantic_absorb_parity(spark, sf_dir):
+    """THE ABSORBED SEMANTIC INDEX SERVES THE LIVE CRAWL — the
+    front-door matrix's fourth absorption cell, composing this round's
+    two new pieces into the operating state: wave 1 is gated and
+    absorbed batch-side exactly as in q_semantic_absorb_parity (frozen
+    corpus0-trained centers, admitted embeddings delta-assigned by the
+    grid_assign map and APPENDED), then wave 2 arrives as a REAL 3-file
+    event-time replay and its semantic screen executes as the PURE-MAP
+    probe (semantic_screen_events_map) whose static sides ARE the
+    absorbed (cells, vectors) artifacts — the index a wave just updated
+    immediately screens the next wave's live arrivals, with no window
+    on the stream side and still ONE watermarked stateful fold. Two
+    far-future sentinels advance the watermark (filtered from the
+    returned table; they carry no embedding, so the semantic arm drops
+    them in its stream-static inner join while the base arm flushes).
+
+    Companion cells: q_ingest_absorb_parity (lexical, batch),
+    q_stream_absorb_parity (lexical, streamed),
+    q_semantic_absorb_parity (semantic, batch — shares this row's g2
+    oracle scope). Together the absorb × tier × deployment matrix is
+    closed.
+
+    Scale: absorption cost O(wave) (map-only delta assign + append);
+    per-arrival serve cost O(n_cells) literal-array work + a
+    partition-pruned fetch of n_probe cells against the DISK_ONLY-
+    pinned merged artifacts; state is one row per in-flight document,
+    watermark-evicted."""
+    import datetime
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.storagelevel import StorageLevel
+
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign,
+        grid_ivf,
+        semantic_screen_events,
+        semantic_screen_events_map,
+    )
+    from incubator_flink_old_spark.operators.text import (
+        streaming_ingest_gate,
+    )
+    from incubator_flink_old_spark.streaming import (
+        append_literal_rows,
+        run_stream_to_memory,
+        write_event_time_replay,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    m5d, m5v = F.col("doc_id") % 5, F.col("vec_id") % 5
+    w1_docs = docs.filter(m5d == 3).select("doc_id", "text", "lang")
+    corpus0_emb = emb.filter(m5v <= 2).select("vec_id", "embedding")
+    w1_emb = emb.filter(m5v == 3).select("vec_id", "embedding")
+
+    cells0, centers = grid_ivf(
+        corpus0_emb, n_cells=_SEM_CELLS, iters=_SEM_ITERS
+    )
+    centers_rows = centers.collect()  # bounded: n_cells rows
+    pinned = [
+        f.persist(StorageLevel.DISK_ONLY)
+        for f in (cells0, centers, corpus0_emb)
+    ]
+    cells0, centers, corpus0_emb = pinned
+    src = tempfile.mkdtemp(prefix="t2_stream_semabsorb_")
+    try:
+        # Batch wave-1 gate + absorb (the q_semantic_absorb_parity
+        # path verbatim: frozen centers, O(wave) delta append).
+        sem1 = (
+            semantic_screen_events(
+                w1_emb,
+                corpus0_emb,
+                n_probe=_SEM_PROBE,
+                threshold=_SEM_THRESHOLD,
+                index=(cells0, centers),
+            )
+            .select("doc_a")
+            .join(
+                w1_docs.select(F.col("doc_id").alias("doc_a")),
+                on="doc_a",
+                how="leftsemi",
+            )
+        )
+        g1 = streaming_ingest_gate(
+            w1_docs,
+            None,
+            langs=_GATE_LANGS,
+            screens=(),
+            extra_screens={"semdup": sem1},
+        )
+        adm1_emb = w1_emb.join(
+            g1.filter(
+                F.col("quality_ok")
+                & F.col("lang_ok")
+                & ~F.col("has_semdup")
+            ).select(F.col("doc_id").alias("vec_id")),
+            on="vec_id",
+        )
+        # The merged static sides, pinned ONCE (stream-static joins
+        # re-evaluate unpinned static plans per micro-batch — the
+        # materialize_static lesson applied to absorbed artifacts).
+        cells1 = cells0.unionByName(
+            grid_assign(adm1_emb, centers)
+        ).persist(StorageLevel.DISK_ONLY)
+        emb1 = corpus0_emb.unionByName(adm1_emb).persist(
+            StorageLevel.DISK_ONLY
+        )
+        pinned += [cells1, emb1]
+
+        w2_stream_src = docs.filter(m5d == 4).select(
+            "doc_id",
+            "text",
+            "lang",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias(
+                "ts"
+            ),
+        )
+        write_event_time_replay(w2_stream_src, src, n_files=3)
+        mx = w2_stream_src.agg(F.max("ts")).collect()[0][0]  # 1-row finish
+        for i in (1, 2):
+            append_literal_rows(
+                spark,
+                src,
+                [
+                    (
+                        -i,
+                        "the of and to a",
+                        "en",
+                        mx + datetime.timedelta(hours=i),
+                    )
+                ],
+                "doc_id long, text string, lang string, ts timestamp",
+            )
+            time.sleep(0.2)
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        nemb2 = emb.filter(m5v == 4).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ).persist(StorageLevel.DISK_ONLY)
+        pinned.append(nemb2)
+        sem2 = semantic_screen_events_map(
+            stream.select(F.col("doc_id").alias("vec_id"), "ts").join(
+                nemb2.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                on="vec_id",
+            ),
+            centers_rows,
+            cells1,
+            emb1,
+            n_probe=_SEM_PROBE,
+            threshold=_SEM_THRESHOLD,
+            carry=("ts",),
+        ).select("doc_a", "ts")
+        out = streaming_ingest_gate(
+            stream,
+            None,
+            langs=_GATE_LANGS,
+            screens=(),
+            extra_screens={"semdup": sem2},
+            event_time="ts",
+            watermark_delay="30 seconds",
+        )
+        name = f"stream_semabsorb_{next(_SEQ32)}"
+        run_stream_to_memory(out, name, "append", state_partitions=4)
+        tbl = (
+            spark.table(name)
+            .filter(F.col("doc_id") >= 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for f in pinned:
+            f.unpersist()
+        shutil.rmtree(src, ignore_errors=True)
+    return tbl

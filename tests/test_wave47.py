@@ -592,3 +592,100 @@ def test_semantic_screens_reject_nonpositive_n_probe(spark):
         semantic_screen_events(df, df, n_probe=0)
     with pytest.raises(ValueError, match="n_probe"):
         semantic_screen_events_map(df, centers, cells, df, n_probe=0)
+
+
+def test_stream_semantic_absorb_flips_verdict(spark, tmp_path):
+    """The absorption law AT STREAM LEVEL (q_stream_semantic_absorb_
+    parity): a streamed wave-2 paraphrase of a wave-1 admit reads
+    has_semdup FALSE when the gate's static sides are the FROZEN
+    standing artifacts and TRUE when they are the ABSORBED ones — the
+    verdict flip rides entirely on which (cells, vectors) frames the
+    stream-static joins read, with the same pure-map probe and the
+    same single fold."""
+    import datetime
+    import time
+
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_assign,
+        grid_ivf,
+        semantic_screen_events_map,
+    )
+    from incubator_flink_old_spark.operators.text import (
+        streaming_ingest_gate,
+    )
+    from incubator_flink_old_spark.streaming import append_literal_rows
+
+    schema_e = "vec_id long, embedding array<float>"
+    corpus0 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])], schema_e
+    )
+    w1 = spark.createDataFrame([(10, [0.0, 0.0, 1.0, 0.0])], schema_e)
+    probe_emb = spark.createDataFrame(
+        [(20, [0.0, 0.0, 0.99, 0.01])], schema_e
+    )
+    cells0, centers = grid_ivf(corpus0, n_cells=2, iters=1)
+    centers_rows = centers.collect()
+
+    sw = "the a of and to the a of and to words enough for quality " * 4
+    src = str(tmp_path / "replay")
+    t0 = datetime.datetime(2024, 1, 1)
+    append_literal_rows(
+        spark, src, [(20, sw, "en", t0)],
+        "doc_id long, text string, lang string, ts timestamp",
+    )
+    time.sleep(0.2)
+    append_literal_rows(
+        spark, src, [(-1, sw, "en", t0 + datetime.timedelta(hours=1))],
+        "doc_id long, text string, lang string, ts timestamp",
+    )
+
+    def run(cells, emb, name):
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sem = semantic_screen_events_map(
+            stream.select(F.col("doc_id").alias("vec_id"), "ts").join(
+                probe_emb, on="vec_id"
+            ),
+            centers_rows,
+            cells,
+            emb,
+            n_probe=2,
+            threshold=0.9,
+            carry=("ts",),
+        ).select("doc_a", "ts")
+        out = streaming_ingest_gate(
+            stream,
+            None,
+            langs=("en",),
+            screens=(),
+            extra_screens={"semdup": sem},
+            event_time="ts",
+            watermark_delay="30 seconds",
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            r["doc_id"]: r.asDict()
+            for r in spark.table(name).filter(F.col("doc_id") >= 0).collect()
+        }
+
+    frozen = run(cells0, corpus0, "t47_sa_frozen")
+    merged = run(
+        cells0.unionByName(grid_assign(w1, centers)),
+        corpus0.unionByName(w1),
+        "t47_sa_merged",
+    )
+    assert frozen[20]["has_semdup"] is False
+    assert merged[20]["has_semdup"] is True
+    assert frozen[20]["admit"] and not merged[20]["admit"]
