@@ -760,13 +760,19 @@ def q_stream_semantic_absorb_parity(spark, sf_dir):
                 how="leftsemi",
             )
         )
+        # Pin wave 1's verdicts: BOTH merged static frames (cells1 and
+        # emb1) read them, and each persisted frame materializes its
+        # own plan — unpinned, the whole wave-1 gate would run twice
+        # (measured on the round-12 pair: this row landed at 22.9 s
+        # pair-min before the pin).
         g1 = streaming_ingest_gate(
             w1_docs,
             None,
             langs=_GATE_LANGS,
             screens=(),
             extra_screens={"semdup": sem1},
-        )
+        ).localCheckpoint(eager=True)
+        pinned.append(g1)
         adm1_emb = w1_emb.join(
             g1.filter(
                 F.col("quality_ok")
