@@ -689,3 +689,107 @@ def test_stream_semantic_absorb_flips_verdict(spark, tmp_path):
     assert frozen[20]["has_semdup"] is False
     assert merged[20]["has_semdup"] is True
     assert frozen[20]["admit"] and not merged[20]["admit"]
+
+
+# --------------------------------------------------------------------------
+# Property laws for the round's centerpiece helpers
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),    # group (incl. dup-heavy)
+            st.integers(min_value=-50, max_value=50),  # order value (ties!)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    null_groups=st.booleans(),
+)
+@settings(max_examples=6, deadline=None)
+def test_per_group_row_number_property(spark, rows, null_groups):
+    """per_group_row_number ≡ Window.partitionBy(group).row_number on
+    ANY data — duplicate order values (tie-broken by key), skewed
+    groups, and NULL group keys — regardless of where the range
+    sampler lands."""
+    from pyspark.sql import Window
+
+    from incubator_flink_old_spark.operators.aggregates import (
+        per_group_row_number,
+    )
+
+    data = [
+        (i, None if (null_groups and g == 0) else f"g{g}", v)
+        for i, (g, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "k long, grp string, v long"
+    ).repartition(5)
+    order = [F.col("v").desc_nulls_last(), F.col("k")]
+    got = {
+        r.k: r.rn
+        for r in per_group_row_number(df, "grp", order, alias="rn").collect()
+    }
+    w = Window.partitionBy("grp").orderBy(*order)
+    exp = {
+        r.k: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == exp
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.lists(
+                st.floats(
+                    min_value=-1.0,
+                    max_value=1.0,
+                    allow_nan=False,
+                    width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=3,
+        max_size=14,
+    ),
+    n_probe=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=5, deadline=None)
+def test_semantic_map_equals_window_property(spark, vecs, n_probe):
+    """The map ≡ window law on RANDOM embeddings (including all-zero
+    vectors that floor-quantize to the zero-norm sentinel and exact
+    duplicate vectors that tie the probe rank): both probe forms emit
+    the identical event set for any corpus/query split and any
+    n_probe."""
+    from incubator_flink_old_spark.operators.similarity import (
+        grid_ivf,
+        semantic_screen_events,
+        semantic_screen_events_map,
+    )
+
+    data = [(i, list(v[0])) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    if corpus.count() == 0:
+        return
+    n_cells = 2
+    w = semantic_screen_events(
+        new, corpus, n_cells=n_cells, iters=1, n_probe=n_probe,
+        threshold=0.2,
+    )
+    cells, centers = grid_ivf(corpus, n_cells=n_cells, iters=1)
+    m = semantic_screen_events_map(
+        new, centers.collect(), cells, corpus, n_probe=n_probe,
+        threshold=0.2,
+    )
+    key = lambda r: (r.doc_a, r.doc_b, round(r.cos, 12))  # noqa: E731
+    assert sorted(map(key, w.collect())) == sorted(map(key, m.collect()))
