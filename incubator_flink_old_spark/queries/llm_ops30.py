@@ -203,7 +203,6 @@ def q_stream_ingest_gate_parity(spark, sf_dir):
         # batches instead of racing the no-data flush.
         mx = new_docs.agg(F.max("ts")).collect()[0][0]
         import datetime
-        import time
 
         from incubator_flink_old_spark.streaming import append_literal_rows
 
@@ -214,7 +213,7 @@ def q_stream_ingest_gate_parity(spark, sf_dir):
                 [(-i, "the of and to a", "en", mx + datetime.timedelta(hours=i))],
                 "doc_id long, text string, lang string, ts timestamp",
             )
-            time.sleep(0.2)
+            # mtime ordering is handled by append_literal_rows itself (utime)
         stream = (
             spark.readStream.schema(
                 "doc_id long, text string, lang string, ts timestamp"

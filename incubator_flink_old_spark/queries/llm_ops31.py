@@ -574,7 +574,6 @@ def q_stream_absorb_parity(spark, sf_dir):
     import datetime
     import shutil
     import tempfile
-    import time
 
     from pyspark.storagelevel import StorageLevel
 
@@ -682,7 +681,7 @@ def q_stream_absorb_parity(spark, sf_dir):
                 ],
                 "doc_id long, text string, lang string, ts timestamp",
             )
-            time.sleep(0.2)
+            # mtime ordering is handled by append_literal_rows itself (utime)
         stream = (
             spark.readStream.schema(
                 "doc_id long, text string, lang string, ts timestamp"

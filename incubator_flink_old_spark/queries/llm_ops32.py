@@ -76,7 +76,6 @@ def q_stream_semantic_gate_parity(spark, sf_dir):
     import datetime
     import shutil
     import tempfile
-    import time
 
     from pyspark.storagelevel import StorageLevel
 
@@ -147,7 +146,7 @@ def q_stream_semantic_gate_parity(spark, sf_dir):
                 ],
                 "doc_id long, text string, lang string, ts timestamp",
             )
-            time.sleep(0.2)
+            # mtime ordering is handled by append_literal_rows itself (utime)
         stream = (
             spark.readStream.schema(
                 "doc_id long, text string, lang string, ts timestamp"
@@ -706,7 +705,6 @@ def q_stream_semantic_absorb_parity(spark, sf_dir):
     import datetime
     import shutil
     import tempfile
-    import time
 
     from pyspark.storagelevel import StorageLevel
 
@@ -816,7 +814,7 @@ def q_stream_semantic_absorb_parity(spark, sf_dir):
                 ],
                 "doc_id long, text string, lang string, ts timestamp",
             )
-            time.sleep(0.2)
+            # mtime ordering is handled by append_literal_rows itself (utime)
         stream = (
             spark.readStream.schema(
                 "doc_id long, text string, lang string, ts timestamp"

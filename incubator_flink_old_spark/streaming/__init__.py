@@ -748,7 +748,17 @@ def append_literal_rows(spark, path: str, rows, schema: str) -> None:
     Row arity is CHECKED against the schema (review finding): a silent
     zip would write a short row whose missing column reads back NULL —
     e.g. a NULL event-time sentinel that never advances the watermark,
-    hanging the replay instead of failing at write time."""
+    hanging the replay instead of failing at write time.
+
+    The new file's mtime is stamped strictly ABOVE every parquet file
+    already in ``path`` (the maxFilesPerTrigger file source replays in
+    modtime order), so back-to-back appends need no inter-call sleep —
+    the q_stream_asof_parity ``os.utime`` recipe, centralized
+    (optimization round 12: the 0.2 s sleeps per sentinel across the
+    replay-parity rows were pure scaffolding wall)."""
+    import os
+    import time
+
     if not rows:
         raise ValueError("append_literal_rows: rows is empty")
     fields = spark.createDataFrame([], schema).schema.fields
@@ -766,7 +776,16 @@ def append_literal_rows(spark, path: str, rows, schema: str) -> None:
             ]
         )
         frame = one if frame is None else frame.unionByName(one)
+    before: dict[str, float] = {}
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                before[f] = os.path.getmtime(os.path.join(path, f))
     frame.coalesce(1).write.mode("append").parquet(path)
+    ts = max(max(before.values(), default=0.0) + 0.05, time.time())
+    for f in os.listdir(path):
+        if f.endswith(".parquet") and f not in before:
+            os.utime(os.path.join(path, f), (ts, ts))
 
 
 def write_event_time_replay(
@@ -774,7 +793,6 @@ def write_event_time_replay(
     path: str,
     n_files: int = 4,
     order_by: str = "doc_id",
-    pause: float = 0.15,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files split by ``order_by``
     ntile, SEQUENTIALLY, so a maxFilesPerTrigger=1 file stream replays
@@ -782,9 +800,13 @@ def write_event_time_replay(
     the in-event-time-order regime a watermark models: a crawl's ingest
     time is its arrival order. Shared by the watermark-parity rows,
     their tests and the state probe (one copy of the load-bearing
-    invariant, per review); the ``pause`` keeps modtimes strictly
-    increasing on coarse filesystem clocks. Fixture-prep helper — the
-    cost is test scaffolding, never operator cost."""
+    invariant, per review). File order is enforced by stamping each
+    file group's mtime explicitly 50 ms apart (``os.utime``, the
+    q_stream_asof_parity recipe) instead of sleeping between writes —
+    optimization round 12: the 0.15 s/file sleeps summed to ~0.5 s of
+    pure scaffolding wall on every replay-parity row. Fixture-prep
+    helper — the cost is test scaffolding, never operator cost."""
+    import os
     import time
 
     from pyspark.sql import Window
@@ -797,7 +819,9 @@ def write_event_time_replay(
     tiled = df.withColumn(
         "__b", F.ntile(n_files).over(Window.orderBy(order_by))
     ).localCheckpoint(eager=True)
+    t0 = time.time()
     try:
+        seen: set[str] = set()
         for g in range(1, n_files + 1):
             (
                 tiled.filter(F.col("__b") == g)
@@ -806,6 +830,10 @@ def write_event_time_replay(
                 .write.mode("append")
                 .parquet(path)
             )
-            time.sleep(pause)
+            ts = t0 + (g - 1) * 0.05
+            for f in os.listdir(path):
+                if f.endswith(".parquet") and f not in seen:
+                    os.utime(os.path.join(path, f), (ts, ts))
+                    seen.add(f)
     finally:
         tiled.unpersist()
