@@ -124,11 +124,30 @@ def co_group(
     outer/anti joins). Spark's cogrouped-pandas applyInPandas matches this
     exactly: one Arrow batch pair per key, empty DataFrame for the absent
     side.
+
+    The inputs are hash-repartitioned on their keys to an EXPLICIT width
+    (max of cluster parallelism and the session's shuffle partitions)
+    before the cogroup: a Python-boundary stage is priced per GROUP
+    (Arrow batch pair + fn call each), not per byte, and AQE's
+    byte-based partition coalescing collapses a small-byte shuffle to
+    ~1 task, serializing every group through one worker — measured 6.5 s
+    → 1.8 s wall on the sf0.1 cogroup row (optimization round 12,
+    guide §4). An explicit numPartitions is exempt from AQE coalescing;
+    the cogroup reuses the partitioning, so no extra exchange appears.
     """
 
     def _run(key: tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         return fn(key, lpdf, rpdf)
 
+    spark = left.sparkSession
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    if not left.isStreaming:
+        left = left.repartition(width, *left_keys)
+    if not right.isStreaming:
+        right = right.repartition(width, *right_keys)
     return (
         left.groupBy(*left_keys)
         .cogroup(right.groupBy(*right_keys))

@@ -372,6 +372,9 @@ def grid_ivf(
     """
     from pyspark.sql import Window
 
+    from incubator_flink_old_spark.operators.text import _spread_narrow
+
+    corpus = _spread_narrow(corpus)
     e = corpus.select(
         F.col(key).alias("__c"),
         F.transform(
@@ -915,6 +918,9 @@ def _sem_assigned(
     IVF layout."""
     from pyspark.sql import Window
 
+    from incubator_flink_old_spark.operators.text import _spread_narrow
+
+    corpus = _spread_narrow(corpus)
     u = (
         corpus.select(F.col(key).alias("__c"), as_double_array(vec).alias("__v"))
         .withColumn("__nrm", norm(F.col("__v")))
@@ -1473,6 +1479,9 @@ def embedding_covariance(
     volume is d² per partition (map-side partials), never n·d². d=64
     → 4,096 output rows regardless of corpus size.
     """
+    from incubator_flink_old_spark.operators.text import _spread_narrow
+
+    df = _spread_narrow(df)
     e = df.select(
         F.col(key),
         F.transform(

@@ -175,53 +175,71 @@ def minhash_bands(
     _toksets: DataFrame | None = None,
     _sigs: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH band rows (key, __n, band, bucket) — the frame the candidate
-    self-join runs on. Exposed so a 100 TB deployment can MATERIALIZE it
-    bucketed by (band, bucket) (`bucketBy` + `saveAsTable`), making the
-    candidate join zero-exchange (tools/band_bucket_probe.py measures
-    exactly that); ``__n`` carries the distinct-token count for the
-    size-ratio prefilter."""
+    """LSH band rows (key, __n, __bks, band, bucket) — the frame the
+    candidate self-join runs on. Exposed so a 100 TB deployment can
+    MATERIALIZE it bucketed by (band, bucket) (`bucketBy` +
+    `saveAsTable`), making the candidate join zero-exchange
+    (tools/band_bucket_probe.py measures exactly that); ``__n`` carries
+    the distinct-token count for the size-ratio prefilter and ``__bks``
+    the row's FULL bucket array (bucket == __bks[band]) so
+    :func:`band_candidates` can dedup multi-band collisions with a
+    first-matching-band filter instead of a pair-distinct shuffle
+    (optimization round 12 — the distinct was ~70% of the candidate
+    stage's engine time for a 1.28× duplicate factor).
+
+    When neither ``_sigs`` nor ``_toksets`` is supplied, signatures and
+    the token count come from ONE staged projection over ``df`` (no
+    sigs⋈toksets join, one tokenize pass instead of two — CollapseProject
+    leaves the non-cheap multi-use token array staged)."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    sigs = (
-        _sigs
-        if _sigs is not None
-        else minhash_signature(df, num_hashes, text, key)
-    )
-    toksets = (
-        _toksets
-        if _toksets is not None
-        else df.select(
-            F.col(key).alias("__k"),
-            _hashed_set(tokens(text, distinct=True)).alias("__toks"),
+    if _sigs is None and _toksets is None:
+        staged = df.select(
+            F.col(key).alias(key), tokens(text, distinct=True).alias("__dt")
         )
-    )
-    return sigs.join(
-        toksets.select(F.col("__k"), F.size("__toks").alias("__n")),
-        sigs[key] == F.col("__k"),
-    ).select(
-        key,
-        "__n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.encode(
-                                F.concat_ws(
-                                    "|",
-                                    *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
-                                ),
-                                "UTF-8",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
+        sigged = staged.select(
+            key,
+            F.size("__dt").cast("int").alias("__n"),
+            *[
+                F.array_min(F.transform(F.col("__dt"), _salted_md5(j))).alias(f"mh{j}")
+                for j in range(num_hashes)
+            ],
+        )
+    else:
+        sigs = (
+            _sigs
+            if _sigs is not None
+            else minhash_signature(df, num_hashes, text, key)
+        )
+        toksets = (
+            _toksets
+            if _toksets is not None
+            else df.select(
+                F.col(key).alias("__k"),
+                _hashed_set(tokens(text, distinct=True)).alias("__toks"),
             )
-        ).alias("bb"),
-    ).select(key, "__n", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        )
+        sigged = sigs.join(
+            toksets.select(F.col("__k"), F.size("__toks").alias("__n")),
+            sigs[key] == F.col("__k"),
+        ).select(key, "__n", *[f"mh{j}" for j in range(num_hashes)])
+    bks = F.array(
+        *[
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
+                    ),
+                    "UTF-8",
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigged.select(key, "__n", bks.alias("__bks")).select(
+        key, "__n", "__bks", F.posexplode("__bks").alias("band", "bucket")
+    )
 
 
 def band_candidates(
@@ -235,16 +253,34 @@ def band_candidates(
 
     Size-ratio prefilter: jac(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B|, and since
     |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), min/max ≥ t — pairs
-    failing it CANNOT pass verify, so dropping them before the distinct
-    shuffle + array intersect is result-identical and cheap (int math).
+    failing it CANNOT pass verify, so dropping them before the array
+    intersect is result-identical and cheap (int math).
+
+    Multi-band dedup is a FIRST-MATCHING-BAND filter, not a pair
+    distinct: a pair colliding in m bands appears once per band, and
+    exactly the row whose ``band`` is the first index where the two
+    docs' bucket arrays agree survives (``__bks`` carries every band's
+    bucket, so the check is map-side). Result-identical to
+    ``.distinct()`` — each unordered pair collides in a fixed band set,
+    at most once per band — but the O(candidates) dedup exchange is gone
+    (optimization round 12: the distinct was ~6 engine-s of the sf0.1
+    candidate stage's ~8.2 to remove a 1.28× duplicate factor; the
+    filter is a 2-element array compare in the join's own stage).
 
     ``join_hint="merge"`` forces a sort-merge join: over a band table
     MATERIALIZED bucketed by (band, bucket) (`q_dedup_minhash_layout`),
     that join is zero-exchange — the 100 TB probe shape where re-running
-    near-dup search costs O(candidates), not a corpus shuffle.
+    near-dup search costs O(candidates), not a corpus shuffle (and with
+    the distinct gone, zero exchanges anywhere in the candidate plan).
     """
-    left = bands.select(F.col(key).alias("doc_a"), F.col("__n").alias("na"), "band", "bucket")
-    right = bands.select(F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket")
+    left = bands.select(
+        F.col(key).alias("doc_a"), F.col("__n").alias("na"),
+        F.col("__bks").alias("__ba"), "band", "bucket",
+    )
+    right = bands.select(
+        F.col(key).alias("doc_b"), F.col("__n").alias("nb"),
+        F.col("__bks").alias("__bb"), "band", "bucket",
+    )
     if join_hint:
         left = left.hint(join_hint)
     return (
@@ -255,9 +291,14 @@ def band_candidates(
                 F.least("na", "nb").cast("double") / F.greatest("na", "nb")
                 >= jaccard_threshold
             )
+            & (
+                F.array_position(
+                    F.zip_with("__ba", "__bb", lambda x, y: x == y), F.lit(True)
+                )
+                == F.col("band") + F.lit(1)
+            )
         )
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
@@ -269,6 +310,7 @@ def minhash_lsh_pairs(
     text: str = "text",
     key: str = "doc_id",
     _sigs: DataFrame | None = None,
+    band_join_hint: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
@@ -284,15 +326,19 @@ def minhash_lsh_pairs(
     # jaccard is identical (collisions ~n²/2^61 ≈ never) and integer
     # set-intersection is several× cheaper — this is the dominant cost on
     # high-duplication corpora where candidates ≈ all pairs.
+    df = _spread_narrow(df)
     toksets = df.select(
         F.col(key).alias("__k"),
         _hashed_set(tokens(text, distinct=True)).alias("__toks"),
     )
-    bands = minhash_bands(
-        df, num_hashes, band_size, text, key, _toksets=toksets, _sigs=_sigs
-    )
+    # bands NOT given _toksets: its fused projection computes signatures
+    # and the token count in one tokenize pass (no sigs⋈toksets join) —
+    # toksets here feeds only the verify joins.
+    bands = minhash_bands(df, num_hashes, band_size, text, key, _sigs=_sigs)
 
-    cands = band_candidates(bands, jaccard_threshold, key=key)
+    cands = band_candidates(
+        bands, jaccard_threshold, key=key, join_hint=band_join_hint
+    )
     return _jaccard_verify(cands, toksets, toksets, jaccard_threshold)
 
 
@@ -780,6 +826,7 @@ def simhash_pairs(
     """
     if not 0 <= max_hamming < 16:
         raise ValueError("max_hamming must be in [0, 16)")
+    df = _spread_narrow(df)
     sigs = simhash16(df, text, key)  # (key, simhash)
     n_bands = max_hamming + 1
     base_w, rem = divmod(16, n_bands)
@@ -952,6 +999,37 @@ def _intersect_size(a, b) -> Column:
     return F.size(F.array_intersect(a, b))
 
 
+def _spread_narrow(df: DataFrame) -> DataFrame:
+    """Rebalance a NARROW batch input to cluster width before CPU-dense
+    per-row work (crypto-hash-per-token signatures, n-gram fingerprints,
+    per-candidate verifies).
+
+    A small parquet fixture (or any sub-split-size file) scans as ONE
+    input partition, so every downstream map segment — and, worse, a
+    broadcast-join probe pipeline that never shuffles — executes in one
+    task while the rest of the cluster idles (measured on the sf0.1 pair
+    family: the distinct-free candidate+verify pipeline ran 13.6 s
+    wall = 13.6 s engine, parallelism 1). The target width is the
+    runtime's own ``defaultParallelism`` — cluster-adaptive, never a
+    constant — and the rebalance only fires when the input is at least
+    4× narrower than that, so at production scale (thousands of scan
+    splits) it is a no-op decided from the plan, with no exchange added.
+    Streaming frames pass through untouched (repartitioning a stream
+    would reshape micro-batch/state layout).
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    width = sc.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — exotic plans; spreading is optional
+        return df
+    if nparts * 4 > width:
+        return df
+    return df.repartition(width)
+
+
 def _hashed_set(elems: Column) -> Column:
     """Stage a distinct element array as SORTED 60-bit hashes — the form
     every pair-verify pipeline joins on (see _intersect_size)."""
@@ -1111,6 +1189,7 @@ def repetition_metrics(
     never output). (A pure higher-order-function form with no shuffle
     exists but is O(tokens²) per document — wrong for long documents.)
     """
+    df = _spread_narrow(df)
     staged = df.select(
         F.col(key).alias(key),
         tokens(text).alias("__tka"),
@@ -1175,6 +1254,7 @@ def decontaminate(
     keys, not ~80-byte strings). Returns every corpus row with
     ``n_hits`` (distinct contaminated grams) and ``contaminated``.
     """
+    df = _spread_narrow(df)
     bench_grams = exploded_ngrams(
         benchmark.select(tokens(text).alias("__tka")), n, carry=()
     ).distinct()
@@ -1253,6 +1333,10 @@ def curate(
     under-fill domains. Scrubbing transforms the payload, not the gate
     inputs, so gate oracles stay composable.
     """
+    # NOT _spread_narrow'd at entry: measured 1.3× WORSE wall (same-JVM
+    # toggle probe) — the many cheap gate branches each pay the exchange
+    # read, while the expensive branch (the pair pipeline inside
+    # dedup_clusters) already spreads itself in minhash_lsh_pairs.
     base = df.select(F.col(key).cast("long").alias(key), "lang", "source", text)
     fp = fingerprint(df, text, key)
     canon = fp.groupBy("fp").agg(F.min(key).alias("__canon"))
@@ -1325,18 +1409,33 @@ def containment_pairs(
     Output: (contained, container, containment) rows, one per direction
     clearing the threshold.
     """
+    df = _spread_narrow(df)
     toksets = df.select(
         F.col(key).alias("__k"),
         _hashed_set(tokens(text, distinct=True)).alias("__toks"),
     )
-    bands = minhash_bands(df, num_hashes, band_size, text, key, _toksets=toksets)
-    left = bands.select(F.col(key).alias("doc_a"), "band", "bucket")
-    right = bands.select(F.col(key).alias("doc_b"), "band", "bucket")
+    # Fused band projection + first-matching-band dedup (see
+    # band_candidates): identical unordered-candidate set, no pair
+    # distinct exchange.
+    bands = minhash_bands(df, num_hashes, band_size, text, key)
+    left = bands.select(
+        F.col(key).alias("doc_a"), F.col("__bks").alias("__ba"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col(key).alias("doc_b"), F.col("__bks").alias("__bb"), "band", "bucket"
+    )
     cands = (
         left.join(right, on=["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.array_position(
+                    F.zip_with("__ba", "__bb", lambda x, y: x == y), F.lit(True)
+                )
+                == F.col("band") + F.lit(1)
+            )
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     # Verify ONCE per unordered candidate, then fan out to the two
     # directions from the already-computed intersection size. The naive
@@ -1618,6 +1717,8 @@ def minhash_lsh_pairs_between(
     Returns (doc_a ∈ left, doc_b ∈ right, jaccard ≥ threshold). Callers
     must ensure the two key spaces are disjoint (or accept self-pairs).
     """
+    left_df = _spread_narrow(left_df)
+    right_df = _spread_narrow(right_df)
     toks_l = left_df.select(
         F.col(key).alias("__k"),
         _hashed_set(tokens(text, distinct=True)).alias("__toks"),
@@ -1626,18 +1727,34 @@ def minhash_lsh_pairs_between(
         F.col(key).alias("__k"),
         _hashed_set(tokens(text, distinct=True)).alias("__toks"),
     )
-    bands_l = minhash_bands(left_df, num_hashes, band_size, text, key, _toksets=toks_l)
-    bands_r = minhash_bands(right_df, num_hashes, band_size, text, key, _toksets=toks_r)
-    left = bands_l.select(F.col(key).alias("doc_a"), F.col("__n").alias("na"), "band", "bucket")
-    right = bands_r.select(F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket")
+    # Fused band projections (no sigs⋈toksets join) + first-matching-band
+    # multi-band dedup instead of a pair-distinct shuffle — identical
+    # result set (see band_candidates), O(candidates) exchange removed.
+    bands_l = minhash_bands(left_df, num_hashes, band_size, text, key)
+    bands_r = minhash_bands(right_df, num_hashes, band_size, text, key)
+    left = bands_l.select(
+        F.col(key).alias("doc_a"), F.col("__n").alias("na"),
+        F.col("__bks").alias("__ba"), "band", "bucket",
+    )
+    right = bands_r.select(
+        F.col(key).alias("doc_b"), F.col("__n").alias("nb"),
+        F.col("__bks").alias("__bb"), "band", "bucket",
+    )
     cands = (
         left.join(right, on=["band", "bucket"])
         .filter(
-            F.least("na", "nb").cast("double") / F.greatest("na", "nb")
-            >= jaccard_threshold
+            (
+                F.least("na", "nb").cast("double") / F.greatest("na", "nb")
+                >= jaccard_threshold
+            )
+            & (
+                F.array_position(
+                    F.zip_with("__ba", "__bb", lambda x, y: x == y), F.lit(True)
+                )
+                == F.col("band") + F.lit(1)
+            )
         )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     return _jaccard_verify(cands, toks_l, toks_r, jaccard_threshold)
 
@@ -1737,6 +1854,7 @@ def neardup_corpus_artifacts(
     own artifacts — fingerprint selection never crosses documents), so
     the standing corpus is never re-hashed; at 100 TB these are the
     bucketed band/token TABLES the screens join against."""
+    corpus = _spread_narrow(corpus)
     toks = corpus.select(
         F.col(key).alias("doc_b"),
         _hashed_set(tokens(text, distinct=True)).alias("tb"),
@@ -2506,6 +2624,7 @@ def winnow_fingerprints(
         raise ValueError(
             f"winnow_fingerprints: k ({k}) and w ({w}) must be >= 1"
         )
+    df = _spread_narrow(df)
     cy = [F.col(c) for c in carry]
     d = df.select(F.col(key), *cy, tokens(text).alias("__tk")).filter(
         F.size("__tk") >= k
@@ -2578,6 +2697,7 @@ def winnow_matches(
     Scale: doc-frequency filter = one combinable groupBy over the
     winnowed set; the pair join is an equi-join on fingerprint hash over
     the capped set. Returns (doc_a, doc_b, shared_fps)."""
+    df = _spread_narrow(df)
     fps = winnow_fingerprints(
         df, k=k, w=w, text=text, key=key, hashes_only=True
     )
@@ -2953,6 +3073,7 @@ def winnow_corpus_index(
     over-cap in their union). Absorbing an admitted wave is an O(wave)
     append on fps plus :func:`merge_winnow_stats` on stats; the
     standing corpus is never re-shingled."""
+    corpus = _spread_narrow(corpus)
     fps = winnow_fingerprints(
         corpus, k=k, w=w, text=text, key=key, hashes_only=True
     ).select(F.col(key).alias("doc_b"), "fp")
@@ -3170,6 +3291,10 @@ def streaming_ingest_gate(
     extra_names = sorted(extra)
     ind = ["__near", "__span"] + [f"__x{i}" for i in range(len(extra_names))]
     carry = (event_time,) if event_time is not None else ()
+    # Batch replays of the gate arrive as a narrow single-split scan —
+    # spread the arriving side so the map-side scoring/signature work
+    # runs cluster-wide (no-op for real streams and wide inputs).
+    stream = _spread_narrow(stream)
     zero, one = F.lit(0), F.lit(1)
 
     def one_hot(hot: str) -> list:

@@ -50,12 +50,16 @@ def q_dedup_minhash_layout(spark, sf_dir):
     from incubator_flink_old_spark.operators.text import (
         _hashed_set,
         _jaccard_verify,
+        _spread_narrow,
         band_candidates,
         minhash_bands,
         tokens,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Spread the single-split fixture scan so the one-time band build
+    # and the verify token-set builds run cluster-wide (optimization
+    # round 12); the probe side still reads the bucketed table.
+    docs = _spread_narrow(t(spark, sf_dir, "documents"))
     toksets = docs.select(
         F.col("doc_id").alias("__k"),
         _hashed_set(tokens("text", distinct=True)).alias("__toks"),

@@ -80,14 +80,44 @@ def main() -> int:
     run("A tokenize+hashset only", toksets)
     sigs = minhash_signature(docs, 8, "text", key)
     run("B signatures only (8x md5)", sigs)
+    bands_old = minhash_bands(docs, 8, 4, "text", key, _toksets=toksets)
+    run("C_old bands (sigs JOIN toksets)", bands_old)
     bands = minhash_bands(docs, 8, 4, "text", key)
-    run("C bands (sigs+join toksets)", bands)
+    run("C_new bands (fused projection)", bands)
+    cands_old = (
+        bands_old.select(
+            F.col(key).alias("doc_a"), F.col("__n").alias("na"), "band", "bucket"
+        )
+        .join(
+            bands_old.select(
+                F.col(key).alias("doc_b"), F.col("__n").alias("nb"), "band", "bucket"
+            ),
+            on=["band", "bucket"],
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("na", "nb").cast("double") / F.greatest("na", "nb") >= 0.7)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    run("D_old candidates (join+distinct)", cands_old)
     cands = band_candidates(bands, 0.7, key=key)
-    run("D candidates (C + selfjoin + distinct)", cands)
+    run("D_new candidates (min-band filter)", cands)
+    from incubator_flink_old_spark.operators.text import _jaccard_verify
+
+    pairs_old = _jaccard_verify(cands_old, toksets, toksets, 0.7)
+    run("E_old full (D_old + verify)", pairs_old)
     pairs = minhash_lsh_pairs(docs, band_size=4, jaccard_threshold=0.7)
-    run("E full pipeline (D + verify)", pairs)
-    print("candidate count:", cands.count())
-    print("pair count:", pairs.count())
+    run("E_new full (D_new + verify)", pairs)
+    n_old, n_new = cands_old.count(), cands.count()
+    print(f"candidate count old={n_old} new={n_new} equal={n_old == n_new}")
+    diff = pairs.select("doc_a", "doc_b").exceptAll(
+        pairs_old.select("doc_a", "doc_b")
+    ).count() + pairs_old.select("doc_a", "doc_b").exceptAll(
+        pairs.select("doc_a", "doc_b")
+    ).count()
+    print(f"pair count old/new: {pairs_old.count()}/{pairs.count()}  symdiff={diff}")
 
     spark.stop()
     return 0
