@@ -23,6 +23,46 @@ def as_double_array(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _sql_bigint_array(vals) -> str:
+    """Render an integer vector as ONE SQL array literal. Building the
+    same tree with per-element ``F.lit(...)`` costs a py4j round trip
+    PER ELEMENT — measured 2.36 s for 8 centers × 64 dims vs 4 ms for
+    the single-``F.expr`` parse, identical values and schema
+    (optimization round 12, guide §1: the 'planning cost' attributed to
+    literal center arrays was driver-side EXPRESSION CONSTRUCTION)."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _centers_sql_array(rows) -> Column:
+    """Collected (cell, cv) center rows → one array<struct<cell int,
+    cv array<bigint>>> literal column via a single F.expr parse, sorted
+    by cell id (the fold's strict-improvement walk order). Accepts Row
+    objects or dicts."""
+    ents = ",".join(
+        "named_struct('cell',CAST(%d AS INT),'cv',%s)"
+        % (int(r["cell"]), _sql_bigint_array(r["cv"]))
+        for r in sorted(rows, key=lambda r: r["cell"])
+    )
+    return F.expr(f"array({ents})")
+
+
+def _books_sql_array(by_j: dict, m: int) -> Column:
+    """Per-subspace codebooks → one array<array<struct<cid int,
+    bv array<bigint>>>> literal column (outer index = j) via a single
+    F.expr parse; inner arrays sorted by cid (the argmin fold's walk
+    order). Accepts Row objects or dicts."""
+    outer = ",".join(
+        "array(%s)"
+        % ",".join(
+            "named_struct('cid',CAST(%d AS INT),'bv',%s)"
+            % (int(r["cid"]), _sql_bigint_array(r["bv"]))
+            for r in sorted(by_j.get(j, []), key=lambda r: r["cid"])
+        )
+        for j in range(m)
+    )
+    return F.expr(f"array({outer})")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right fold — deterministic per element order."""
     return F.aggregate(
@@ -302,16 +342,7 @@ def grid_assign_map(
         # join form (grid_assign) would return no rows — fail loudly
         # instead of letting the two forms diverge (ADVICE r07).
         raise ValueError("grid_assign_map: centers_rows is empty")
-    ordered = sorted(centers_rows, key=lambda r: r.cell)
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.cell)).alias("cell"),
-                F.array(*[F.lit(int(v)) for v in r.cv]).alias("cv"),
-            )
-            for r in ordered
-        ]
-    )
+    arr = _centers_sql_array(centers_rows)
     k = F.transform(
         as_double_array(vec), lambda x: F.floor(x * F.lit(grid)).cast("long")
     )
@@ -364,18 +395,34 @@ def grid_ivf(
     Returns ``(cells, centers)``: cells = (key, cell) after the final
     assignment, centers = (cell, cv array<long>) the assignment used.
 
-    Scale shape: identical to ``ivf_topk``'s trainer — assignment is one
-    broadcast join (n_cells rows broadcast; the corpus never shuffles),
-    centroid recompute shuffles d·n_cells partial sums per partition
-    (map-side combine over posexplode), and the final (key, cell) frame
-    is the by-cell layout the corpus is written partitioned on.
+    Scale shape (optimization round 12 — guide §2.4 remove shuffles
+    outright): every assignment, including the per-iteration training
+    ones, is the :func:`grid_assign_map` PURE-MAP fold over the current
+    centers collected to the driver (bounded — n_cells rows per
+    iteration, the same rows the old broadcast join shipped) and
+    re-embedded as ONE F.expr-parsed literal array — the corpus NEVER
+    shuffles and no window ranks it (the old ``_assign_grid`` path paid
+    a corpus-wide hash exchange + sort per iteration plus one more for
+    the final assignment). Literal construction must be the single
+    F.expr parse: a per-element F.lit tree costs a py4j round trip PER
+    LITERAL (~2.4 s at 8 cells × 64 dims vs 4 ms, measured — the cost
+    the assign-strategy probe initially misread as Catalyst planning).
+    The only per-iteration exchange left is the centroid recompute's
+    d·n_cells map-side-combined partial sums, and the per-iteration
+    eager checkpoint is gone (the collect itself cuts the lineage).
+    Arithmetic is bit-identical by the map ≡ window law
+    (tests/test_wave41.py): same floor quantization, same cosine_safe,
+    strict-improvement walk over ascending cell ids ≡ the
+    (sim desc, cell asc) ROW_NUMBER pick.
     """
-    from pyspark.sql import Window
-
     from incubator_flink_old_spark.operators.text import _spread_narrow
 
-    corpus = _spread_narrow(corpus)
-    e = corpus.select(
+    spark = corpus.sparkSession
+    # Spread a narrow scan to cluster width (no-op at scale where scans
+    # have thousands of splits): every training pass below is a pure
+    # map over e, so without this the whole Lloyd loop serializes in
+    # one task while the cluster idles.
+    e = _spread_narrow(corpus).select(
         F.col(key).alias("__c"),
         F.transform(
             as_double_array(vec),
@@ -383,30 +430,79 @@ def grid_ivf(
         ).alias("__k"),
     )
 
-    def assign(centers: DataFrame) -> DataFrame:
-        return _assign_grid(e, centers)
+    # Lowest-key seeds (bounded collect: n_cells rows) — cell ids 1..n
+    # in __c order, exactly the old ROW_NUMBER-over-__c seeding.
+    seeds = e.orderBy("__c").limit(n_cells).collect()
+    if not seeds:
+        # Empty corpus: the join-form trainer returned empty frames
+        # (crossJoin with zero centers); preserve that instead of the
+        # map fold's cell=-1 sentinel rows.
+        empty_cells = e.select(
+            F.col("__c").alias(key), F.lit(1).cast("int").alias("cell")
+        ).filter(F.lit(False))
+        empty_centers = spark.range(0).select(
+            F.lit(1).cast("int").alias("cell"),
+            F.array(F.lit(0).cast("long")).alias("cv"),
+        )
+        return empty_cells, empty_centers
+    centers_rows = [
+        {"cell": i + 1, "cv": [int(v) for v in r["__k"]]}
+        for i, r in enumerate(seeds)
+    ]
 
-    centers = (
-        e.orderBy("__c")
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy("__c")).alias("cell"),
-            F.col("__k").alias("cv"),
+    def assign_map(rows) -> DataFrame:
+        # grid_assign_map's fold on the pre-quantized frame, keeping __k.
+        # The centers arrive as ONE F.expr-parsed literal array
+        # (_centers_sql_array): a per-element F.lit tree costs a py4j
+        # round trip PER LITERAL (~2.4 s at 8 cells × 64 dims, measured),
+        # the single parse ~4 ms — and the pure map keeps the plan free
+        # of joins, windows and exchanges.
+        sims = F.transform(
+            _centers_sql_array(rows),
+            lambda ctr: F.struct(
+                ctr.getField("cell").alias("c"),
+                cosine_safe(
+                    as_double_array("__k"),
+                    as_double_array(ctr.getField("cv")),
+                ).alias("s"),
+            ),
         )
-    )
+        best = F.aggregate(
+            sims,
+            F.struct(F.lit(-1).alias("c"), F.lit(-3.0).alias("s")),
+            lambda acc, x: F.when(
+                x.getField("s") > acc.getField("s"), x
+            ).otherwise(acc),
+        )
+        return e.select(
+            "__c", "__k", best.getField("c").cast("int").alias("cell")
+        )
+
     for _ in range(iters):
-        assigned = assign(centers)
-        centers = (
-            assigned.select("cell", F.posexplode("__k").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
-            .select("cell", "pos", F.expr("s div cnt").alias("v"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
-            .select("cell", F.transform("pv", lambda st: st["v"]).alias("cv"))
-            .localCheckpoint(eager=True)
-        )
-    cells = assign(centers).select(F.col("__c").alias(key), "cell")
+        assigned = assign_map(centers_rows)
+        centers_rows = [
+            {"cell": int(r["cell"]), "cv": [int(v) for v in r["cv"]]}
+            for r in (
+                assigned.select("cell", F.posexplode("__k").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .select("cell", "pos", F.expr("s div cnt").alias("v"))
+                .groupBy("cell")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))).alias(
+                        "pv"
+                    )
+                )
+                .select(
+                    "cell", F.transform("pv", lambda st: st["v"]).alias("cv")
+                )
+                .collect()  # bounded: n_cells rows per iteration
+            )
+        ]
+    cells = assign_map(centers_rows).select(F.col("__c").alias(key), "cell")
+    centers = spark.range(1).select(
+        F.explode(_centers_sql_array(centers_rows)).alias("s")
+    ).select(F.col("s.cell").alias("cell"), F.col("s.cv").alias("cv"))
     return cells, centers
 
 
@@ -444,17 +540,34 @@ def grid_pq(
     vector, the 64×-compressed representation; books = (j, cid, bv
     array<long>) — m·n_centroids rows, always broadcast-sized.
 
-    Scale shape: training never shuffles the corpus (broadcast books,
-    map-side subvector split); encoding is a map-only rewrite; ADC scans
-    codes (m small ints per vector instead of the d-float payload) with
-    a broadcast distance table — the compressed-domain linear scan that
-    makes billion-vector rerank tiers memory-resident.
+    Scale shape (optimization round 12 — guide §2.4, the grid_ivf
+    trainer treatment): every assignment, including the per-iteration
+    training ones, is :func:`grid_pq_encode_map`'s PURE-MAP argmin fold
+    over the current books collected to the driver (bounded —
+    m·n_centroids rows per iteration, the same rows the old broadcast
+    join shipped) and re-embedded as ONE F.expr-parsed literal array
+    (the grid_ivf py4j-construction lesson) — the subvector frame never
+    shuffles and no (__c, j) window ranks it (the old path paid a
+    corpus-wide hash exchange + sort per iteration plus one more for
+    the final codes). The only per-iteration exchange left is the
+    codebook recompute's map-side-combined partial sums, and the
+    per-iteration eager checkpoint is gone (the collect itself cuts the
+    lineage). Arithmetic is bit-identical by the encode map ≡ window law
+    (tests/test_wave42.py): same slicing, same exact-integer squared
+    L2, strict-improvement walk over ascending cids ≡ the (d asc,
+    cid asc) ROW_NUMBER pick. Encoding stays a map-only rewrite; ADC
+    scans codes (m small ints per vector instead of the d-float
+    payload) with a broadcast distance table — the compressed-domain
+    linear scan that makes billion-vector rerank tiers memory-resident.
     """
-    from pyspark.sql import Window
+    from incubator_flink_old_spark.operators.text import _spread_narrow
 
     assert dim % m == 0
     sub = dim // m
-    e = corpus.select(
+    spark = corpus.sparkSession
+    # Narrow-scan spread: the grid_ivf rationale (pure-map training
+    # passes otherwise serialize in one task at fixture widths).
+    e = _spread_narrow(corpus).select(
         F.col(key).alias("__c"),
         F.transform(
             as_double_array(vec),
@@ -477,47 +590,94 @@ def grid_pq(
         ).alias("js"),
     ).select("__c", F.col("js.j").alias("j"), F.col("js.sv").alias("sv"))
 
-    def assign(books: DataFrame) -> DataFrame:
-        return (
-            subs.join(F.broadcast(books), on="j")
-            .select(
-                "__c",
-                "j",
-                "sv",
-                "cid",
-                grid_sqdist(as_double_array("sv"), as_double_array("bv")).alias(
-                    "__d"
-                ),
-            )
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy("__c", "j").orderBy("__d", "cid")
-                ),
-            )
-            .filter(F.col("__rn") == 1)
-            .select("__c", "j", "sv", F.col("cid").alias("code"))
+    # Lowest-key seeds (bounded collect: n_centroids rows): every __c
+    # contributes one row per subspace, so the per-j ROW_NUMBER ≤
+    # n_centroids seed set of the old window form IS the first
+    # n_centroids keys' slices, cid = the key's rank.
+    seeds = e.orderBy("__c").limit(n_centroids).collect()
+    if not seeds:
+        empty_codes = subs.select(
+            F.col("__c").alias(key), "j", F.lit(1).cast("int").alias("code")
+        ).filter(F.lit(False))
+        empty_books = spark.range(0).select(
+            F.lit(0).cast("int").alias("j"),
+            F.lit(1).cast("int").alias("cid"),
+            F.array(F.lit(0).cast("long")).alias("bv"),
+        )
+        return empty_codes, empty_books
+    books_rows = [
+        {
+            "j": j,
+            "cid": i + 1,
+            "bv": [int(v) for v in r["__k"][j * sub : (j + 1) * sub]],
+        }
+        for j in range(m)
+        for i, r in enumerate(seeds)
+    ]
+
+    def assign_map(rows) -> DataFrame:
+        # grid_pq_encode_map's fold on the pre-sliced long format,
+        # keeping sv for the codebook recompute; the books arrive as
+        # ONE F.expr-parsed literal array (the grid_ivf py4j lesson).
+        by_j: dict[int, list] = {}
+        for r in rows:
+            by_j.setdefault(int(r["j"]), []).append(r)
+        cand = F.transform(
+            F.element_at(_books_sql_array(by_j, m), F.col("j") + 1),
+            lambda b: F.struct(
+                b.getField("cid").alias("c"),
+                grid_sqdist(
+                    as_double_array(F.col("sv")),
+                    as_double_array(b.getField("bv")),
+                ).alias("d"),
+            ),
+        )
+        best = F.aggregate(
+            cand,
+            F.struct(F.lit(-1).alias("c"), F.lit(float("inf")).alias("d")),
+            lambda acc, x: F.when(
+                x.getField("d") < acc.getField("d"), x
+            ).otherwise(acc),
+        )
+        return subs.select(
+            "__c", "j", "sv", best.getField("c").cast("int").alias("code")
         )
 
-    seed_w = Window.partitionBy("j").orderBy("__c")
-    books = (
-        subs.withColumn("__rn", F.row_number().over(seed_w))
-        .filter(F.col("__rn") <= n_centroids)
-        .select("j", F.col("__rn").alias("cid"), F.col("sv").alias("bv"))
-    )
     for _ in range(iters):
-        assigned = assign(books)
-        books = (
-            assigned.select("j", F.col("code").alias("cid"), F.posexplode("sv").alias("pos", "v"))
-            .groupBy("j", "cid", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
-            .select("j", "cid", "pos", F.expr("s div cnt").alias("v"))
-            .groupBy("j", "cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
-            .select("j", "cid", F.transform("pv", lambda st: st["v"]).alias("bv"))
-            .localCheckpoint(eager=True)
-        )
-    codes = assign(books).select(F.col("__c").alias(key), "j", "code")
+        assigned = assign_map(books_rows)
+        books_rows = [
+            {"j": int(r["j"]), "cid": int(r["cid"]), "bv": [int(v) for v in r["bv"]]}
+            for r in (
+                assigned.select(
+                    "j",
+                    F.col("code").alias("cid"),
+                    F.posexplode("sv").alias("pos", "v"),
+                )
+                .groupBy("j", "cid", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .select("j", "cid", "pos", F.expr("s div cnt").alias("v"))
+                .groupBy("j", "cid")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))).alias(
+                        "pv"
+                    )
+                )
+                .select(
+                    "j", "cid", F.transform("pv", lambda st: st["v"]).alias("bv")
+                )
+                .collect()  # bounded: m·n_centroids rows per iteration
+            )
+        ]
+    codes = assign_map(books_rows).select(F.col("__c").alias(key), "j", "code")
+    final_by_j: dict[int, list] = {}
+    for r in books_rows:
+        final_by_j.setdefault(int(r["j"]), []).append(r)
+    books = (
+        spark.range(1)
+        .select(F.posexplode(_books_sql_array(final_by_j, m)).alias("__j", "__bl"))
+        .select(F.col("__j").cast("int").alias("j"), F.explode("__bl").alias("s"))
+        .select("j", F.col("s.cid").alias("cid"), F.col("s.bv").alias("bv"))
+    )
     return codes, books
 
 
@@ -644,20 +804,7 @@ def grid_pq_encode_map(
             f"grid_pq_encode_map: no codebook rows for subspace(s) "
             f"{missing} (expected all of 0..{m - 1})"
         )
-    books_arr = F.array(
-        *[
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(int(r.cid)).alias("cid"),
-                        F.array(*[F.lit(int(v)) for v in r.bv]).alias("bv"),
-                    )
-                    for r in sorted(by_j.get(j, []), key=lambda r: r.cid)
-                ]
-            )
-            for j in range(m)
-        ]
-    )
+    books_arr = _books_sql_array(by_j, m)
     k = F.transform(
         as_double_array(vec), lambda x: F.floor(x * F.lit(grid)).cast("long")
     )
@@ -738,8 +885,8 @@ def sq8_encode_map(
             "sq8_encode_map: bounds_rows p values must be exactly "
             f"1..{len(ordered)} (got {sorted(int(r.p) for r in bounds_rows)})"
         )
-    lo_arr = F.array(*[F.lit(int(r.lo)) for r in ordered])
-    hi_arr = F.array(*[F.lit(int(r.hi)) for r in ordered])
+    lo_arr = F.expr(_sql_bigint_array(int(r.lo) for r in ordered))
+    hi_arr = F.expr(_sql_bigint_array(int(r.hi) for r in ordered))
     k = F.transform(
         as_double_array(vec), lambda x: F.floor(x * F.lit(grid)).cast("long")
     )
@@ -1627,9 +1774,15 @@ def semantic_screen_events(
     centers the (cell, cv) table; ``corpus_emb`` must still cover every
     key in cells (it provides the verify vectors).
 
-    Returns (doc_a, *carry, doc_b, cos)."""
-    from pyspark.sql import Window
+    Optimization round 12 (guide §2.4): the probe ranking delegates to
+    :func:`semantic_screen_events_map`'s literal sorted-prefix fold —
+    the centers are collected (bounded: n_cells rows, the same rows the
+    old crossJoin broadcast) and the per-arrival ROW_NUMBER window,
+    whose exchange + sort the arriving side paid on every wave, is
+    gone. Bit-equal by the map ≡ window law (tests/test_wave47.py,
+    which pins the fold against an inline window-rank reference).
 
+    Returns (doc_a, *carry, doc_b, cos)."""
     if n_probe <= 0:
         # A degenerate probe count silently emits ZERO events — an
         # unscreened front door admitting semantic duplicates (the
@@ -1649,57 +1802,29 @@ def semantic_screen_events(
         )
     else:
         cells, centers = index
-    eg = corpus_emb.select(
-        F.col(key).alias("doc_b"),
-        F.transform(
-            as_double_array(vec),
-            lambda x: F.floor(x * F.lit(grid)).cast("long"),
-        ).alias("ck"),
-    )
-    qg = new_emb.select(
-        F.col(key).alias("doc_a"),
-        *[F.col(c) for c in carry],
-        F.transform(
-            as_double_array(vec),
-            lambda x: F.floor(x * F.lit(grid)).cast("long"),
-        ).alias("qk"),
-    )
-    # probe: top-n_probe cells by exact grid cosine (zero-norm sentinel,
-    # cell-id tie-break — the grid_ivf assignment arithmetic verbatim)
-    probes = (
-        qg.crossJoin(F.broadcast(centers))
-        .select(
-            "doc_a",
-            *carry,
-            "qk",
-            "cell",
-            cosine_safe(
-                as_double_array("qk"), as_double_array("cv")
-            ).alias("__sim"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_a").orderBy(
-                    F.col("__sim").desc(), "cell"
-                )
-            ),
-        )
-        .filter(F.col("rn") <= n_probe)
-        .select("doc_a", *carry, "qk", "cell")
-    )
-    cand = probes.join(
-        cells.select(F.col(key).alias("doc_b"), "cell"), on="cell"
-    ).join(eg, on="doc_b")
-    return cand.select(
-        "doc_a",
-        *carry,
-        "doc_b",
-        cosine_safe(as_double_array("qk"), as_double_array("ck")).alias(
-            "cos"
-        ),
-    ).filter(
-        (F.col("cos") >= threshold) & (F.col("doc_a") != F.col("doc_b"))
+    centers_rows = centers.collect()  # bounded: n_cells rows
+    if not centers_rows:
+        # Empty corpus/index: the window form returned no events (its
+        # probe crossJoin had zero centers); preserve that instead of
+        # the map form's fail-loud guard (which protects STREAMING
+        # callers from a silently unscreened front door).
+        return new_emb.select(
+            F.col(key).alias("doc_a"),
+            *[F.col(c) for c in carry],
+            F.col(key).alias("doc_b"),
+            F.lit(0.0).alias("cos"),
+        ).filter(F.lit(False))
+    return semantic_screen_events_map(
+        new_emb,
+        centers_rows,
+        cells,
+        corpus_emb,
+        n_probe=n_probe,
+        threshold=threshold,
+        grid=grid,
+        key=key,
+        vec=vec,
+        carry=carry,
     )
 
 
@@ -1758,16 +1883,7 @@ def semantic_screen_events_map(
             "semantic_screen_events_map: n_probe must be positive,"
             f" got {n_probe}"
         )
-    ordered = sorted(centers_rows, key=lambda r: r.cell)
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.cell)).alias("cell"),
-                F.array(*[F.lit(int(v)) for v in r.cv]).alias("cv"),
-            )
-            for r in ordered
-        ]
-    )
+    arr = _centers_sql_array(centers_rows)
     qg = new_emb.select(
         F.col(key).alias("doc_a"),
         *[F.col(c) for c in carry],

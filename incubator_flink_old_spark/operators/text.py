@@ -1017,6 +1017,11 @@ def _spread_narrow(df: DataFrame) -> DataFrame:
     Streaming frames pass through untouched (repartitioning a stream
     would reshape micro-batch/state layout).
     """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+        # measurement kill-switch (tools/family_probe.py A/B runs)
+        return df
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
@@ -1942,6 +1947,16 @@ def neardup_screen_events(
             bands_r = bands_r.persist(StorageLevel.DISK_ONLY)
             if artifact_registry is not None:
                 artifact_registry.extend((toks_r, bands_r))
+            if stream.isStreaming:
+                # Build the artifacts NOW, at the session's batch width:
+                # left lazy they materialize inside micro-batch 0 after
+                # the stream runner has clamped shuffle partitions to
+                # the state width — the whole corpus hash then runs
+                # serialized in one micro-batch (optimization round 12,
+                # measured; see streaming.force_pins).
+                from incubator_flink_old_spark.streaming import force_pins
+
+                force_pins(toks_r, bands_r)
     n_bands = num_hashes // band_size
     dtoks = tokens(text, distinct=True)
     srows = stream.select(
@@ -3149,6 +3164,13 @@ def winnow_screen_events(
             cfp = cfp.persist(StorageLevel.DISK_ONLY)
             if artifact_registry is not None:
                 artifact_registry.append(cfp)
+            if stream.isStreaming:
+                # Same batch-width forcing as neardup_screen_events —
+                # the df-capped index must not build inside micro-batch
+                # 0 at the clamped state width (optimization round 12).
+                from incubator_flink_old_spark.streaming import force_pins
+
+                force_pins(cfp)
     sfp = winnow_fingerprints(
         stream, k=k, w=w, text=text, key=key, carry=carry, hashes_only=True
     ).select(F.col(key).alias("doc_a"), *carry, "fp")

@@ -585,6 +585,7 @@ def q_stream_absorb_parity(spark, sf_dir):
     )
     from incubator_flink_old_spark.streaming import (
         append_literal_rows,
+        force_pins,
         run_stream_to_memory,
         write_event_time_replay,
     )
@@ -657,6 +658,10 @@ def q_stream_absorb_parity(spark, sf_dir):
             )
             merged[name] = (a, b)
             pinned.extend((a, b))
+        # Force the merged pins at the session's batch width — lazy,
+        # they'd build inside micro-batch 0 at the clamped state width
+        # (optimization round 12; see streaming.force_pins).
+        force_pins(*[f for pair in merged.values() for f in pair])
         stream_src = wave2.select(
             "doc_id",
             "text",

@@ -88,6 +88,7 @@ def q_stream_semantic_gate_parity(spark, sf_dir):
     )
     from incubator_flink_old_spark.streaming import (
         append_literal_rows,
+        force_pins,
         run_stream_to_memory,
         write_event_time_replay,
     )
@@ -121,6 +122,10 @@ def q_stream_semantic_gate_parity(spark, sf_dir):
             .persist(StorageLevel.DISK_ONLY)
         )
         pinned += [cells, corpus_emb, nemb]
+        # Force the serve pins at the session's batch width — lazy,
+        # they'd build inside micro-batch 0 at the clamped state width
+        # (optimization round 12; see streaming.force_pins).
+        force_pins(cells, corpus_emb, nemb)
 
         stream_src = docs.filter(new_d).select(
             "doc_id",
@@ -719,6 +724,7 @@ def q_stream_semantic_absorb_parity(spark, sf_dir):
     )
     from incubator_flink_old_spark.streaming import (
         append_literal_rows,
+        force_pins,
         run_stream_to_memory,
         write_event_time_replay,
     )
@@ -789,6 +795,10 @@ def q_stream_semantic_absorb_parity(spark, sf_dir):
             StorageLevel.DISK_ONLY
         )
         pinned += [cells1, emb1]
+        # Force the absorbed serve pins at the session's batch width
+        # (optimization round 12; see streaming.force_pins). nemb2 is
+        # forced below, right after its own persist.
+        force_pins(cells1, emb1)
 
         w2_stream_src = docs.filter(m5d == 4).select(
             "doc_id",
@@ -826,6 +836,7 @@ def q_stream_semantic_absorb_parity(spark, sf_dir):
             F.col("vec_id").alias("doc_id"), "embedding"
         ).persist(StorageLevel.DISK_ONLY)
         pinned.append(nemb2)
+        force_pins(nemb2)
         sem2 = semantic_screen_events_map(
             stream.select(F.col("doc_id").alias("vec_id"), "ts").join(
                 nemb2.select(F.col("doc_id").alias("vec_id"), "embedding"),

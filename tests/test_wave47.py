@@ -27,12 +27,19 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="no testdata")
 def test_semantic_map_equals_window(spark):
     """The row's core law: the pure-map probe (literal centers,
     array_sort by (sim desc, cell asc) + slice) emits EXACTLY the
-    batch form's events — same pairs, same cosines — on the fixture
+    window form's events — same pairs, same cosines — on the fixture
     index. The sorted-prefix ≡ ROW_NUMBER claim, end-to-end through
-    candidate fetch and verify."""
+    candidate fetch and verify. The window-rank reference is built
+    INLINE here (the crossJoin(broadcast(centers)) + per-arrival
+    ROW_NUMBER the batch operator used before optimization round 12
+    delegated it to the map fold) so the law stays pinned against an
+    independent implementation, not the operator against itself."""
+    from pyspark.sql import Window
+
     from incubator_flink_old_spark.operators.similarity import (
+        as_double_array,
+        cosine_safe,
         grid_ivf,
-        semantic_screen_events,
         semantic_screen_events_map,
     )
     from incubator_flink_old_spark.queries._util import t
@@ -40,10 +47,42 @@ def test_semantic_map_equals_window(spark):
     emb = t(spark, SF, "embeddings")
     new_v = F.col("vec_id") % 5 == 4
     new, corpus = emb.filter(new_v), emb.filter(~new_v)
-    w = semantic_screen_events(
-        new, corpus, n_cells=8, iters=2, n_probe=3, threshold=0.40
-    )
     cells, centers = grid_ivf(corpus, n_cells=8, iters=2)
+    grid = 1_000_000.0
+    quant = lambda c: F.transform(  # noqa: E731
+        as_double_array(c), lambda x: F.floor(x * F.lit(grid)).cast("long")
+    )
+    qg = new.select(F.col("vec_id").alias("doc_a"), quant("embedding").alias("qk"))
+    probes = (
+        qg.crossJoin(F.broadcast(centers))
+        .select(
+            "doc_a",
+            "qk",
+            "cell",
+            cosine_safe(as_double_array("qk"), as_double_array("cv")).alias("__sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_a").orderBy(F.col("__sim").desc(), "cell")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("doc_a", "qk", "cell")
+    )
+    eg = corpus.select(
+        F.col("vec_id").alias("doc_b"), quant("embedding").alias("ck")
+    )
+    w = (
+        probes.join(cells.select(F.col("vec_id").alias("doc_b"), "cell"), on="cell")
+        .join(eg, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cosine_safe(as_double_array("qk"), as_double_array("ck")).alias("cos"),
+        )
+        .filter((F.col("cos") >= 0.40) & (F.col("doc_a") != F.col("doc_b")))
+    )
     m = semantic_screen_events_map(
         new, centers.collect(), cells, corpus, n_probe=3, threshold=0.40
     )
