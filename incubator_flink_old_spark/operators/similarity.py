@@ -14,13 +14,136 @@ bucketed by LSH key on write so candidate joins are shuffle-free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Scalar-element budget for embedding a collected index as ONE parsed
+#: SQL literal (VERDICT r12 item 1). Below it the literal fold is the
+#: cheapest possible plan (constant-folded, zero joins — the fixture
+#: index is 8 cells × 64 dims ≈ 520 elements); past it the literal
+#: string's parse time and its re-serialization into EVERY task binary
+#: that carries the plan grow without bound (a realistic 100 TB IVF —
+#: thousands of cells × hundreds of dims — renders tens of MB), while a
+#: one-row broadcast frame ships the same values once as DATA. 32768
+#: elements ≈ a 300 KB literal ≈ a quarter-second parse — the crossover
+#: region; env-overridable for deployments that know better.
+_FOLD_LITERAL_MAX_ELEMS = int(
+    os.environ.get("SPARK_GRAFT_FOLD_LITERAL_MAX", "32768")
+)
+
+#: DDL shapes of the broadcast arm's index columns — field names match
+#: the literal arm's named_structs exactly, so every fold expression is
+#: identical through both arms.
+_CENTERS_DDL = "array<struct<cell:int,cv:array<bigint>>>"
+_BOOKS_DDL = "array<array<struct<cid:int,bv:array<bigint>>>>"
 
 
 def as_double_array(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
+
+
+def _one_row_broadcast(spark, cols) -> DataFrame:
+    """One-row frame carrying index arrays as DATA (createDataFrame),
+    not as parsed plan literals — the above-budget arm of the
+    literal-fold size gate. The ``crossJoin(broadcast(one_row))`` a
+    caller wraps around it adds no exchange to the probe side, is
+    stream-static-legal, and keeps plan size O(1) however large the
+    index. ``cols`` = [(name, ddl, payload), ...]."""
+    schema = ", ".join(f"{n} {d}" for n, d, _ in cols)
+    return spark.createDataFrame([tuple(p for _, _, p in cols)], schema)
+
+
+def _centers_payload(rows) -> list:
+    """Collected (cell, cv) rows → python payload sorted by cell id (the
+    fold's strict-improvement walk order — same order the literal arm
+    renders)."""
+    return [
+        (int(r["cell"]), [int(v) for v in r["cv"]])
+        for r in sorted(rows, key=lambda r: r["cell"])
+    ]
+
+
+def _attach_centers(df: DataFrame, rows) -> tuple[DataFrame, Column]:
+    """Return ``(frame, centers_col)`` for a fold over collected center
+    rows: the F.expr literal below the element budget (the fixture/bench
+    arm — plan-pinned literal, no join), the one-row broadcast crossJoin
+    above it. Same values, same array<struct<cell,cv>> shape, so the
+    fold arithmetic is identical through both arms (law-pinned
+    both-arms-bit-equal in tests/test_wave48.py)."""
+    if sum(1 + len(r["cv"]) for r in rows) <= _FOLD_LITERAL_MAX_ELEMS:
+        return df, _centers_sql_array(rows)
+    one = _one_row_broadcast(
+        df.sparkSession, [("__centers", _CENTERS_DDL, _centers_payload(rows))]
+    )
+    return df.crossJoin(F.broadcast(one)), F.col("__centers")
+
+
+def _centers_frame(spark, rows) -> DataFrame:
+    """(cell, cv) DataFrame from collected center rows — the literal
+    explode below the budget, plain createDataFrame (data, not plan)
+    above it; identical schema either way."""
+    if sum(1 + len(r["cv"]) for r in rows) <= _FOLD_LITERAL_MAX_ELEMS:
+        return (
+            spark.range(1)
+            .select(F.explode(_centers_sql_array(rows)).alias("s"))
+            .select(F.col("s.cell").alias("cell"), F.col("s.cv").alias("cv"))
+        )
+    return spark.createDataFrame(
+        _centers_payload(rows), "cell int, cv array<bigint>"
+    )
+
+
+def _books_payload(by_j: dict, m: int) -> list:
+    """Per-subspace codebook rows → nested python payload (outer index =
+    j, inner sorted by cid — the argmin fold's walk order)."""
+    return [
+        [
+            (int(r["cid"]), [int(v) for v in r["bv"]])
+            for r in sorted(by_j.get(j, []), key=lambda r: r["cid"])
+        ]
+        for j in range(m)
+    ]
+
+
+def _attach_books(df: DataFrame, by_j: dict, m: int) -> tuple[DataFrame, Column]:
+    """The :func:`_attach_centers` gate for PQ codebooks: literal
+    array-of-arrays below the budget, one-row broadcast above it."""
+    n = sum(1 + len(r["bv"]) for rows in by_j.values() for r in rows)
+    if n <= _FOLD_LITERAL_MAX_ELEMS:
+        return df, _books_sql_array(by_j, m)
+    one = _one_row_broadcast(
+        df.sparkSession, [("__books", _BOOKS_DDL, _books_payload(by_j, m))]
+    )
+    return df.crossJoin(F.broadcast(one)), F.col("__books")
+
+
+def _books_frame(spark, by_j: dict, m: int) -> DataFrame:
+    """(j, cid, bv) DataFrame from collected codebook rows — the
+    posexplode'd literal below the budget, plain createDataFrame above
+    it; identical schema either way."""
+    n = sum(1 + len(r["bv"]) for rows in by_j.values() for r in rows)
+    if n <= _FOLD_LITERAL_MAX_ELEMS:
+        return (
+            spark.range(1)
+            .select(
+                F.posexplode(_books_sql_array(by_j, m)).alias("__j", "__bl")
+            )
+            .select(
+                F.col("__j").cast("int").alias("j"), F.explode("__bl").alias("s")
+            )
+            .select("j", F.col("s.cid").alias("cid"), F.col("s.bv").alias("bv"))
+        )
+    return spark.createDataFrame(
+        [
+            (j, int(r["cid"]), [int(v) for v in r["bv"]])
+            for j in range(m)
+            for r in sorted(by_j.get(j, []), key=lambda r: r["cid"])
+        ],
+        "j int, cid int, bv array<bigint>",
+    )
 
 
 def _sql_bigint_array(vals) -> str:
@@ -342,7 +465,7 @@ def grid_assign_map(
         # join form (grid_assign) would return no rows — fail loudly
         # instead of letting the two forms diverge (ADVICE r07).
         raise ValueError("grid_assign_map: centers_rows is empty")
-    arr = _centers_sql_array(centers_rows)
+    df, arr = _attach_centers(df, centers_rows)
     k = F.transform(
         as_double_array(vec), lambda x: F.floor(x * F.lit(grid)).cast("long")
     )
@@ -456,9 +579,13 @@ def grid_ivf(
         # (_centers_sql_array): a per-element F.lit tree costs a py4j
         # round trip PER LITERAL (~2.4 s at 8 cells × 64 dims, measured),
         # the single parse ~4 ms — and the pure map keeps the plan free
-        # of joins, windows and exchanges.
+        # of joins, windows and exchanges. Past the element budget the
+        # same values ride a one-row broadcast frame instead
+        # (_attach_centers — VERDICT r12 item 1: a production-sized
+        # index must not render a multi-MB plan literal).
+        src, arr = _attach_centers(e, rows)
         sims = F.transform(
-            _centers_sql_array(rows),
+            arr,
             lambda ctr: F.struct(
                 ctr.getField("cell").alias("c"),
                 cosine_safe(
@@ -474,7 +601,7 @@ def grid_ivf(
                 x.getField("s") > acc.getField("s"), x
             ).otherwise(acc),
         )
-        return e.select(
+        return src.select(
             "__c", "__k", best.getField("c").cast("int").alias("cell")
         )
 
@@ -500,9 +627,7 @@ def grid_ivf(
             )
         ]
     cells = assign_map(centers_rows).select(F.col("__c").alias(key), "cell")
-    centers = spark.range(1).select(
-        F.explode(_centers_sql_array(centers_rows)).alias("s")
-    ).select(F.col("s.cell").alias("cell"), F.col("s.cv").alias("cv"))
+    centers = _centers_frame(spark, centers_rows)
     return cells, centers
 
 
@@ -618,12 +743,15 @@ def grid_pq(
     def assign_map(rows) -> DataFrame:
         # grid_pq_encode_map's fold on the pre-sliced long format,
         # keeping sv for the codebook recompute; the books arrive as
-        # ONE F.expr-parsed literal array (the grid_ivf py4j lesson).
+        # ONE F.expr-parsed literal array (the grid_ivf py4j lesson),
+        # or as a one-row broadcast frame past the element budget
+        # (_attach_books — VERDICT r12 item 1).
         by_j: dict[int, list] = {}
         for r in rows:
             by_j.setdefault(int(r["j"]), []).append(r)
+        src, books_arr = _attach_books(subs, by_j, m)
         cand = F.transform(
-            F.element_at(_books_sql_array(by_j, m), F.col("j") + 1),
+            F.element_at(books_arr, F.col("j") + 1),
             lambda b: F.struct(
                 b.getField("cid").alias("c"),
                 grid_sqdist(
@@ -639,7 +767,7 @@ def grid_pq(
                 x.getField("d") < acc.getField("d"), x
             ).otherwise(acc),
         )
-        return subs.select(
+        return src.select(
             "__c", "j", "sv", best.getField("c").cast("int").alias("code")
         )
 
@@ -672,12 +800,7 @@ def grid_pq(
     final_by_j: dict[int, list] = {}
     for r in books_rows:
         final_by_j.setdefault(int(r["j"]), []).append(r)
-    books = (
-        spark.range(1)
-        .select(F.posexplode(_books_sql_array(final_by_j, m)).alias("__j", "__bl"))
-        .select(F.col("__j").cast("int").alias("j"), F.explode("__bl").alias("s"))
-        .select("j", F.col("s.cid").alias("cid"), F.col("s.bv").alias("bv"))
-    )
+    books = _books_frame(spark, final_by_j, m)
     return codes, books
 
 
@@ -804,7 +927,6 @@ def grid_pq_encode_map(
             f"grid_pq_encode_map: no codebook rows for subspace(s) "
             f"{missing} (expected all of 0..{m - 1})"
         )
-    books_arr = _books_sql_array(by_j, m)
     k = F.transform(
         as_double_array(vec), lambda x: F.floor(x * F.lit(grid)).cast("long")
     )
@@ -822,6 +944,7 @@ def grid_pq_encode_map(
             )
         ).alias("js"),
     ).select(key, F.col("js.j").alias("j"), F.col("js.sv").alias("sv"))
+    rows, books_arr = _attach_books(rows, by_j, m)
     cand = F.transform(
         F.element_at(books_arr, F.col("j") + 1),
         lambda b: F.struct(
@@ -885,8 +1008,23 @@ def sq8_encode_map(
             "sq8_encode_map: bounds_rows p values must be exactly "
             f"1..{len(ordered)} (got {sorted(int(r.p) for r in bounds_rows)})"
         )
-    lo_arr = F.expr(_sql_bigint_array(int(r.lo) for r in ordered))
-    hi_arr = F.expr(_sql_bigint_array(int(r.hi) for r in ordered))
+    if 2 * len(ordered) <= _FOLD_LITERAL_MAX_ELEMS:
+        src, extra = df, ()
+        lo_arr = F.expr(_sql_bigint_array(int(r.lo) for r in ordered))
+        hi_arr = F.expr(_sql_bigint_array(int(r.hi) for r in ordered))
+    else:
+        # Above the literal budget the quantizer table rides a one-row
+        # broadcast frame (VERDICT r12 item 1) — same values, same
+        # element_at lookups.
+        one = _one_row_broadcast(
+            df.sparkSession,
+            [
+                ("__lo", "array<bigint>", [int(r.lo) for r in ordered]),
+                ("__hi", "array<bigint>", [int(r.hi) for r in ordered]),
+            ],
+        )
+        src, extra = df.crossJoin(F.broadcast(one)), ("__lo", "__hi")
+        lo_arr, hi_arr = F.col("__lo"), F.col("__hi")
     k = F.transform(
         as_double_array(vec), lambda x: F.floor(x * F.lit(grid)).cast("long")
     )
@@ -908,7 +1046,7 @@ def sq8_encode_map(
             ).cast("long"),
         ).otherwise(F.element_at(arr, (F.col("p0") + 1).cast("int")))
 
-    rows = df.select(key, F.posexplode(k).alias("p0", "v")).select(
+    rows = src.select(key, *extra, F.posexplode(k).alias("p0", "v")).select(
         F.col(key),
         (F.col("p0") + 1).alias("p"),
         "v",
@@ -1807,13 +1945,23 @@ def semantic_screen_events(
         # Empty corpus/index: the window form returned no events (its
         # probe crossJoin had zero centers); preserve that instead of
         # the map form's fail-loud guard (which protects STREAMING
-        # callers from a silently unscreened front door).
-        return new_emb.select(
-            F.col(key).alias("doc_a"),
-            *[F.col(c) for c in carry],
-            F.col(key).alias("doc_b"),
-            F.lit(0.0).alias("cos"),
-        ).filter(F.lit(False))
+        # callers from a silently unscreened front door). doc_b is
+        # typed from the CORPUS key — the non-empty path derives it
+        # from corpus_emb, and aliasing new_emb's key here diverged the
+        # two branches' schemas whenever the key types differ
+        # (ADVICE r12; pinned in tests/test_wave48.py).
+        return (
+            new_emb.select(
+                F.col(key).alias("doc_a"), *[F.col(c) for c in carry]
+            )
+            .filter(F.lit(False))
+            .crossJoin(
+                corpus_emb.select(F.col(key).alias("doc_b")).filter(
+                    F.lit(False)
+                )
+            )
+            .select("doc_a", *carry, "doc_b", F.lit(0.0).alias("cos"))
+        )
     return semantic_screen_events_map(
         new_emb,
         centers_rows,
@@ -1883,7 +2031,6 @@ def semantic_screen_events_map(
             "semantic_screen_events_map: n_probe must be positive,"
             f" got {n_probe}"
         )
-    arr = _centers_sql_array(centers_rows)
     qg = new_emb.select(
         F.col(key).alias("doc_a"),
         *[F.col(c) for c in carry],
@@ -1892,6 +2039,7 @@ def semantic_screen_events_map(
             lambda x: F.floor(x * F.lit(grid)).cast("long"),
         ).alias("qk"),
     )
+    qg, arr = _attach_centers(qg, centers_rows)
     sims = F.transform(
         arr,
         lambda ctr: F.struct(

@@ -999,6 +999,9 @@ def _intersect_size(a, b) -> Column:
     return F.size(F.array_intersect(a, b))
 
 
+_SPREAD_KILL_WARNED = False
+
+
 def _spread_narrow(df: DataFrame) -> DataFrame:
     """Rebalance a NARROW batch input to cluster width before CPU-dense
     per-row work (crypto-hash-per-token signatures, n-gram fingerprints,
@@ -1020,7 +1023,21 @@ def _spread_narrow(df: DataFrame) -> DataFrame:
     import os
 
     if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
-        # measurement kill-switch (tools/family_probe.py A/B runs)
+        # measurement kill-switch (tools/family_probe.py A/B runs). Warn
+        # ONCE if it leaks into a real run: with spreading off, screens
+        # and the pure-map trainers serialize into one task on narrow
+        # inputs (ADVICE r12).
+        global _SPREAD_KILL_WARNED
+        if not _SPREAD_KILL_WARNED:
+            _SPREAD_KILL_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "SPARK_GRAFT_SPREAD=0: narrow-scan rebalance disabled —"
+                " A/B measurement mode only; narrow-input screens and"
+                " trainers will serialize into one task",
+                stacklevel=2,
+            )
         return df
     if df.isStreaming:
         return df

@@ -757,6 +757,17 @@ def stateful_latest(
             f"stateful_latest: payload column(s) {missing} not in the "
             f"stream schema ({sorted(in_types)})"
         )
+    for c in order_cols:
+        # The argmax walk compares raw order values; the docstring
+        # mandates longs (epoch micros computed Spark-side). A float
+        # order column would silently change tie behavior vs the
+        # declared-long contract (ADVICE r12) — fail loudly instead.
+        if in_types.get(c) not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"stateful_latest: order column {c!r} must be an integer"
+                f" type (epoch micros computed Spark-side), got"
+                f" {in_types.get(c)}"
+            )
     payload_schema = ", ".join(f"{c} {in_types[c]}" for c in payload_cols)
     out_schema = (
         f"{key} long, {o1} long, {o2} long, {payload_schema}, seen long"
