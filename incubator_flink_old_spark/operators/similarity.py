@@ -2031,6 +2031,19 @@ def semantic_screen_events_map(
             "semantic_screen_events_map: n_probe must be positive,"
             f" got {n_probe}"
         )
+    from incubator_flink_old_spark.operators.text import (
+        _spread_narrow,
+        _verify_barrier,
+    )
+
+    # Spread a NARROW batch arrival wave to cluster width (no-op on
+    # streams and on wide scans — _spread_narrow's contract): the whole
+    # probe + candidate-fetch + verify pipeline below is broadcast-join
+    # only, so a single-split wave otherwise runs it in ONE task
+    # (measured at sf0.1: the screen's noop wall ≈ its executor seconds,
+    # parallelism 1.0 — optimization round 13, the r12 q_dedup_minhash
+    # shape recurring on the semantic tier).
+    new_emb = _spread_narrow(new_emb)
     qg = new_emb.select(
         F.col(key).alias("doc_a"),
         *[F.col(c) for c in carry],
@@ -2038,6 +2051,17 @@ def semantic_screen_events_map(
             as_double_array(vec),
             lambda x: F.floor(x * F.lit(grid)).cast("long"),
         ).alias("qk"),
+    )
+    # Stage the query-side squared norm ONCE per arrival (it is exact —
+    # integer-valued doubles below 2^53 — so the staged value is
+    # bit-identical to cosine_safe's inline fold): the verify below
+    # otherwise re-folds BOTH norms per candidate pair, tripling the
+    # per-pair array work (guide §2.3: compute once, carry a scalar).
+    qg = qg.withColumn(
+        "__qn2",
+        F.aggregate(
+            as_double_array("qk"), F.lit(0.0), lambda acc, x: acc + x * x
+        ),
     )
     qg, arr = _attach_centers(qg, centers_rows)
     sims = F.transform(
@@ -2073,7 +2097,7 @@ def semantic_screen_events_map(
                 )
             ),
         )
-        .select("doc_a", *carry, "qk", "cell")
+        .select("doc_a", *carry, "qk", "__qn2", "cell")
     )
     eg = corpus_emb.select(
         F.col(key).alias("doc_b"),
@@ -2081,17 +2105,47 @@ def semantic_screen_events_map(
             as_double_array(vec),
             lambda x: F.floor(x * F.lit(grid)).cast("long"),
         ).alias("ck"),
+    ).withColumn(
+        # corpus-side squared norm, once per corpus vector (see __qn2)
+        "__cn2",
+        F.aggregate(
+            as_double_array("ck"), F.lit(0.0), lambda acc, x: acc + x * x
+        ),
     )
-    cand = probes.join(
-        corpus_cells.select(F.col(key).alias("doc_b"), "cell"), on="cell"
-    ).join(eg, on="doc_b")
-    return cand.select(
+    cand = (
+        probes.join(
+            corpus_cells.select(F.col(key).alias("doc_b"), "cell"), on="cell"
+        )
+        .join(eg, on="doc_b")
+        # self-pair drop BEFORE the per-pair dot fold (same rows, same
+        # result — the cosine never decides this predicate)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    # cosine_safe's arithmetic verbatim, with both norm folds replaced by
+    # the staged exact columns; the Generate barrier (_verify_barrier)
+    # keeps the threshold filter from being substituted below the
+    # projection, which would evaluate the dot fold twice per candidate
+    # (the _jaccard_verify lesson applied to the semantic verify).
+    scored = cand.select(
         "doc_a",
         *carry,
         "doc_b",
-        cosine_safe(as_double_array("qk"), as_double_array("ck")).alias(
-            "cos"
-        ),
-    ).filter(
-        (F.col("cos") >= threshold) & (F.col("doc_a") != F.col("doc_b"))
+        F.when(
+            (F.col("__qn2") == F.lit(0.0)) | (F.col("__cn2") == F.lit(0.0)),
+            F.lit(-2.0),
+        )
+        .otherwise(
+            dot(as_double_array("qk"), as_double_array("ck"))
+            / (F.sqrt("__qn2") * F.sqrt("__cn2"))
+        )
+        .alias("cos"),
     )
+    return _verify_barrier(
+        scored,
+        F.struct(
+            F.col("doc_a"),
+            *[F.col(c) for c in carry],
+            F.col("doc_b"),
+            F.col("cos"),
+        ),
+    ).filter(F.col("cos") >= threshold)
