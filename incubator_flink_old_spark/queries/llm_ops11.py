@@ -568,7 +568,9 @@ def q_stream_custom_state_parity(spark, sf_dir):
         ev, gap_seconds=_CS_GAP_S, watermark="10 minutes"
     )
     name = f"stream_cs_{next(_STREAM_SEQ)}"
-    run_stream_to_memory(out, name, "append")
+    # state_partitions=16: Python-worker-bound pandas-state row keyed
+    # by user_id (the q_stream_cdc_parity sweep rationale, round 13).
+    run_stream_to_memory(out, name, "append", state_partitions=16)
     return spark.table(name)
 
 

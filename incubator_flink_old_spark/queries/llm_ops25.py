@@ -294,7 +294,10 @@ def q_stream_asof_parity(spark, sf_dir):
         )
         out = stateful_asof_enrich(stream)
         name = f"stream_asof_{next(_SEQ)}"
-        run_stream_to_memory(out, name, "append", state_partitions=4)
+        # state_partitions=16: Python-worker-bound pandas-state row —
+        # measured sweep 4/8/16/32 -> 5.2/4.2/3.8/4.5 s on this shape
+        # (round 13; the q_stream_cdc_parity rationale).
+        run_stream_to_memory(out, name, "append", state_partitions=16)
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).select(
