@@ -174,6 +174,7 @@ def minhash_bands(
     key: str = "doc_id",
     _toksets: DataFrame | None = None,
     _sigs: DataFrame | None = None,
+    _dtoks: DataFrame | None = None,
 ) -> DataFrame:
     """LSH band rows (key, __n, __bks, band, bucket) — the frame the
     candidate self-join runs on. Exposed so a 100 TB deployment can
@@ -190,12 +191,21 @@ def minhash_bands(
     When neither ``_sigs`` nor ``_toksets`` is supplied, signatures and
     the token count come from ONE staged projection over ``df`` (no
     sigs⋈toksets join, one tokenize pass instead of two — CollapseProject
-    leaves the non-cheap multi-use token array staged)."""
+    leaves the non-cheap multi-use token array staged). ``_dtoks``
+    supplies that staged (key, __dt distinct-token array) frame directly
+    — the round-13 share point: a caller that also verifies (the pair
+    pipelines) persists ONE tokenize and feeds it to both the bands and
+    the verify token sets."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     if _sigs is None and _toksets is None:
-        staged = df.select(
-            F.col(key).alias(key), tokens(text, distinct=True).alias("__dt")
+        staged = (
+            _dtoks
+            if _dtoks is not None
+            else df.select(
+                F.col(key).alias(key),
+                tokens(text, distinct=True).alias("__dt"),
+            )
         )
         sigged = staged.select(
             key,
@@ -311,6 +321,7 @@ def minhash_lsh_pairs(
     key: str = "doc_id",
     _sigs: DataFrame | None = None,
     band_join_hint: str | None = None,
+    _dtoks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
@@ -326,15 +337,28 @@ def minhash_lsh_pairs(
     # jaccard is identical (collisions ~n²/2^61 ≈ never) and integer
     # set-intersection is several× cheaper — this is the dominant cost on
     # high-duplication corpora where candidates ≈ all pairs.
-    df = _spread_narrow(df)
-    toksets = df.select(
-        F.col(key).alias("__k"),
-        _hashed_set(tokens(text, distinct=True)).alias("__toks"),
-    )
-    # bands NOT given _toksets: its fused projection computes signatures
-    # and the token count in one tokenize pass (no sigs⋈toksets join) —
-    # toksets here feeds only the verify joins.
-    bands = minhash_bands(df, num_hashes, band_size, text, key, _sigs=_sigs)
+    if _dtoks is not None:
+        # Staged distinct-token arrays supplied by a caller that owns a
+        # persist lifecycle (dedup_clusters): tokenize ran ONCE there;
+        # both the verify token sets and the band signatures derive from
+        # the cached arrays (round 13 — guide §1.2: don't compute things
+        # three times).
+        toksets = _dtoks.select(
+            F.col(key).alias("__k"), _hashed_set(F.col("__dt")).alias("__toks")
+        )
+        bands = minhash_bands(
+            df, num_hashes, band_size, text, key, _sigs=_sigs, _dtoks=_dtoks
+        )
+    else:
+        df = _spread_narrow(df)
+        toksets = df.select(
+            F.col(key).alias("__k"),
+            _hashed_set(tokens(text, distinct=True)).alias("__toks"),
+        )
+        # bands NOT given _toksets: its fused projection computes
+        # signatures and the token count in one tokenize pass (no
+        # sigs⋈toksets join) — toksets here feeds only the verify joins.
+        bands = minhash_bands(df, num_hashes, band_size, text, key, _sigs=_sigs)
 
     cands = band_candidates(
         bands, jaccard_threshold, key=key, join_hint=band_join_hint
@@ -556,10 +580,21 @@ def dedup_clusters(
     Returns (doc_id, cluster_id, keep) for EVERY input document, where
     keep ⇔ doc_id == cluster_id (the canonical member).
     """
+    staged_dtoks = None
     if pairs is None:
+        # Stage the distinct-token arrays ONCE (VERDICT r12 item 5): the
+        # pair pipeline otherwise tokenizes the corpus three times in one
+        # evaluation — the bands' fused projection plus BOTH verify
+        # sides' token sets. The persist lifecycle is owned here: the
+        # pipeline's single consumer is the adjacency aggregation below,
+        # so the cache is released right after adj materializes.
+        spread = _spread_narrow(df)
+        staged_dtoks = spread.select(
+            F.col(key).alias(key), tokens(text, distinct=True).alias("__dt")
+        ).persist()
         pairs = minhash_lsh_pairs(
-            df, band_size=band_size, jaccard_threshold=jaccard_threshold,
-            text=text, key=key,
+            spread, band_size=band_size, jaccard_threshold=jaccard_threshold,
+            text=text, key=key, _dtoks=staged_dtoks,
         )
     # Symmetrize via per-row explode, NOT union-of-swapped-projections:
     # union(A, A.swap) plants the whole pair pipeline (signatures, band
@@ -582,6 +617,10 @@ def dedup_clusters(
         F.collect_set("dst").alias("nbrs")
     ).persist()
     adj.count()  # materialize: every consumer below reads the small cache
+    if staged_dtoks is not None:
+        # the pair pipeline (the staged tokenize's only consumer) has now
+        # fully evaluated into adj — release the token-array cache
+        staged_dtoks.unpersist()
     labels = adj.select("id", F.least("id", F.array_min("nbrs")).alias("lbl"))
     la = labels.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
     lb = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
