@@ -235,9 +235,21 @@ def force_pins(*frames: DataFrame) -> None:
     ~65%% of the stream's wall; optimization round 12, guide §2.6 —
     don't let a serial phase hold the cluster idle). ``count()`` on a
     persisted frame populates the cache in full (the cache stores the
-    plan's complete output, not the pruned projection)."""
-    for f in frames:
-        f.count()
+    plan's complete output, not the pruned projection).
+
+    The counts are INDEPENDENT jobs, so they run from a small thread
+    pool (guide §2.6 — overlap independent jobs: Spark's scheduler
+    happily runs several jobs at once, and each pin's tail would
+    otherwise leave the cluster idle while the next pin waits;
+    optimization round 13). FIFO scheduling back-fills freed slots."""
+    if len(frames) <= 1:
+        for f in frames:
+            f.count()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(frames))) as pool:
+        list(pool.map(lambda f: f.count(), frames))
 
 
 def run_stream_to_memory(
