@@ -109,26 +109,30 @@ LOAD_ERRORS: dict[str, str] = {}
 #: outranks pure age and cannot be derived from the artifacts. Purely an
 #: ordering hint — every query stays registered and runnable regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-12 code-changed re-fronts (each SIM-rechecked at
-    # sf0.001+sf0.01+sf0.1; the three NEW rows — q_stream_semantic_
-    # gate_parity, q_semantic_absorb_parity, q_training_factory_e2e —
-    # are un-green and auto-front ahead of everything regardless):
+    # round-13 code-changed re-fronts (each oracle-rechecked in-session
+    # at sf0.01, and at sf0.1 either via the sim or the result-digest
+    # protocol — OPTIMIZATION_r13.md):
     #
-    # ADVICE r11 key-domain semi-join added to the semantic events, and
-    # semantic_screen_events gained the supplied-index param (default
-    # path unchanged) — shared code under the batch semantic gate row.
+    # semantic screen rewrite (arrival-side spread, staged norms,
+    # verify barrier) — every row whose executed screen plan changed.
     "q_semantic_ingest_gate",
-    # flipped onto quality_calibrate's new skew_safe two-level rank
-    # (bit-identical by law, but the executed plan is new).
-    "q_quality_calibration",
-    # flipped onto mixture_schedule's skew_safe mode / body refactor
-    # (the rank expression moved into a branch; token_budget_chunks
-    # threads the flag with a default-off path under the budget row).
-    "q_mixture_schedule",
-    "q_token_budget_schedule",
-    # checked_bigint gained the NULL-passthrough arm (ADVICE r11) —
-    # shared code under the hotkeys emission.
-    "q_join_hotkeys",
+    "q_semantic_absorb_parity",
+    "q_stream_semantic_gate_parity",
+    "q_stream_semantic_absorb_parity",
+    # staged-tokenize pair pipeline (dedup_clusters _dtoks) + the
+    # layout row's single-exchange write.
+    "q_dedup_cluster",
+    "q_cluster_rep",
+    "q_cluster_safe_split",
+    "q_curate_full",
+    "q_dedup_minhash_layout",
+    # state_partitions 4→16 (partitioning only, results invariant —
+    # re-fronted anyway per the code-changed discipline).
+    "q_stream_cdc_parity",
+    "q_stream_asof_parity",
+    "q_stream_custom_state_parity",
+    # concurrent force_pins under the absorb replay rows.
+    "q_stream_absorb_parity",
 )
 
 
